@@ -1,0 +1,575 @@
+"""Vectorized layout extraction: the reference's per-page pipeline as an
+Arrow-batched pandas core + a Spark ``mapInPandas`` operator.
+
+The per-turn algorithm (tokenize -> separator -> classify -> reassemble ->
+metadata; /root/reference/A003_colored_footer.py:282-326) is re-expressed
+over *all turns of an Arrow batch at once* with pandas/NumPy column
+operations — no per-row Python in the hot path (BASELINE.json:input_hint).
+Semantics are defined by the single-process oracle
+(pdf_parser_spark/oracle/extractor.py); ``tests/test_extract_golden.py``
+asserts vectorized == oracle on every fixture archetype.
+
+Scale design:
+
+* extraction is turn-local -> embarrassingly parallel; no shuffle is needed
+  for the map phase, so mega-conversation skew cannot serialize it
+* the only Python<->JVM boundary is Arrow batch transport (mapInPandas)
+* per-turn error handling degrades to error rows, never fails the task
+  (D1 semantics, A003:328-341); if the vectorized path itself raises on a
+  pathological batch, the batch falls back to the per-turn oracle (slow but
+  identical semantics), preserving degrade-don't-fail at batch granularity
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from pdf_parser_spark.oracle.boilerplate import strip_boilerplate
+from pdf_parser_spark.oracle.extractor import VARIANTS, extract_turn
+from pdf_parser_spark.payload import unescape_text
+
+PASSTHROUGH = ["conv_id", "turn_idx", "role", "tool", "ts"]
+LAYOUT_FIELDS = [
+    "page_number", "header", "footer", "left_column", "right_column",
+    "page_width", "page_height", "column_separator_position", "metadata",
+]
+
+LAYOUT_SCHEMA_DDL = (
+    "conv_id string, turn_idx int, role string, tool string, ts timestamp, "
+    "page_number int, header string, footer string, "
+    "left_column string, right_column string, "
+    "page_width double, page_height double, "
+    "column_separator_position double, metadata map<string,string>"
+)
+
+DEFAULT_PAGE_W = 612.0
+DEFAULT_PAGE_H = 792.0
+
+_SPAN_RE = r"^SPAN (\S+) (\S+) (\S+) (\S+) size=(\S+) font=(.*?) text=(.*)$"
+_LINE_RE = r"^LINE (\S+) (\S+) (\S+) (\S+)$"
+_RECT_RE = r"^RECT (\S+) (\S+) (\S+) (\S+) fill=(\S+),(\S+),(\S+)$"
+_PAGE_RE = r"^PAGE w=(\S+) h=(\S+)$"
+
+
+def _unescape_series(s: pd.Series) -> pd.Series:
+    mask = s.str.contains("\\", regex=False)
+    if mask.any():
+        s = s.copy()
+        s[mask] = s[mask].map(unescape_text)
+    return s
+
+
+def _empty_layout_frame() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "rid": pd.Series([], dtype=np.int64),
+            "page_number": pd.Series([], dtype=np.int64),
+            "header": pd.Series([], dtype=object),
+            "footer": pd.Series([], dtype=object),
+            "left_column": pd.Series([], dtype=object),
+            "right_column": pd.Series([], dtype=object),
+            "page_width": pd.Series([], dtype=np.float64),
+            "page_height": pd.Series([], dtype=np.float64),
+            "column_separator_position": pd.Series([], dtype=np.float64),
+            "metadata": pd.Series([], dtype=object),
+        }
+    )
+
+
+def _error_frame(rids: np.ndarray, turn_idx: pd.Series, messages) -> pd.DataFrame:
+    """D1 error rows (A003:328-341), vectorized."""
+    n = len(rids)
+    return pd.DataFrame(
+        {
+            "rid": rids,
+            "page_number": turn_idx.to_numpy() + 1,
+            "header": [""] * n,
+            "footer": [""] * n,
+            "left_column": [""] * n,
+            "right_column": [""] * n,
+            "page_width": np.zeros(n),
+            "page_height": np.zeros(n),
+            "column_separator_position": np.full(n, np.nan),
+            "metadata": [{"error": json.dumps(m, ensure_ascii=False)} for m in messages],
+        }
+    )
+
+
+def _reassemble_regions(blocks: pd.DataFrame) -> pd.DataFrame:
+    """O1+O2+O3 vectorized: reading-order text per (rid, region).
+
+    ``blocks`` columns: rid, region, x0, y0, x1, y1, text. Returns
+    (rid, region, text) with line-grouped, x-ordered, newline-joined text —
+    exactly oracle ``blocks_to_text`` (A003:246-280). The reference's
+    running anchor updates on every block (both branches of A003:262-269),
+    so new-line-iff-consecutive-center-gap>=10 is exact.
+    """
+    if blocks.empty:
+        return pd.DataFrame({"rid": [], "region": [], "text": []})
+    b = blocks.sort_values(["rid", "region", "y0", "x0"], kind="stable").reset_index(drop=True)
+    cy = (b["y0"].to_numpy() + b["y1"].to_numpy()) / 2.0
+    rid = b["rid"].to_numpy()
+    reg = b["region"].to_numpy()
+    new_group = np.ones(len(b), dtype=bool)
+    if len(b) > 1:
+        same = (rid[1:] == rid[:-1]) & (reg[1:] == reg[:-1])
+        new_group[1:] = ~(same & (np.abs(cy[1:] - cy[:-1]) < 10.0))
+    b["line_id"] = np.cumsum(new_group)
+    b = b.sort_values(["rid", "region", "line_id", "x0"], kind="stable")
+    lines = (
+        b.groupby(["rid", "region", "line_id"], sort=False)["text"]
+        .agg(" ".join)
+        .reset_index()
+    )
+    return (
+        lines.groupby(["rid", "region"], sort=False)["text"]
+        .agg("\n".join)
+        .reset_index()
+    )
+
+
+def _grid_separator(x0s: np.ndarray, x1s: np.ndarray, width: float) -> float:
+    """O4 first-hit grid search (A003:146-153)."""
+    for sep_x in range(int(width * 0.3), int(width * 0.7), 10):
+        if (x1s < sep_x).any() and (x0s > sep_x).any():
+            return float(sep_x)
+    return width / 2.0
+
+
+def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
+    """Vectorized A003-family extraction for tool='page/v1' rows.
+
+    ``rows``: columns rid (batch-local int64), turn_idx, text.
+    Returns one layout row per rid.
+    """
+    cfg = VARIANTS[variant]
+    out_parts = []
+    n = len(rows)
+    if n == 0:
+        return _empty_layout_frame()
+
+    payload = rows["text"]
+    is_str = payload.map(lambda v: isinstance(v, str))
+    no_page = ~(is_str & payload.where(is_str, "").str.startswith("PAGE "))
+    if no_page.any():
+        bad = rows[no_page]
+        out_parts.append(
+            _error_frame(
+                bad["rid"].to_numpy(), bad["turn_idx"],
+                ["payload has no PAGE header"] * len(bad),
+            )
+        )
+        rows = rows[~no_page]
+    if rows.empty:
+        return pd.concat(out_parts, ignore_index=True)
+
+    # --- explode payload records, keep payload order ------------------
+    recs = rows.set_index("rid")["text"].str.split("\n").explode()
+    recs_df = pd.DataFrame({"rid": recs.index.to_numpy(), "line": recs.to_numpy()})
+    recs_df["pos"] = np.arange(len(recs_df))
+
+    first = recs_df.groupby("rid", sort=False).first()
+    page_kv = first["line"].str.extract(_PAGE_RE)
+    widths = pd.to_numeric(page_kv[0], errors="coerce")
+    heights = pd.to_numeric(page_kv[1], errors="coerce")
+    bad_header = widths.isna() | heights.isna()
+    if bad_header.any():
+        bad_rids = first.index[bad_header.to_numpy()]
+        bad_rows = rows[rows["rid"].isin(bad_rids)]
+        msgs = [
+            f"malformed PAGE header: {line!r}"
+            for line in first.loc[bad_rids, "line"]
+        ]
+        out_parts.append(_error_frame(bad_rows["rid"].to_numpy(), bad_rows["turn_idx"], msgs))
+        rows = rows[~rows["rid"].isin(bad_rids)]
+        recs_df = recs_df[~recs_df["rid"].isin(bad_rids)]
+        widths = widths[~bad_header]
+        heights = heights[~bad_header]
+    if rows.empty:
+        return pd.concat(out_parts, ignore_index=True)
+
+    dims = pd.DataFrame({"rid": widths.index, "w": widths.to_numpy(), "h": heights.to_numpy()})
+
+    # --- parse record kinds (vectorized regex per kind) ----------------
+    line = recs_df["line"]
+    span_mask = line.str.startswith("SPAN ")
+    vline_mask = line.str.startswith("LINE ")
+    rect_mask = line.str.startswith("RECT ")
+
+    # LINE records: malformed ones are skipped (degraded drawing scan)
+    vl = line[vline_mask].str.extract(_LINE_RE).apply(pd.to_numeric, errors="coerce")
+    vl.columns = ["x1", "y1", "x2", "y2"]
+    vl["rid"] = recs_df.loc[vline_mask, "rid"].to_numpy()
+    vl["pos"] = recs_df.loc[vline_mask, "pos"].to_numpy()
+    vl = vl.dropna(subset=["x1", "y1", "x2", "y2"])
+
+    # RECT records
+    rc = line[rect_mask].str.extract(_RECT_RE).apply(pd.to_numeric, errors="coerce")
+    rc.columns = ["x0", "y0", "x1", "y1", "r", "g", "b"]
+    rc["rid"] = recs_df.loc[rect_mask, "rid"].to_numpy()
+    rc = rc.dropna()
+
+    # SPAN records: a malformed one fails the rid's tokenize (S3 fallback)
+    sp_raw = line[span_mask]
+    sp = sp_raw.str.extract(_SPAN_RE)
+    sp.columns = ["x0", "y0", "x1", "y1", "size", "font", "text"]
+    sp["rid"] = recs_df.loc[span_mask, "rid"].to_numpy()
+    sp["pos"] = recs_df.loc[span_mask, "pos"].to_numpy()
+    for c in ("x0", "y0", "x1", "y1", "size"):
+        sp[c] = pd.to_numeric(sp[c], errors="coerce")
+    sp_bad = sp["text"].isna() | sp[["x0", "y0", "x1", "y1", "size"]].isna().any(axis=1)
+    tokfail_rids = set(sp.loc[sp_bad, "rid"].unique())
+    sp = sp[~sp["rid"].isin(tokfail_rids)]
+    sp["text"] = _unescape_series(sp["text"].astype(str))
+
+    # --- S3 fallback blocks for tokenize-failure rids -------------------
+    fallback_blocks = []
+    if tokfail_rids:
+        salv_src = recs_df[span_mask & recs_df["rid"].isin(tokfail_rids)].copy()
+        tails = _unescape_series(
+            salv_src["line"].str.partition(" text=")[2].astype(str)
+        )
+        has_tail = salv_src["line"].str.contains(" text=", regex=False)
+        salv_src["tail"] = tails
+        salv = (
+            salv_src[has_tail]
+            .groupby("rid", sort=False)["tail"]
+            .agg("\n".join)
+        )
+        dims_idx = dims.set_index("rid")
+        for rid in sorted(tokfail_rids):
+            text = salv.get(rid, "")
+            if isinstance(text, str) and text.strip():
+                w = float(dims_idx.loc[rid, "w"])
+                h = float(dims_idx.loc[rid, "h"])
+                fallback_blocks.append(
+                    {"rid": rid, "x0": 0.0, "y0": 0.0, "x1": w, "y1": h,
+                     "font_size": 12.0, "font_name": "Unknown", "text": text.strip()}
+                )
+
+    # --- G1: merge consecutive same-(y0,y1) spans into line-blocks ------
+    if len(sp):
+        sp = sp.sort_values("pos", kind="stable").reset_index(drop=True)
+        rid_a = sp["rid"].to_numpy()
+        y0_a = sp["y0"].to_numpy()
+        y1_a = sp["y1"].to_numpy()
+        new_grp = np.ones(len(sp), dtype=bool)
+        if len(sp) > 1:
+            new_grp[1:] = ~(
+                (rid_a[1:] == rid_a[:-1])
+                & (y0_a[1:] == y0_a[:-1])
+                & (y1_a[1:] == y1_a[:-1])
+            )
+        sp["grp"] = np.cumsum(new_grp)
+        font_nonempty = sp["font"].replace("", np.nan)
+        blocks = sp.groupby("grp", sort=False).agg(
+            rid=("rid", "first"),
+            x0=("x0", "min"),
+            y0=("y0", "min"),
+            x1=("x1", "max"),
+            y1=("y1", "max"),
+            font_size=("size", "max"),
+            text=("text", "".join),
+        )
+        blocks["font_name"] = font_nonempty.groupby(sp["grp"]).first()
+        blocks["font_name"] = blocks["font_name"].fillna("")
+        blocks["text"] = blocks["text"].str.strip()
+        blocks = blocks[blocks["text"] != ""].reset_index(drop=True)
+    else:
+        blocks = pd.DataFrame(
+            columns=["rid", "x0", "y0", "x1", "y1", "font_size", "text", "font_name"]
+        )
+    if fallback_blocks:
+        fb = pd.DataFrame(fallback_blocks)
+        blocks = fb if blocks.empty else pd.concat([blocks, fb], ignore_index=True)
+
+    # --- P1 vertical-line predicate + O5 best-line separator ------------
+    vlf = vl[(np.abs(vl["x2"] - vl["x1"]) < 5) & (np.abs(vl["y2"] - vl["y1"]) > 100)].copy()
+    n_vlines = vlf.groupby("rid", sort=False).size()
+    sep_by_line = {}
+    if len(vlf):
+        vlf = vlf.merge(dims, on="rid", how="left")
+        vlf["length"] = np.abs(vlf["y2"] - vlf["y1"])
+        center_ok = (
+            np.abs((vlf["x1"] + vlf["x2"]) / 2.0 - vlf["w"] / 2.0) < vlf["w"] * 0.3
+        )
+        cand = vlf[center_ok]
+        if len(cand):
+            # first occurrence of the max length per rid — matches the
+            # strict `>` update in A003:130
+            best = cand.loc[cand.groupby("rid", sort=False)["length"].idxmax()]
+            sep_by_line = dict(
+                zip(best["rid"], (best["x1"] + best["x2"]) / 2.0)
+            )
+
+    # --- O4 grid-search separator for the rest --------------------------
+    separators = {}
+    blocks_by_rid = dict(iter(blocks.groupby("rid", sort=False))) if len(blocks) else {}
+    for rid, w, h in dims.itertuples(index=False):
+        if rid in sep_by_line:
+            separators[rid] = float(sep_by_line[rid])
+            continue
+        grp = blocks_by_rid.get(rid)
+        if grp is None or grp.empty:
+            separators[rid] = w / 2.0
+        else:
+            separators[rid] = _grid_separator(
+                grp["x0"].to_numpy(), grp["x1"].to_numpy(), w
+            )
+
+    # --- P3/P4 colored regions + semantic footer flag --------------------
+    nonwhite = rc[~((rc["r"] == 1.0) & (rc["g"] == 1.0) & (rc["b"] == 1.0))]
+    n_colored = nonwhite.groupby("rid", sort=False).size()
+    dims_idx = dims.set_index("rid")
+    footer_regions = nonwhite.merge(dims, on="rid")
+    footer_regions = footer_regions[footer_regions["y0"] > footer_regions["h"] * 0.5]
+
+    has_footer = pd.Series(False, index=dims_idx.index)
+    if cfg.footer_mode == "semantic" and len(blocks):
+        bb = blocks.merge(dims, on="rid")
+        cy = (bb["y0"] + bb["y1"]) / 2.0
+        potential = bb[cy > bb["h"] * cfg.footer_frac]
+        if len(potential):
+            joined = (
+                potential.groupby("rid", sort=False)["text"].agg(" ".join).str.lower()
+            )
+            kw_re = "|".join(__import__("re").escape(k) for k in cfg.keywords)
+            kw_hit = joined.str.contains(kw_re, regex=True)
+            short_digit = (joined.str.strip().str.len() < 50) & joined.str.contains(r"\d")
+            hf = kw_hit | short_digit
+            has_footer.loc[hf.index[hf.to_numpy()]] = True
+
+    # --- C1/C2/C4 classification -----------------------------------------
+    region_text = pd.DataFrame({"rid": [], "region": [], "text": []})
+    region_counts = {}
+    if len(blocks):
+        bb = blocks.merge(dims, on="rid")
+        bb["sep"] = bb["rid"].map(separators)
+        bb_cy = ((bb["y0"] + bb["y1"]) / 2.0).to_numpy()
+        bb_cx = ((bb["x0"] + bb["x1"]) / 2.0).to_numpy()
+        h_arr = bb["h"].to_numpy()
+
+        is_header = bb_cy < h_arr * cfg.header_frac
+
+        if cfg.footer_mode == "band":
+            is_footer = bb_cy > h_arr * cfg.footer_frac
+        elif cfg.footer_mode == "semantic":
+            in_colored = np.zeros(len(bb), dtype=bool)
+            if len(footer_regions):
+                j = bb.reset_index().merge(
+                    footer_regions[["rid", "x0", "y0", "x1", "y1"]],
+                    on="rid", suffixes=("", "_f"),
+                )
+                contained = (
+                    (j["x0"] >= j["x0_f"]) & (j["x1"] <= j["x1_f"])
+                    & (j["y0"] >= j["y0_f"]) & (j["y1"] <= j["y1_f"])
+                )
+                hit_idx = j.loc[contained, "index"].unique()
+                in_colored[hit_idx] = True
+            hf_arr = bb["rid"].map(has_footer).to_numpy()
+            is_footer = in_colored | (hf_arr & (bb_cy > h_arr * cfg.footer_frac))
+        else:  # "keyword" (A004): per-block test
+            low = bb["text"].str.lower()
+            kw_re = "|".join(__import__("re").escape(k) for k in cfg.keywords)
+            kw_hit = low.str.contains(kw_re, regex=True).to_numpy()
+            short_digit = (
+                (bb["text"].str.strip().str.len() < 50)
+                & bb["text"].str.contains(r"\d")
+            ).to_numpy()
+            is_footer = (bb_cy > h_arr * cfg.footer_frac) & (kw_hit | short_digit)
+
+        region = np.where(
+            is_header, "header",
+            np.where(
+                ~is_header & is_footer, "footer",
+                np.where(bb_cx < bb["sep"].to_numpy(), "left_column", "right_column"),
+            ),
+        )
+        bb["region"] = region
+        region_text = _reassemble_regions(bb[["rid", "region", "x0", "y0", "x1", "y1", "text"]])
+        region_counts = (
+            bb.groupby(["rid", "region"], sort=False).size().unstack(fill_value=0)
+        )
+
+    # --- assemble one output row per rid ---------------------------------
+    base = rows[["rid", "turn_idx"]].copy()
+    piv = (
+        region_text.pivot(index="rid", columns="region", values="text")
+        if len(region_text)
+        else pd.DataFrame()
+    )
+    for col in ("header", "footer", "left_column", "right_column"):
+        vals = piv[col] if col in piv.columns else pd.Series(dtype=object)
+        base[col] = base["rid"].map(vals).fillna("")
+    base["page_width"] = base["rid"].map(dims_idx["w"])
+    base["page_height"] = base["rid"].map(dims_idx["h"])
+    base["column_separator_position"] = base["rid"].map(separators)
+    base["page_number"] = base["turn_idx"].to_numpy() + 1
+
+    total_blocks = blocks.groupby("rid", sort=False).size() if len(blocks) else pd.Series(dtype=np.int64)
+
+    def count_of(series, rid):
+        v = series.get(rid, 0) if len(series) else 0
+        return int(v)
+
+    metadata = []
+    rc_cols = region_counts.columns if len(region_counts) else []
+    for rid, w, h in dims.itertuples(index=False):
+        counts = {}
+        for reg_name in ("header", "footer", "left_column", "right_column"):
+            if len(region_counts) and reg_name in rc_cols and rid in region_counts.index:
+                counts[reg_name] = int(region_counts.loc[rid, reg_name])
+            else:
+                counts[reg_name] = 0
+        metadata.append(
+            {
+                "total_text_blocks": str(count_of(total_blocks, rid)),
+                "header_blocks": str(counts["header"]),
+                "footer_blocks": str(counts["footer"]),
+                "left_column_blocks": str(counts["left_column"]),
+                "right_column_blocks": str(counts["right_column"]),
+                "vertical_lines_detected": str(count_of(n_vlines, rid)),
+                "colored_footer_regions": str(count_of(n_colored, rid)),
+                "has_footer": "true" if counts["footer"] > 0 else "false",
+                "page_rect": json.dumps([0.0, 0.0, w, h]),
+            }
+        )
+    meta_by_rid = pd.Series(metadata, index=dims["rid"].to_numpy())
+    base["metadata"] = base["rid"].map(meta_by_rid)
+
+    out_parts.append(base[["rid"] + LAYOUT_FIELDS])
+    return pd.concat(out_parts, ignore_index=True)
+
+
+def _extract_plain_rows(rows: pd.DataFrame) -> pd.DataFrame:
+    """tool='plain' (and unknown tools): the reference's get_text() fallback
+    semantics — one whole-page block on a default 612x792 page
+    (A003:94-108). Note the faithful quirk: the block's center_x equals the
+    default separator w/2, and the classifier's strict `<` routes the text
+    to right_column (A003:239-242)."""
+    if rows.empty:
+        return _empty_layout_frame()
+    out = []
+    for rid, turn_idx, text in rows[["rid", "turn_idx", "text"]].itertuples(index=False):
+        out.append((rid, extract_turn(text, "plain", int(turn_idx), "a003")))
+    return _rows_from_oracle(out)
+
+
+def _rows_from_oracle(pairs) -> pd.DataFrame:
+    recs = []
+    for rid, lay in pairs:
+        rec = {"rid": rid}
+        rec.update(lay)
+        sep = rec["column_separator_position"]
+        rec["column_separator_position"] = np.nan if sep is None else sep
+        recs.append(rec)
+    return pd.DataFrame(recs, columns=["rid"] + LAYOUT_FIELDS)
+
+
+def _extract_html_rows(rows: pd.DataFrame) -> pd.DataFrame:
+    """tool='html/v1': DOM boilerplate stripping (north-rule addition).
+
+    The stack-based tokenizer is irreducibly sequential per payload; it runs
+    per turn (not per block-row) inside the Arrow batch, mirroring how
+    pandas str ops iterate internally."""
+    if rows.empty:
+        return _empty_layout_frame()
+    recs = []
+    for rid, turn_idx, text in rows[["rid", "turn_idx", "text"]].itertuples(index=False):
+        try:
+            res = strip_boilerplate(text)
+            recs.append(
+                {
+                    "rid": rid,
+                    "page_number": int(turn_idx) + 1,
+                    "header": res["header"],
+                    "footer": res["footer"],
+                    "left_column": res["left_column"],
+                    "right_column": res["right_column"],
+                    "page_width": 0.0,
+                    "page_height": 0.0,
+                    "column_separator_position": np.nan,
+                    "metadata": res["metadata"],
+                }
+            )
+        except Exception as exc:  # noqa: BLE001 — degrade per turn
+            recs.append(
+                {
+                    "rid": rid,
+                    "page_number": int(turn_idx) + 1,
+                    "header": "", "footer": "", "left_column": "", "right_column": "",
+                    "page_width": 0.0, "page_height": 0.0,
+                    "column_separator_position": np.nan,
+                    "metadata": {"error": json.dumps(str(exc), ensure_ascii=False)},
+                }
+            )
+    return pd.DataFrame(recs, columns=["rid"] + LAYOUT_FIELDS)
+
+
+def extract_batch(pdf: pd.DataFrame, variant: str = "a003") -> pd.DataFrame:
+    """Extract layouts for one Arrow batch of transcript rows.
+
+    Input columns: conv_id, turn_idx, role, text, tool [, ts].
+    Output: passthrough + LAYOUT_FIELDS, in input row order.
+    """
+    pdf = pdf.reset_index(drop=True)
+    pdf["rid"] = np.arange(len(pdf), dtype=np.int64)
+    tool = pdf["tool"].fillna("plain")
+
+    try:
+        parts = []
+        parts.append(_extract_page_rows(pdf[tool == "page/v1"][["rid", "turn_idx", "text"]], variant))
+        parts.append(_extract_html_rows(pdf[tool == "html/v1"][["rid", "turn_idx", "text"]]))
+        parts.append(_extract_plain_rows(pdf[~tool.isin(["page/v1", "html/v1"])][["rid", "turn_idx", "text"]]))
+        layouts = pd.concat(parts, ignore_index=True)
+    except Exception:  # noqa: BLE001 — batch-level degrade: per-turn oracle
+        pairs = [
+            (rid, extract_turn(text, t if t in ("page/v1", "plain") else "plain", int(turn_idx), variant)
+             if t != "html/v1" else _html_oracle(text, int(turn_idx)))
+            for rid, turn_idx, text, t in pdf[["rid", "turn_idx", "text", "tool"]]
+            .assign(tool=tool).itertuples(index=False)
+        ]
+        layouts = _rows_from_oracle(pairs)
+
+    merged = pdf.drop(columns=["text"]).merge(layouts, on="rid").sort_values("rid")
+    cols = [c for c in PASSTHROUGH if c in merged.columns] + LAYOUT_FIELDS
+    return merged[cols].reset_index(drop=True)
+
+
+def _html_oracle(text: str, turn_idx: int) -> dict:
+    try:
+        res = strip_boilerplate(text)
+        return {
+            "page_number": turn_idx + 1,
+            "header": res["header"], "footer": res["footer"],
+            "left_column": res["left_column"], "right_column": res["right_column"],
+            "page_width": 0.0, "page_height": 0.0,
+            "column_separator_position": None,
+            "metadata": res["metadata"],
+        }
+    except Exception as exc:  # noqa: BLE001
+        return {
+            "page_number": turn_idx + 1,
+            "header": "", "footer": "", "left_column": "", "right_column": "",
+            "page_width": 0.0, "page_height": 0.0,
+            "column_separator_position": None,
+            "metadata": {"error": json.dumps(str(exc), ensure_ascii=False)},
+        }
+
+
+def extract_layouts(df, variant: str = "a003"):
+    """Spark operator: transcripts DataFrame -> layouts DataFrame.
+
+    One Arrow-batched ``mapInPandas`` pass; turn-local, shuffle-free. The
+    stable turn-order invariant is enforced downstream by window ordering on
+    (conv_id, turn_idx) — never by shuffle order (SURVEY.md section 4).
+    """
+
+    def run(batches):
+        for pdf in batches:
+            yield extract_batch(pdf, variant)
+
+    return df.mapInPandas(run, schema=LAYOUT_SCHEMA_DDL)

@@ -1,0 +1,197 @@
+"""DOM-heuristic boilerplate stripping (single-process oracle).
+
+The reference has no HTML path (SURVEY.md section 2.8); the north rule adds
+main-content extraction over HTML payloads via densitometric block scoring in
+the style of the published Boilerpipe (Kohlschuetter, Fankhauser, Nejdl:
+"Boilerplate Detection using Shallow Text Features", WSDM 2010) and jusText
+(Pomikalek 2011) algorithms: per-block text density, link density, and tag
+context decide keep-vs-strip. The block model mirrors the PDF path's
+protocol shape: payload -> blocks -> classify -> reassemble, with the same
+4-field output (header / footer / main content / stripped chrome).
+
+Deterministic rules (no ML, no context smoothing, so the vectorized Spark
+core can reproduce them exactly):
+
+* a block inside <header> is labeled ``header``; inside <footer> -> ``footer``
+* inside <nav> or <aside> -> ``boilerplate``
+* link_density = link_chars / text_chars > 1/3 -> ``boilerplate``
+* text length < 25 chars -> ``boilerplate`` (short chrome fragments)
+* tag depth > 10 -> ``boilerplate`` (deeply nested chrome)
+* otherwise ``content``
+
+Output: cleaned main-content text (content blocks joined with "\n") plus
+per-block span offsets into it — the "cleaned main-content text and span
+offsets per turn" required by BASELINE.json:north_star.
+"""
+
+from __future__ import annotations
+
+import re
+
+TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>'\"]|'[^']*'|\"[^\"]*\")*?)(/?)>")
+
+BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li ul ol td th tr table section article "
+    "header footer nav aside blockquote pre main body html title form".split()
+)
+VOID_TAGS = frozenset("br img hr input meta link area base col embed source wbr".split())
+SKIP_CONTENT_TAGS = frozenset(("script", "style"))
+
+_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'", "&nbsp;": " "}
+
+MIN_CONTENT_CHARS = 25
+MAX_LINK_DENSITY = 1.0 / 3.0
+MAX_CONTENT_DEPTH = 10
+WRAP_WIDTH = 80.0  # Boilerpipe-style wrapped-line count for text density
+
+
+def _unescape(text: str) -> str:
+    for k, v in _ENTITIES.items():
+        text = text.replace(k, v)
+    return text
+
+
+def tokenize_html(payload: str) -> list:
+    """Parse HTML into flat text blocks with tag-context statistics.
+
+    Returns a list of dicts: ``{text, depth, link_chars, in_header,
+    in_footer, in_nav}``. Text is whitespace-normalized (runs collapsed to
+    one space, stripped). Blocks are delimited by block-level tag boundaries.
+    """
+    blocks = []
+    stack = []
+    cur_parts = []
+    cur_link_chars = 0
+    cur_depth = None
+    pos = 0
+
+    def context_flags():
+        return (
+            "header" in stack,
+            "footer" in stack,
+            ("nav" in stack) or ("aside" in stack),
+            "a" in stack,
+        )
+
+    cur_flags = [False, False, False]
+
+    def flush():
+        nonlocal cur_parts, cur_link_chars, cur_depth
+        text = re.sub(r"\s+", " ", "".join(cur_parts)).strip()
+        if text:
+            blocks.append(
+                {
+                    "text": text,
+                    "depth": cur_depth if cur_depth is not None else len(stack),
+                    "link_chars": min(cur_link_chars, len(text)),
+                    "in_header": cur_flags[0],
+                    "in_footer": cur_flags[1],
+                    "in_nav": cur_flags[2],
+                }
+            )
+        cur_parts = []
+        cur_link_chars = 0
+        cur_depth = None
+
+    for m in TAG_RE.finditer(payload):
+        raw_text = payload[pos : m.start()]
+        pos = m.end()
+        if raw_text and not (stack and stack[-1] in SKIP_CONTENT_TAGS):
+            text = _unescape(raw_text)
+            if text.strip():
+                in_h, in_f, in_n, in_a = context_flags()
+                if cur_depth is None:
+                    cur_depth = len(stack)
+                    cur_flags = [in_h, in_f, in_n]
+                else:
+                    cur_flags = [cur_flags[0] or in_h, cur_flags[1] or in_f, cur_flags[2] or in_n]
+                norm_len = len(re.sub(r"\s+", " ", text).strip())
+                if in_a:
+                    cur_link_chars += norm_len
+            cur_parts.append(text)
+
+        closing, tag, _attrs, selfclose = m.groups()
+        tag = tag.lower()
+        if tag in VOID_TAGS or selfclose:
+            continue
+        if closing:
+            if tag in BLOCK_TAGS:
+                flush()
+            if tag in stack:
+                while stack and stack[-1] != tag:
+                    stack.pop()
+                if stack:
+                    stack.pop()
+        else:
+            if tag in BLOCK_TAGS:
+                flush()
+            stack.append(tag)
+
+    tail = payload[pos:]
+    if tail and not (stack and stack[-1] in SKIP_CONTENT_TAGS):
+        cur_parts.append(_unescape(tail))
+        if cur_depth is None:
+            cur_depth = len(stack)
+            in_h, in_f, in_n, _ = context_flags()
+            cur_flags = [in_h, in_f, in_n]
+    flush()
+    return blocks
+
+
+def label_block(block: dict) -> str:
+    """Densitometric keep-vs-strip CASE (see module docstring)."""
+    if block["in_header"]:
+        return "header"
+    if block["in_footer"]:
+        return "footer"
+    if block["in_nav"]:
+        return "boilerplate"
+    text_len = len(block["text"])
+    if text_len == 0:
+        return "boilerplate"
+    if block["link_chars"] / text_len > MAX_LINK_DENSITY:
+        return "boilerplate"
+    if text_len < MIN_CONTENT_CHARS:
+        return "boilerplate"
+    if block["depth"] > MAX_CONTENT_DEPTH:
+        return "boilerplate"
+    return "content"
+
+
+def strip_boilerplate(payload: str) -> dict:
+    """HTML payload -> cleaned main content + spans + header/footer text.
+
+    Returns the unified layout shape: ``header`` / ``footer`` /
+    ``left_column`` (main content) / ``right_column`` (always "") plus
+    ``spans`` = [(start, end)] offsets of each kept block inside
+    ``left_column`` and stringified ``metadata`` counts.
+    """
+    import json
+
+    blocks = tokenize_html(payload or "")
+    labeled = [(b, label_block(b)) for b in blocks]
+
+    content_texts = [b["text"] for b, lab in labeled if lab == "content"]
+    main_text = "\n".join(content_texts)
+    spans = []
+    offset = 0
+    for t in content_texts:
+        spans.append((offset, offset + len(t)))
+        offset += len(t) + 1  # the joining "\n"
+
+    counts = {
+        "total_blocks": len(blocks),
+        "content_blocks": sum(1 for _, lab in labeled if lab == "content"),
+        "boilerplate_blocks": sum(1 for _, lab in labeled if lab == "boilerplate"),
+        "header_blocks": sum(1 for _, lab in labeled if lab == "header"),
+        "footer_blocks": sum(1 for _, lab in labeled if lab == "footer"),
+        "total_link_chars": sum(b["link_chars"] for b in blocks),
+    }
+    return {
+        "header": "\n".join(b["text"] for b, lab in labeled if lab == "header"),
+        "footer": "\n".join(b["text"] for b, lab in labeled if lab == "footer"),
+        "left_column": main_text,
+        "right_column": "",
+        "spans": spans,
+        "metadata": {k: json.dumps(v) for k, v in counts.items()},
+    }

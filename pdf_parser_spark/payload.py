@@ -1,0 +1,235 @@
+"""Synthetic "page payload" format: the information content of a PDF page.
+
+The reference engine reads pages through PyMuPDF:
+``page.get_text("dict")`` yields a span tree (blocks -> lines -> spans with
+bbox/size/font/text), ``page.get_drawings()`` yields vector lines and filled
+rectangles, and ``page.rect`` yields the page geometry
+(/root/reference/A003_colored_footer.py:38-110, :155-175).
+
+This module defines a deterministic plain-text serialization of exactly that
+information so the reimplemented tokenizer can reproduce the same inputs
+without PDFs (see FIXTURES.md section 2):
+
+    PAGE w=612.0 h=792.0
+    LINE x1 y1 x2 y2                         # one vector line segment
+    RECT x0 y0 x1 y1 fill=r,g,b              # one filled rectangle
+    SPAN x0 y0 x1 y1 size=10.5 font=F1 text=...   # one text span
+
+Consecutive SPAN records that share the same (y0, y1) belong to one visual
+line (the analog of PyMuPDF's line grouping); the tokenizer merges them the
+way the reference merges spans into line-blocks
+(/root/reference/A003_colored_footer.py:71-93): text concatenated in record
+order, font_size = max span size, font_name = first non-empty span font,
+bbox = union of span bboxes.
+
+Error semantics mirror the reference's two failure levels:
+
+* A payload whose first record is not a valid ``PAGE`` header raises
+  :class:`PayloadError` -> the caller emits an error row (the analog of
+  ``extract_page_layout``'s outer try/except,
+  /root/reference/A003_colored_footer.py:328-341).
+* A malformed ``SPAN`` record raises :class:`TokenizeError` carrying the
+  leniently salvaged page text -> the caller falls back to a single
+  whole-page block with font_size 12.0 / font "Unknown" (the analog of the
+  ``page.get_text()`` fallback, /root/reference/A003_colored_footer.py:94-108).
+* Malformed ``LINE`` / ``RECT`` records are skipped (the reference wraps
+  drawing enumeration in its own try/except and degrades to the partial
+  list, /root/reference/A003_colored_footer.py:47-48,61-62).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class PayloadError(Exception):
+    """Page-level failure: the payload has no valid PAGE header."""
+
+
+class TokenizeError(Exception):
+    """Span-tree tokenize failure; carries salvaged plain text plus the page
+    dims already parsed from the PAGE header (the reference reads page.rect
+    before tokenizing, A003:286, so the fallback block spans the *real*
+    page rect, A003:100-103)."""
+
+    def __init__(self, message: str, salvaged_text: str, width: float, height: float):
+        super().__init__(message)
+        self.salvaged_text = salvaged_text
+        self.width = width
+        self.height = height
+
+
+@dataclass
+class Block:
+    """One text line-block: the reference's TextBlock
+    (/root/reference/A003_colored_footer.py:10-16)."""
+
+    text: str
+    x0: float
+    y0: float
+    x1: float
+    y1: float
+    font_size: float
+    font_name: str
+
+
+@dataclass
+class ParsedPage:
+    width: float
+    height: float
+    lines: list = field(default_factory=list)  # (x1, y1, x2, y2)
+    rects: list = field(default_factory=list)  # (x0, y0, x1, y1, (r, g, b))
+    blocks: list = field(default_factory=list)  # [Block]
+
+
+def escape_text(text: str) -> str:
+    return text.replace("\\", "\\\\").replace("\n", "\\n").replace("\r", "\\r")
+
+
+def unescape_text(text: str) -> str:
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = text[i + 1]
+            if nxt == "n":
+                out.append("\n")
+                i += 2
+                continue
+            if nxt == "r":
+                out.append("\r")
+                i += 2
+                continue
+            if nxt == "\\":
+                out.append("\\")
+                i += 2
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def render_page(
+    width: float,
+    height: float,
+    spans: list,
+    lines: list = (),
+    rects: list = (),
+) -> str:
+    """Serialize a page spec to the payload format.
+
+    ``spans``: list of visual lines, each a list of span dicts
+    ``{x0, y0, x1, y1, size, font, text}``; spans of one visual line share
+    (y0, y1) and are emitted consecutively.
+    ``lines``: (x1, y1, x2, y2) vector segments.
+    ``rects``: (x0, y0, x1, y1, (r, g, b)) filled rectangles.
+    """
+    out = [f"PAGE w={width} h={height}"]
+    for x1, y1, x2, y2 in lines:
+        out.append(f"LINE {x1} {y1} {x2} {y2}")
+    for x0, y0, x1, y1, fill in rects:
+        r, g, b = fill
+        out.append(f"RECT {x0} {y0} {x1} {y1} fill={r},{g},{b}")
+    for visual_line in spans:
+        for s in visual_line:
+            out.append(
+                f"SPAN {s['x0']} {s['y0']} {s['x1']} {s['y1']} "
+                f"size={s['size']} font={s['font']} text={escape_text(s['text'])}"
+            )
+    return "\n".join(out)
+
+
+def _salvage_text(payload: str) -> str:
+    """Lenient whole-page text recovery: every SPAN record's text= tail.
+
+    The analog of ``page.get_text()`` — plain text without geometry
+    (/root/reference/A003_colored_footer.py:98)."""
+    parts = []
+    for raw in payload.split("\n"):
+        if raw.startswith("SPAN ") and " text=" in raw:
+            parts.append(unescape_text(raw.split(" text=", 1)[1]))
+    return "\n".join(parts)
+
+
+def parse_payload(payload: str) -> ParsedPage:
+    """Tokenize one payload into page geometry, drawings, and line-blocks."""
+    if not isinstance(payload, str) or not payload.startswith("PAGE "):
+        raise PayloadError("payload has no PAGE header")
+    records = payload.split("\n")
+    header = records[0].split()
+    try:
+        kv = dict(part.split("=", 1) for part in header[1:])
+        width = float(kv["w"])
+        height = float(kv["h"])
+    except Exception as exc:  # malformed PAGE header -> page-level error
+        raise PayloadError(f"malformed PAGE header: {records[0]!r}") from exc
+
+    page = ParsedPage(width=width, height=height)
+
+    # Spans are accumulated as (x0, y0, x1, y1, size, font, text) tuples and
+    # merged into line-blocks afterwards.
+    spans = []
+    for raw in records[1:]:
+        if not raw:
+            continue
+        kind, _, rest = raw.partition(" ")
+        if kind == "LINE":
+            try:
+                x1, y1, x2, y2 = (float(v) for v in rest.split())
+                page.lines.append((x1, y1, x2, y2))
+            except Exception:
+                continue  # degraded drawing scan: skip bad record
+        elif kind == "RECT":
+            try:
+                coords, _, fillpart = rest.partition(" fill=")
+                x0, y0, x1, y1 = (float(v) for v in coords.split())
+                r, g, b = (float(v) for v in fillpart.split(","))
+                page.rects.append((x0, y0, x1, y1, (r, g, b)))
+            except Exception:
+                continue
+        elif kind == "SPAN":
+            try:
+                geom, _, tail = rest.partition(" size=")
+                x0, y0, x1, y1 = (float(v) for v in geom.split())
+                sizepart, _, tail = tail.partition(" font=")
+                size = float(sizepart)
+                font, _, text = tail.partition(" text=")
+                if not _:
+                    raise ValueError("SPAN without text=")
+                spans.append((x0, y0, x1, y1, size, font, unescape_text(text)))
+            except Exception as exc:
+                raise TokenizeError(
+                    f"malformed SPAN record: {raw[:80]!r}",
+                    _salvage_text(payload),
+                    width,
+                    height,
+                ) from exc
+        # Unknown record kinds are ignored (forward compatibility).
+
+    # Merge consecutive spans sharing (y0, y1) into one line-block — the
+    # analog of iterating line["spans"] in the reference
+    # (/root/reference/A003_colored_footer.py:74-93).
+    i, n = 0, len(spans)
+    while i < n:
+        j = i + 1
+        while j < n and spans[j][1] == spans[i][1] and spans[j][3] == spans[i][3]:
+            j += 1
+        group = spans[i:j]
+        text = "".join(s[6] for s in group)
+        if text.strip():
+            font_size = max(s[4] for s in group)
+            font_name = next((s[5] for s in group if s[5]), "")
+            page.blocks.append(
+                Block(
+                    text=text.strip(),
+                    x0=min(s[0] for s in group),
+                    y0=min(s[1] for s in group),
+                    x1=max(s[2] for s in group),
+                    y1=max(s[3] for s in group),
+                    font_size=font_size,
+                    font_name=font_name,
+                )
+            )
+        i = j
+    return page

@@ -1,0 +1,95 @@
+"""Property: the vectorized Arrow-batch core equals the per-turn oracle on
+every fixture archetype (SURVEY.md section 7 step 3) — no Spark needed."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_parser_spark.generator import (
+    PAGE_ARCHETYPES,
+    make_html_payload,
+    make_page_payload,
+    make_turn,
+)
+from pdf_parser_spark.operators.extract import extract_batch
+from pdf_parser_spark.oracle.extractor import extract_turn
+from pdf_parser_spark.oracle.boilerplate import strip_boilerplate
+
+
+def _batch_frame(rows):
+    return pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool"]
+    ).astype({"turn_idx": np.int32})
+
+
+def _assert_layout_equal(got: pd.Series, want: dict, context: str):
+    for key in ("page_number", "header", "footer", "left_column", "right_column"):
+        assert got[key] == want[key], f"{context}: field {key!r}"
+    for key in ("page_width", "page_height"):
+        assert float(got[key]) == float(want[key]), f"{context}: {key}"
+    w_sep = want["column_separator_position"]
+    g_sep = got["column_separator_position"]
+    if w_sep is None:
+        assert pd.isna(g_sep), context
+    else:
+        assert float(g_sep) == float(w_sep), context
+    assert dict(got["metadata"]) == dict(want["metadata"]), f"{context}: metadata"
+
+
+@pytest.mark.parametrize("archetype", PAGE_ARCHETYPES)
+def test_vectorized_matches_oracle_per_archetype(archetype):
+    rows = []
+    for i in range(8):
+        conv = f"t-{archetype}-{i}"
+        rows.append((conv, i, "user", make_page_payload(conv, i, archetype), "page/v1"))
+    batch = _batch_frame(rows)
+    out = extract_batch(batch)
+    assert len(out) == len(rows)
+    for i, (conv, turn_idx, _, payload, _tool) in enumerate(rows):
+        want = extract_turn(payload, "page/v1", turn_idx)
+        _assert_layout_equal(out.iloc[i], want, f"{archetype}[{i}]")
+
+
+def test_mixed_batch_all_tools_order_preserved():
+    rows = []
+    for i in range(60):
+        conv = f"mix-{i % 7}"
+        role, text, tool = make_turn(conv, i)
+        rows.append((conv, i, role, text, tool))
+    # sprinkle nulls and unknown tools
+    rows.append(("mix-null", 60, "user", None, "page/v1"))
+    rows.append(("mix-null", 61, "user", None, "plain"))
+    rows.append(("mix-unknown", 62, "user", "free text", "exotic/v9"))
+    batch = _batch_frame(rows)
+    out = extract_batch(batch)
+    assert len(out) == len(rows)
+    assert list(out["turn_idx"]) == [r[1] for r in rows]
+    for i, (conv, turn_idx, _, text, tool) in enumerate(rows):
+        if tool == "html/v1":
+            want_main = strip_boilerplate(text)["left_column"]
+            assert out.iloc[i]["left_column"] == want_main
+        else:
+            want = extract_turn(text, tool if tool == "page/v1" else "plain", turn_idx)
+            _assert_layout_equal(out.iloc[i], want, f"mixed[{i}] tool={tool}")
+
+
+def test_html_batch_spans_and_labels():
+    payload = make_html_payload("c", 0)
+    res = strip_boilerplate(payload)
+    # spans index into the main text exactly
+    for (s, e) in res["spans"]:
+        assert res["left_column"][s:e] == res["left_column"][s:e].strip()
+    assert int(res["metadata"]["boilerplate_blocks"].strip('"')) >= 1
+    assert res["header"] != ""
+    assert res["footer"] != ""
+    # nav links and the tiny fragment must be stripped
+    assert "tiny" not in res["left_column"]
+
+
+def test_variant_dispatch_vectorized():
+    payload = make_page_payload("vv", 0, "keyword_footer")
+    batch = _batch_frame([("vv", 0, "user", payload, "page/v1")])
+    for variant in ("a002", "a003", "a004"):
+        out = extract_batch(batch.copy(), variant=variant)
+        want = extract_turn(payload, "page/v1", 0, variant=variant)
+        _assert_layout_equal(out.iloc[0], want, f"variant={variant}")

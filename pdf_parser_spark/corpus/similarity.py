@@ -1,0 +1,135 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+* brute-force cosine top-k — the correctness baseline; the query vector is
+  a one-row broadcast side, so the "join" is a broadcast nested loop with
+  no shuffle of the big side.
+* random-hyperplane LSH buckets — the scale path: each vector projects
+  onto P deterministic ±1 hyperplanes (signs derived from md5, so Spark
+  and DuckDB compute identical buckets); ANN search only scans the query's
+  bucket.
+* cosine near-duplicate pairs — embedding-space dedup; at corpus scale the
+  pair generation goes through the LSH buckets (join on bucket), never a
+  full cross join.
+
+All arithmetic is promoted to double before any sum so results are
+bit-stable across engines; scores are rounded to 4dp for oracle hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Left-fold dot product in array order: deterministic summation order, so
+# DuckDB's list-ordered sum matches exactly.
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)")
+_NORM = ("sqrt(aggregate({a}, cast(0.0 as double), "
+         "(acc, v) -> acc + cast(v as double) * cast(v as double)))")
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", F.expr(_NORM.format(a=vec_col)))
+
+
+def cosine(a: str, b: str, norm_a: str, norm_b: str) -> F.Column:
+    return F.expr(_DOT.format(a=a, b=b)) / (F.col(norm_a) * F.col(norm_b))
+
+
+def brute_topk(df: DataFrame, query_id: int = 0, k: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k against the vector with id `query_id`.
+
+    Plan shape: broadcast the single query row; score every vector JVM-side
+    (zip_with/aggregate fold, no Python); rank with a deterministic
+    (score desc, id asc) tie-break. One global top-k = TakeOrdered, no full
+    sort at scale."""
+    base = with_norm(df, vec_col)
+    q = (base.filter(F.col(id_col) == query_id)
+         .select(F.col(vec_col).alias("qvec"), F.col("norm").alias("qnorm")))
+    scored = (
+        base.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(vec_col, "qvec", "norm", "qnorm"), 4).alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def lsh_buckets(df: DataFrame, planes: int = 8, dims: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucket per vector.
+
+    Hyperplane signs are md5-derived: sign(p, d) = +1 iff the first hex
+    char of md5('p<p>d<d>') is in 0..7. Bucket = sum over planes of
+    (projection > 0) << p. Deterministic and engine-portable."""
+    pd_pairs = F.explode(F.sequence(F.lit(0), F.lit(planes - 1))).alias("plane")
+    sign = F.when(
+        F.substring(F.md5(F.concat(F.lit("p"), F.col("plane"), F.lit("d"), F.col("dim"))), 1, 1)
+        .isin(*list("01234567")), F.lit(1.0)).otherwise(F.lit(-1.0))
+    comp = (
+        df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "val"))
+        .select(id_col, "dim", F.col("val").cast("double").alias("val"), pd_pairs)
+        .withColumn("sgn", sign)
+    )
+    proj = (
+        comp.groupBy(id_col, "plane")
+        .agg(F.sum(F.col("val") * F.col("sgn")).alias("proj"))
+    )
+    return (
+        proj.withColumn(
+            "bit",
+            F.expr("case when proj > 0 "
+                   "then shiftleft(cast(1 as bigint), cast(plane as int)) "
+                   "else cast(0 as bigint) end"))
+        .groupBy(id_col)
+        .agg(F.sum("bit").alias("bucket"))
+    )
+
+
+def lsh_topk(df: DataFrame, query_id: int = 0, k: int = 10, planes: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket (scale path: scans
+    ~N/2^planes vectors instead of N)."""
+    buckets = lsh_buckets(df, planes=planes, id_col=id_col, vec_col=vec_col)
+    with_b = df.join(buckets, id_col)
+    qb = (with_b.filter(F.col(id_col) == query_id)
+          .select(F.col("bucket").alias("qbucket")))
+    candidates = with_b.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket")).drop("qbucket")
+    return brute_topk(candidates, query_id=query_id, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     use_lsh: bool = False, planes: int = 8) -> DataFrame:
+    """Embedding near-duplicate pairs (a < b) with cosine >= threshold.
+
+    `use_lsh=True` joins on LSH bucket first (the 100 TB path — candidate
+    recall is tunable via `planes`); the default exact form is the
+    small-scale oracle twin."""
+    base = with_norm(df, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("norm"))
+    if use_lsh:
+        base = base.join(lsh_buckets(df, planes=planes, id_col=id_col, vec_col=vec_col), id_col)
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if use_lsh:
+        join_df = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & cond)
+    else:
+        join_df = a.join(b, cond)
+    return (
+        join_df.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                F.expr(_DOT.format(a=f"a.{vec_col}", b=f"b.{vec_col}"))
+                / (F.col("a.norm") * F.col("b.norm")), 4).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

@@ -1,0 +1,94 @@
+"""Text analysis operators for a training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+These lift the reference's per-block text predicates (keyword scan
+/root/reference/A003_colored_footer.py:199-210, digit test :209, whitespace
+normalization /root/reference/pdf_extractor_protocol.py:186-191) to
+document granularity. Everything is built-in `pyspark.sql.functions`
+expressions — JVM-side, whole-stage-codegen friendly, no Python in the hot
+path — and each has an exact ANSI-SQL twin for the DuckDB oracle
+(see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Small deterministic stopword marker lists for the n-gram/marker language
+# heuristic. Ties break by the fixed language order below.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is", "in"),
+    "es": ("el", "la", "de", "que", "en", "los"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+}
+LANG_ORDER = ("en", "es", "de", "fr")
+
+STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+
+# BPE-ish token classes: letter runs, digit runs, single other-glyphs.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+
+def _marker_count(col, words) -> F.Column:
+    """Count tokens of `col` that are in `words` (split on single spaces)."""
+    lst = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"size(filter(split(lower({col}), ' '), w -> w in ({lst})))"
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker counts with
+    deterministic tie-break by LANG_ORDER; 'und' when no marker hits."""
+    out = df
+    for lang in LANG_ORDER:
+        out = out.withColumn(
+            f"score_{lang}", _marker_count(text_col, LANG_MARKERS[lang])
+        )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_ORDER:  # first language reaching the max wins
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return out.withColumn("pred_lang", pred)
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / digit / stopword-ratio quality features.
+
+    All ratios are exact integer divisions in double, rounded to 4dp so the
+    DuckDB twin hashes identically."""
+    n_chars = F.length(F.col(text_col))
+    tokens = F.split(F.col(text_col), " ")
+    n_tokens = F.size(tokens)
+    n_punct = F.regexp_count(F.col(text_col), F.lit(PUNCT_RE))
+    n_digit = F.regexp_count(F.col(text_col), F.lit(r"[0-9]"))
+    n_stop = _marker_count(text_col, STOPWORDS)
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4).alias("mean_token_len"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n_digit / F.greatest(n_chars, F.lit(1)), 4).alias("digit_ratio"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document."""
+    return df.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).alias("bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 of the lowercased,
+    whitespace-collapsed text (the document-granularity analog of the
+    snapshot normalization F2)."""
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select("doc_id", F.md5(canon).alias("fp"))

@@ -1,0 +1,82 @@
+"""Question-span extraction (F1/D8/O6): layouts -> exploded question rows.
+
+The reference's two-phase question pipeline
+(/root/reference/A004_Vision_2025.py:369-407): per page, run the regex span
+extractor over the left column then the right column (reading order,
+:386-392), flatten, then sort globally by question number (:404-405 — the
+one true cross-page shuffle in the reference's semantics).
+
+``re.finditer`` is required because the span *offsets* are part of the
+output contract (A004:346-356) and no built-in Spark regex function yields
+match positions — so this is a legitimate Pandas-UDF boundary. The UDF is
+Arrow-batched and returns one exploded row per question; everything around
+it (explode ordering, the global sort) is relational.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Pattern verbatim from /root/reference/A004_Vision_2025.py:341.
+QUESTION_PATTERN = re.compile(r"(?:^|\n)\s*(?:Q\.?\s*)?(\d+)[\.\)]\s+", re.MULTILINE)
+
+QUESTIONS_SCHEMA = (
+    "conv_id string, turn_idx long, page_number long, question_number long, "
+    "question_text string, col_side string, start_offset long, end_offset long"
+)
+
+
+def _spans_for_column(text: str) -> list:
+    """[(qnum, stripped_text, start, end)] per A004:346-356."""
+    if not text:
+        return []
+    matches = list(QUESTION_PATTERN.finditer(text))
+    out = []
+    for i, m in enumerate(matches):
+        start = m.start()
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
+        out.append((int(m.group(1)), text[start:end].strip(), start, end))
+    return out
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        recs = []
+        for conv_id, turn_idx, page_number, left, right in pdf[
+            ["conv_id", "turn_idx", "page_number", "left_column", "right_column"]
+        ].itertuples(index=False):
+            for col_side, text in (("left", left), ("right", right)):
+                for qnum, qtext, start, end in _spans_for_column(text):
+                    recs.append(
+                        (conv_id, int(turn_idx), int(page_number), qnum,
+                         qtext, col_side, start, end)
+                    )
+        yield pd.DataFrame(
+            recs,
+            columns=["conv_id", "turn_idx", "page_number", "question_number",
+                     "question_text", "col_side", "start_offset", "end_offset"],
+        )
+
+
+def extract_questions(layouts: DataFrame) -> DataFrame:
+    """Layouts -> question rows, globally ordered by question number
+    (A004:404-405). Left-column spans precede right-column spans within a
+    turn by construction (emit order), and the final orderBy is the global
+    shuffle the reference semantics demand."""
+    spans = layouts.select(
+        "conv_id", "turn_idx", "page_number", "left_column", "right_column"
+    ).mapInPandas(_extract_batches, schema=QUESTIONS_SCHEMA)
+    return spans.orderBy("question_number", "conv_id", "turn_idx", "col_side")
+
+
+def questions_per_page(questions: DataFrame) -> DataFrame:
+    """G3 reporting aggregate (A004:490-497)."""
+    return questions.groupBy("conv_id", "page_number").agg(
+        F.count(F.lit(1)).alias("n_questions")
+    )

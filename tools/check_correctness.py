@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its
+oracle_sql() twin on DuckDB (views pre-registered for the sf tables),
+then compares row count, column names, and an order-insensitive value
+hash (columns sorted by name, rows sorted, values canonicalized).
+
+Usage: python tools/check_correctness.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def canon_frame(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            df[c] = s.map(
+                lambda v: v.tolist() if isinstance(v, np.ndarray) else v).astype(str)
+        elif np.issubdtype(s.dtype, np.floating):
+            df[c] = s.round(6).map(lambda v: "nan" if pd.isna(v) else f"{v:.6f}")
+        elif np.issubdtype(s.dtype, np.integer):
+            df[c] = s.astype("int64").astype(str)
+        else:
+            df[c] = s.astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    canon = canon_frame(df)
+    payload = canon.to_csv(index=False).encode()
+    return hashlib.md5(payload).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from pdf_parser_spark.session import get_spark
+
+    spark = get_spark("check-correctness", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"weak  {name}: rows={len(got)} ({time.monotonic()-t0:.1f}s, no oracle)")
+            continue
+        try:
+            want = con.sql(sql).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {str(exc)[:200]}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(got) != len(want):
+            problems.append(f"rows {len(got)} != {len(want)}")
+        if sorted(got.columns) != sorted(want.columns):
+            problems.append(f"cols {sorted(got.columns)} != {sorted(want.columns)}")
+        elif value_hash(got) != value_hash(want):
+            problems.append("value-hash mismatch")
+            a, b = canon_frame(got), canon_frame(want)
+            if len(a) == len(b):
+                for c in a.columns:
+                    bad = (a[c] != b[c])
+                    if bad.any():
+                        i = int(np.argmax(bad.to_numpy()))
+                        problems.append(
+                            f"first diff col={c} row={i}: "
+                            f"spark={a[c].iloc[i]!r} duck={b[c].iloc[i]!r}")
+                        break
+        dt = time.monotonic() - t0
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} ({dt:.1f}s)")
+            n_fail += 1
+        else:
+            print(f"pass  {name}: rows={len(got)} ({dt:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,141 @@
+"""Corpus-op tests: dedup and similarity operators against tiny hand-built
+frames with independently computed expected values."""
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.corpus import dedup as D
+from pdf_parser_spark.corpus import similarity as S
+from pdf_parser_spark.corpus import textstats as TS
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "THE  Quick   brown fox jumps over the lazy dog"),       # canonical dup of 0
+    (3, "the quick brown fox jumps over the sleepy dog"),        # near dup
+    (4, "completely different text about spark dataframes here"),
+    (5, "el rapido zorro marron salta sobre el perro que duerme y el gato"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text, n=3):
+    toks = " ".join(text.lower().split()).split(" ")
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup(docs):
+    out = {r.keep_id: r.dup_count for r in D.exact_dedup(docs).collect()}
+    assert out[0] == 3  # docs 0,1,2 collapse
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_shingles_match_python(docs):
+    got = (
+        D.shingles(docs)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        .toPandas().set_index("doc_id")["n"].to_dict()
+    )
+    for doc_id, text in DOCS:
+        assert got[doc_id] == len(_py_shingles(text)), doc_id
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    a, b = _py_shingles(DOCS[0][1]), _py_shingles(DOCS[3][1])
+    want = round(len(a & b) / len(a | b), 4)
+    assert pairs[(0, 3)] == want
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs).collect()}
+    # identical shingle sets -> identical signatures -> must collide
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+    assert (0, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_exact_dups_distance_zero(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_pairs(docs).collect()}
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0
+
+
+def test_simhash_signature_matches_python(docs):
+    sigs = {r.doc_id: r.simhash for r in D.simhash_signatures(docs).collect()}
+    for doc_id, text in DOCS[:2]:
+        toks = sorted(set(" ".join(text.lower().split()).split(" ")))
+        hashes = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        sig = 0
+        for b in range(32):
+            nset = sum((h >> b) & 1 for h in hashes)
+            if nset * 2 > len(hashes):
+                sig |= 1 << b
+        assert sigs[doc_id] == sig, doc_id
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [-1.0, 0.0, 0.0, 0.0]),
+    (4, [0.7, 0.7, 0.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_brute_topk(vecs):
+    got = [(r.vec_id, r.score) for r in S.brute_topk(vecs, query_id=0, k=3).collect()]
+    want = sorted(
+        ((vid, round(_cos(v, VECS[0][1]), 4)) for vid, v in VECS if vid != 0),
+        key=lambda t: (-t[1], t[0]))[:3]
+    assert got == want
+
+
+def test_cosine_dup_pairs_exact(vecs):
+    pairs = {(r.id_a, r.id_b): r.score
+             for r in S.cosine_dup_pairs(vecs, threshold=0.9).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == round(_cos(VECS[0][1], VECS[1][1]), 4)
+    assert (0, 3) not in pairs
+
+
+def test_lsh_buckets_deterministic_and_partitioning(vecs):
+    b1 = {r.vec_id: r.bucket for r in S.lsh_buckets(vecs, dims=4).collect()}
+    b2 = {r.vec_id: r.bucket for r in S.lsh_buckets(vecs, dims=4).collect()}
+    assert b1 == b2  # deterministic across runs
+    # opposite vectors land in complementary buckets (all 8 plane bits flip)
+    assert b1[0] ^ b1[3] == 255
+
+
+def test_lang_id_and_stats(spark, docs):
+    langs = {r.doc_id: r.pred_lang for r in TS.lang_id(docs).collect()}
+    assert langs[0] == "en" and langs[5] == "es"
+    q = {r.doc_id: r for r in TS.quality_scores(docs).collect()}
+    assert q[0].n_tokens == 9
+    assert q[0].stopword_ratio == round(2 / 9, 4)  # 'the' twice
+    t = {r.doc_id: r for r in TS.token_counts(docs).collect()}
+    assert t[0].ws_tokens == 9 and t[0].bpe_tokens == 9
+    fps = {r.doc_id: r.fp for r in TS.fingerprint(docs).collect()}
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[0] == hashlib.md5(
+        " ".join(DOCS[0][1].lower().split()).encode()).hexdigest()

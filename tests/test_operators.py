@@ -1,0 +1,136 @@
+"""Unit tests for the post-extraction operators: question spans, markdown
+sinks, conversation reassembly, manifest/resume, and corpus ops."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.goldens import ensure_goldens, markdown_c001, markdown_c002
+from pdf_parser_spark.operators.extract import extract_layouts
+from pdf_parser_spark.operators.manifest import (
+    committed_buckets,
+    lineage_metrics,
+    read_output,
+    run_with_manifest,
+)
+from pdf_parser_spark.operators.markdown import to_markdown
+from pdf_parser_spark.operators.questions import extract_questions, questions_per_page
+from pdf_parser_spark.operators.reassemble import reassemble_conversations
+
+SF = 0.001
+
+
+@pytest.fixture(scope="module")
+def gdir():
+    return ensure_goldens(SF)
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, transcripts_sf0001):
+    df = extract_layouts(spark.read.parquet(transcripts_sf0001))
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def test_question_spans_match_golden(spark, transcripts_sf0001, gdir):
+    src = spark.read.parquet(transcripts_sf0001).filter(F.col("tool") == "page/v1")
+    got = (
+        extract_questions(extract_layouts(src, variant="a004"))
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx", "col_side", "start_offset"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.read_parquet(os.path.join(gdir, "questions.parquet"))
+        .sort_values(["conv_id", "turn_idx", "col_side", "start_offset"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for col in ["question_number", "question_text", "col_side",
+                "start_offset", "end_offset", "page_number"]:
+        assert list(got[col]) == list(want[col]), f"column {col} mismatch"
+
+
+def test_questions_global_order(spark, transcripts_sf0001):
+    src = spark.read.parquet(transcripts_sf0001).filter(F.col("tool") == "page/v1")
+    qdf = extract_questions(extract_layouts(src, variant="a004"))
+    nums = [r.question_number for r in qdf.select("question_number").collect()]
+    assert nums == sorted(nums)  # O6: the global sort (A004:404-405)
+    per_page = questions_per_page(qdf)
+    assert per_page.agg(F.sum("n_questions")).first()[0] == len(nums)
+
+
+def test_markdown_matches_python_twin(layouts):
+    c1 = to_markdown(layouts, "c001").select("conv_id", "turn_idx", "markdown").toPandas()
+    c2 = to_markdown(layouts, "c002").select("conv_id", "turn_idx", "markdown").toPandas()
+    base = layouts.select("conv_id", "turn_idx", "page_number", "header",
+                          "footer", "left_column", "right_column").toPandas()
+    base = base.set_index(["conv_id", "turn_idx"])
+    for frame, twin in ((c1, markdown_c001), (c2, markdown_c002)):
+        for conv_id, turn_idx, md in frame[["conv_id", "turn_idx", "markdown"]].itertuples(index=False):
+            row = base.loc[(conv_id, turn_idx)]
+            want = twin(row["page_number"], row["header"], row["footer"],
+                        row["left_column"], row["right_column"])
+            assert md == want, (conv_id, turn_idx)
+
+
+def test_reassembly_order_and_content(layouts):
+    # block_size=4 forces multi-block merges even on short conversations.
+    got = reassemble_conversations(layouts, text_col="left_column",
+                                   block_size=4).toPandas()
+    src = (
+        layouts.select("conv_id", "turn_idx", "left_column")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+    )
+    want = src.groupby("conv_id")["left_column"].agg("\n\n".join)
+    got = got.set_index("conv_id")
+    assert len(got) == len(want)
+    for conv_id, doc in want.items():
+        assert got.loc[conv_id, "doc"] == doc, conv_id
+    n_turns = src.groupby("conv_id").size()
+    for conv_id, n in n_turns.items():
+        assert got.loc[conv_id, "n_turns"] == n
+
+
+def test_manifest_resume_exact(spark, transcripts_sf0001, tmp_path):
+    out_dir = str(tmp_path / "layout_out")
+    src = spark.read.parquet(transcripts_sf0001)
+    n_src = src.count()
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_with_manifest(spark, src, out_dir, n_buckets=8, fail_after=3)
+    assert len(committed_buckets(os.path.join(out_dir, "_manifests"))) == 3
+
+    res = run_with_manifest(spark, src, out_dir, n_buckets=8)
+    assert sorted(res["skipped"]) == sorted(
+        set(range(8)) - set(res["processed"]))
+    assert len(res["manifests"]) == 8
+
+    out = read_output(spark, out_dir)
+    assert out.count() == n_src  # no missing turns
+    dups = (
+        out.groupBy("conv_id", "turn_idx").count()
+        .filter(F.col("count") > 1).count())
+    assert dups == 0  # no duplicated turns
+
+    metrics = lineage_metrics(spark, out_dir).toPandas()
+    assert len(metrics) == 8
+    assert metrics["rows_out"].sum() == n_src
+    assert (metrics["turns_per_sec"] > 0).all()
+    assert set(metrics["status"]) == {"committed"}
+
+
+def test_lineage_error_rows_accounted(spark, transcripts_sf0001, tmp_path):
+    out_dir = str(tmp_path / "lin_out")
+    src = spark.read.parquet(transcripts_sf0001)
+    run_with_manifest(spark, src, out_dir, n_buckets=4)
+    metrics = lineage_metrics(spark, out_dir).toPandas()
+    out = read_output(spark, out_dir)
+    n_err = out.filter(F.map_contains_key("metadata", "error")).count()
+    assert metrics["error_rows"].sum() == n_err
+    assert n_err > 0  # the fixture includes malformed payloads

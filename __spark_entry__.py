@@ -54,7 +54,13 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(transcripts_path(sf_from_dir(sf_dir)))
+    # The synthetic dataset is sharded, so the scan fans out on its own;
+    # the guard only round-robins a degenerate single-split input
+    # (extraction is turn-local, so repartitioning is semantics-free).
+    from pdf_parser_spark.session import ensure_min_partitions
+
+    df = spark.read.parquet(transcripts_path(sf_from_dir(sf_dir)))
+    return ensure_min_partitions(df, spark.sparkContext.defaultParallelism)
 
 
 def _longify(df: DataFrame) -> DataFrame:

@@ -1,0 +1,96 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+
+The headline metric is extraction throughput (turns/sec) over the
+synthetic transcript table at the given scale factor — the
+BASELINE.json:metric. Each query is forced with a full materialization
+(count / aggregate), never collect-to-driver of bulk data.
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+tools/scaling_bench.py and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pdf_parser_spark.corpus import dedup as D  # noqa: E402
+from pdf_parser_spark.corpus import similarity as S  # noqa: E402
+from pdf_parser_spark.corpus import textstats as TS  # noqa: E402
+from pdf_parser_spark.generator import sf_from_dir, transcripts_path  # noqa: E402
+from pdf_parser_spark.operators.extract import extract_layouts  # noqa: E402
+from pdf_parser_spark.operators.markdown import to_markdown  # noqa: E402
+from pdf_parser_spark.operators.questions import extract_questions  # noqa: E402
+from pdf_parser_spark.operators.reassemble import reassemble_conversations  # noqa: E402
+from pdf_parser_spark.operators.spans import boilerplate_spans  # noqa: E402
+from pdf_parser_spark.session import ensure_min_partitions, get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_from_dir(sf_dir)
+    tpath = transcripts_path(sf)
+
+    spark = get_spark("pdf-parser-bench", cpus=cpus)
+    n_cores = int(cpus) if str(cpus).isdigit() else 32
+    transcripts = ensure_min_partitions(spark.read.parquet(tpath), n_cores * 2)
+    n_turns = transcripts.count()
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def force_count(df):
+        return df.count()
+
+    benches = {
+        "extract_a003": lambda: force_count(extract_layouts(transcripts)),
+        "extract_questions": lambda: force_count(
+            extract_questions(extract_layouts(
+                transcripts.filter(F.col("tool") == "page/v1"), variant="a004"))),
+        "html_spans": lambda: force_count(boilerplate_spans(transcripts)),
+        "markdown_c001": lambda: to_markdown(extract_layouts(transcripts), "c001")
+        .agg(F.sum(F.length("markdown"))).first()[0],
+        "conv_reassembly": lambda: extract_layouts(transcripts)
+        .transform(lambda df: reassemble_conversations(df))
+        .agg(F.sum(F.length("doc"))).first()[0],
+        "dedup_minhash_lsh": lambda: force_count(D.minhash_lsh_pairs(docs)),
+        "dedup_simhash": lambda: force_count(D.simhash_pairs(docs)),
+        "dedup_exact": lambda: force_count(D.exact_dedup(docs)),
+        "text_quality": lambda: TS.quality_scores(docs)
+        .agg(F.sum("n_tokens")).first()[0],
+        "ann_lsh_topk": lambda: force_count(S.lsh_topk(embs, k=10)),
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in benches.items():
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    extract_sec = timings["extract_a003"]
+    result = {
+        "metric": "extraction+corpus suite wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_turns": n_turns,
+        "cpus": int(cpus),
+        "turns_per_sec": round(n_turns / extract_sec, 1),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

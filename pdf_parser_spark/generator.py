@@ -254,11 +254,15 @@ def conv_turn_counts(sf: float) -> list:
     return out
 
 
-def generate_transcripts(sf: float, out_path: str) -> str:
-    """Write the transcripts parquet for a scale factor; idempotent."""
-    if os.path.exists(out_path):
-        return out_path
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+def generate_transcripts(sf: float, out_dir: str) -> str:
+    """Write the transcripts parquet dataset for a scale factor; idempotent.
+
+    The dataset is sharded into multiple files (contiguous row ranges, so
+    turn order inside a conversation is preserved within shards) so the
+    Spark scan parallelizes without a repartition shuffle — the sandbox
+    analog of a cluster table's many splits."""
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
 
     conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
     for conv_id, n_turns in conv_turn_counts(sf):
@@ -282,16 +286,31 @@ def generate_transcripts(sf: float, out_path: str) -> str:
             "ts": pa.array(tss, pa.timestamp("us")),
         }
     )
-    tmp = out_path + ".tmp"
-    pq.write_table(table, tmp, row_group_size=16384)
-    os.replace(tmp, out_path)
-    return out_path
+    n = table.num_rows
+    n_shards = max(8, min(64, n // 2000)) if n else 1
+    chunk = -(-n // n_shards)
+    tmp = out_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    for i in range(n_shards):
+        part = table.slice(i * chunk, chunk)
+        if part.num_rows == 0:
+            break
+        pq.write_table(part, os.path.join(tmp, f"part-{i:05d}.parquet"),
+                       row_group_size=4096)
+    with open(os.path.join(tmp, "_SUCCESS"), "w", encoding="utf-8") as f:
+        f.write("")
+    if os.path.isdir(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    return out_dir
 
 
 def transcripts_path(sf: float, base_dir: str = "/root/repo/data/transcripts") -> str:
-    """Canonical cached location; generates on first use."""
+    """Canonical cached dataset directory; generates on first use."""
     name = f"sf{sf:g}"
-    return generate_transcripts(sf, os.path.join(base_dir, name, "transcripts.parquet"))
+    return generate_transcripts(sf, os.path.join(base_dir, name, "transcripts_ds"))
 
 
 def sf_from_dir(sf_dir: str) -> float:

@@ -98,6 +98,26 @@ def _error_frame(rids: np.ndarray, turn_idx: pd.Series, messages) -> pd.DataFram
     )
 
 
+_GROUP_SENTINEL = "\x01"
+
+
+def _segmented_join(texts: np.ndarray, seps: np.ndarray) -> list:
+    """Concatenate ``seps[i] + texts[i]`` over the whole array in one C-level
+    join, then split on the group sentinel — one output string per group.
+
+    This replaces pandas ``groupby().agg(str.join)``, whose pure-Python
+    per-group loop dominated profiles AND caused negative core-scaling
+    (PyObject allocator churn saturates memory bandwidth when 32 workers
+    run it concurrently). Cost here is O(total chars), allocation-light.
+    The caller guarantees seps[0] == "" and marks group starts with
+    ``_GROUP_SENTINEL``.
+    """
+    out = [None] * (2 * len(texts))
+    out[0::2] = seps.tolist()
+    out[1::2] = texts.tolist()
+    return "".join(out).split(_GROUP_SENTINEL)
+
+
 def _reassemble_regions(blocks: pd.DataFrame) -> pd.DataFrame:
     """O1+O2+O3 vectorized: reading-order text per (rid, region).
 
@@ -119,16 +139,32 @@ def _reassemble_regions(blocks: pd.DataFrame) -> pd.DataFrame:
         new_group[1:] = ~(same & (np.abs(cy[1:] - cy[:-1]) < 10.0))
     b["line_id"] = np.cumsum(new_group)
     b = b.sort_values(["rid", "region", "line_id", "x0"], kind="stable")
-    lines = (
-        b.groupby(["rid", "region", "line_id"], sort=False)["text"]
-        .agg(" ".join)
-        .reset_index()
-    )
-    return (
-        lines.groupby(["rid", "region"], sort=False)["text"]
-        .agg("\n".join)
-        .reset_index()
-    )
+
+    rid2 = b["rid"].to_numpy()
+    reg2 = b["region"].to_numpy()
+    line2 = b["line_id"].to_numpy()
+    texts = b["text"].to_numpy()
+    n = len(b)
+    new_region = np.ones(n, dtype=bool)
+    new_line = np.ones(n, dtype=bool)
+    if n > 1:
+        new_region[1:] = (rid2[1:] != rid2[:-1]) | (reg2[1:] != reg2[:-1])
+        new_line[1:] = line2[1:] != line2[:-1]
+    if b["text"].str.contains(_GROUP_SENTINEL, regex=False).any():
+        # Sentinel collision (payload text containing \\x01): take the slow
+        # exact path rather than corrupt output.
+        lines = (
+            b.groupby(["rid", "region", "line_id"], sort=False)["text"]
+            .agg(" ".join).reset_index())
+        return (
+            lines.groupby(["rid", "region"], sort=False)["text"]
+            .agg("\n".join).reset_index())
+    seps = np.where(new_region, _GROUP_SENTINEL, np.where(new_line, "\n", " "))
+    seps[0] = ""
+    region_texts = _segmented_join(texts, seps)
+    starts = np.flatnonzero(new_region)
+    return pd.DataFrame(
+        {"rid": rid2[starts], "region": reg2[starts], "text": region_texts})
 
 
 def _grid_separator(x0s: np.ndarray, x1s: np.ndarray, width: float) -> float:
@@ -272,8 +308,16 @@ def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
             x1=("x1", "max"),
             y1=("y1", "max"),
             font_size=("size", "max"),
-            text=("text", "".join),
         )
+        # G1 text concat via one C-level join+split (see _segmented_join);
+        # fall back to the per-group python join on sentinel collision.
+        texts_arr = sp["text"].to_numpy()
+        if sp["text"].str.contains(_GROUP_SENTINEL, regex=False).any():
+            blocks["text"] = sp.groupby("grp", sort=False)["text"].agg("".join)
+        else:
+            seps = np.where(new_grp, _GROUP_SENTINEL, "")
+            seps[0] = ""
+            blocks["text"] = _segmented_join(texts_arr, seps)
         blocks["font_name"] = font_nonempty.groupby(sp["grp"]).first()
         blocks["font_name"] = blocks["font_name"].fillna("")
         blocks["text"] = blocks["text"].str.strip()
@@ -444,18 +488,55 @@ def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
     return pd.concat(out_parts, ignore_index=True)
 
 
+_PAGE_RECT_JSON = json.dumps([0.0, 0.0, DEFAULT_PAGE_W, DEFAULT_PAGE_H])
+_META_PLAIN_BLOCK = {
+    "total_text_blocks": "1", "header_blocks": "0", "footer_blocks": "0",
+    "left_column_blocks": "0", "right_column_blocks": "1",
+    "vertical_lines_detected": "0", "colored_footer_regions": "0",
+    "has_footer": "false", "page_rect": _PAGE_RECT_JSON,
+}
+_META_PLAIN_EMPTY = {
+    "total_text_blocks": "0", "header_blocks": "0", "footer_blocks": "0",
+    "left_column_blocks": "0", "right_column_blocks": "0",
+    "vertical_lines_detected": "0", "colored_footer_regions": "0",
+    "has_footer": "false", "page_rect": _PAGE_RECT_JSON,
+}
+_META_NULL_PAYLOAD = {"error": json.dumps("null payload")}
+
+
 def _extract_plain_rows(rows: pd.DataFrame) -> pd.DataFrame:
     """tool='plain' (and unknown tools): the reference's get_text() fallback
     semantics — one whole-page block on a default 612x792 page
     (A003:94-108). Note the faithful quirk: the block's center_x equals the
     default separator w/2, and the classifier's strict `<` routes the text
-    to right_column (A003:239-242)."""
+    to right_column (A003:239-242). Fully vectorized; the three possible
+    metadata dicts are shared constants (read-only downstream)."""
     if rows.empty:
         return _empty_layout_frame()
-    out = []
-    for rid, turn_idx, text in rows[["rid", "turn_idx", "text"]].itertuples(index=False):
-        out.append((rid, extract_turn(text, "plain", int(turn_idx), "a003")))
-    return _rows_from_oracle(out)
+    n = len(rows)
+    txt = rows["text"]
+    is_null = txt.isna().to_numpy()
+    stripped = txt.fillna("").str.strip()
+    has_block = (~is_null) & (stripped != "").to_numpy()
+    meta = np.empty(n, dtype=object)
+    meta[:] = _META_PLAIN_EMPTY
+    meta[has_block] = _META_PLAIN_BLOCK
+    meta[is_null] = _META_NULL_PAYLOAD
+    return pd.DataFrame(
+        {
+            "rid": rows["rid"].to_numpy(),
+            "page_number": rows["turn_idx"].to_numpy() + 1,
+            "header": [""] * n,
+            "footer": [""] * n,
+            "left_column": [""] * n,
+            "right_column": np.where(has_block, stripped, ""),
+            "page_width": np.where(is_null, 0.0, DEFAULT_PAGE_W),
+            "page_height": np.where(is_null, 0.0, DEFAULT_PAGE_H),
+            "column_separator_position": np.where(
+                is_null, np.nan, DEFAULT_PAGE_W / 2),
+            "metadata": meta,
+        }
+    )
 
 
 def _rows_from_oracle(pairs) -> pd.DataFrame:

@@ -72,6 +72,13 @@ def extract_questions(layouts: DataFrame) -> DataFrame:
     spans = layouts.select(
         "conv_id", "turn_idx", "page_number", "left_column", "right_column"
     ).mapInPandas(_extract_batches, schema=QUESTIONS_SCHEMA)
+    # A global sort samples its child to compute range boundaries, which
+    # would re-run the whole UDF chain a second time. The round-robin
+    # exchange below materializes the spans into shuffle files once; the
+    # sort's sampling pass then reads those files instead of recomputing
+    # the extraction.
+    sc = layouts.sparkSession.sparkContext
+    spans = spans.repartition(sc.defaultParallelism * 2)
     return spans.orderBy("question_number", "conv_id", "turn_idx", "col_side")
 
 

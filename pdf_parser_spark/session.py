@@ -25,11 +25,33 @@ def get_spark(app: str = "pdf-parser-spark", cpus: str | None = None) -> SparkSe
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Split sizing: the cluster default is 128 MiB, but the sandbox
+        # fixtures are a few MiB total — size splits so a small sharded
+        # dataset still fans out across every core. Override via env at
+        # real scale.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "4194304"))
+        .config("spark.sql.files.openCostInBytes", "262144")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Long single-JVM sessions accumulate shuffle state whose cleanup
+        # piggybacks on driver GC; force it periodically so back-to-back
+        # jobs don't degrade (cluster deployments get this from executor
+        # turnover instead).
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
+
+
+def ensure_min_partitions(df, min_parts: int):
+    """Fan a DataFrame out to at least `min_parts` partitions.
+
+    No-op when the scan already yields enough splits (the normal case on a
+    cluster, and locally now that fixtures are sharded datasets); only a
+    tiny single-file input pays the round-robin shuffle."""
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    return df.repartition(min_parts)

@@ -1,0 +1,67 @@
+"""Streaming extraction pipeline + watermarked windowed aggregates.
+
+``stream_extract_layouts`` is the streaming form of EP1: new transcript
+files appearing under a directory are extracted incrementally and appended
+to a parquet sink. Exactly-once delivery comes from Structured Streaming's
+checkpoint + file-sink transaction log — the engine-level counterpart of
+the batch path's per-bucket manifests (operators/manifest.py); both exist
+because the north rule demands resumable ingestion at either cadence.
+
+``windowed_turn_counts`` demonstrates watermark-bounded late-data handling
+(the stream analog of G3's per-page counts): tumbling-window turn counts
+per tool with a configurable lateness bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators.extract import extract_layouts
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def read_transcript_stream(spark: SparkSession, src_dir: str,
+                           max_files_per_trigger: int = 8) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def stream_extract_layouts(spark: SparkSession, src_dir: str, out_dir: str,
+                           checkpoint_dir: str, variant: str = "a003",
+                           available_now: bool = True):
+    """Incrementally extract layouts from a growing transcript directory.
+
+    Returns the started StreamingQuery. ``available_now=True`` drains the
+    current backlog and stops — the batch-catchup trigger; long-running
+    deployments drop it for continuous micro-batches."""
+    stream = read_transcript_stream(spark, src_dir)
+    layouts = extract_layouts(stream, variant=variant)
+    writer = (
+        layouts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_turn_counts(stream: DataFrame, window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window turn counts per tool (late data beyond
+    the watermark is dropped; state is bounded)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "tool")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(F.col("w.start").alias("window_start"), "tool", "n_turns")
+    )

@@ -1,0 +1,132 @@
+"""Tests for page selection (P7), snapshot normalization, extractor
+comparison (D4/D6), and the streaming pipeline."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators.compare import compare_extractors, get_variant
+from pdf_parser_spark.plans.normalize import normalize_layouts
+from pdf_parser_spark.plans.pages import PageRange, parse_pages_argument, select_turns
+
+
+# ---- P7 parse_pages_argument: cases mirror the reference's unit tests
+# (/root/reference/tests/test_pdf_layouts.py:41-88) -----------------------
+
+def test_parse_single_int():
+    assert parse_pages_argument(1) == [1]
+    assert parse_pages_argument(5) == [5]
+
+
+def test_parse_list_dedup_sorted():
+    assert parse_pages_argument([3, 1, 3, 2]) == [1, 2, 3]
+
+
+def test_parse_page_range():
+    assert parse_pages_argument(PageRange(2, 4)) == [2, 3, 4]
+
+
+def test_parse_string_forms():
+    assert parse_pages_argument("7") == [7]
+    assert parse_pages_argument("1-5") == [1, 2, 3, 4, 5]
+
+
+@pytest.mark.parametrize("bad", [0, -1, "5-1", "invalid", "0-3", None, 1.5])
+def test_parse_invalid(bad):
+    with pytest.raises(ValueError):
+        parse_pages_argument(bad)
+
+
+def test_select_turns_pushdown(spark, transcripts_sf0001):
+    df = spark.read.parquet(transcripts_sf0001)
+    got = select_turns(df, "1-3")
+    assert set(r.turn_idx for r in got.select("turn_idx").distinct().collect()) == {0, 1, 2}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" not in plan or "turn_idx" in plan
+    sparse = select_turns(df, [1, 5])
+    assert set(r.turn_idx for r in sparse.select("turn_idx").distinct().collect()) == {0, 4}
+
+
+# ---- D4/D6 ---------------------------------------------------------------
+
+def test_variant_registry():
+    assert get_variant(None) == "a003"
+    assert get_variant("a002") == "a002"
+    with pytest.raises(KeyError):
+        get_variant("a999")
+
+
+def test_compare_extractors(spark, transcripts_sf0001):
+    src = spark.read.parquet(transcripts_sf0001).filter(
+        (F.col("tool") == "page/v1") & (F.col("turn_idx") < 3))
+    out = compare_extractors(src)
+    counts = {r.extractor_name: r["count"]
+              for r in out.groupBy("extractor_name").count().collect()}
+    n = src.count()
+    assert counts == {"a002": n, "a003": n, "a004": n}
+
+
+# ---- normalization -------------------------------------------------------
+
+def test_normalize_layouts(spark):
+    rows = [
+        ("c", 0, " a \n  b  ", 612.3456, None, {"z": "1", "a": "2"}),
+        ("c", 1, "", 0.0, 306.12345, {"k": "v"}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, left_column string, page_width double, "
+        "column_separator_position double, metadata map<string,string>")
+    out = {r.turn_idx: r for r in normalize_layouts(df).collect()}
+    assert out[0].left_column == "a\nb"
+    assert out[0].page_width == 612.35
+    assert out[0].column_separator_position is None
+    assert list(out[0].metadata.keys()) == ["a", "z"]
+    assert out[1].left_column == ""
+    assert out[1].page_width == 0.0
+    assert out[1].column_separator_position == 306.12
+
+
+# ---- streaming -----------------------------------------------------------
+
+def test_stream_extract_and_resume(spark, transcripts_sf0001, tmp_path):
+    from pdf_parser_spark.streaming.pipeline import stream_extract_layouts
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_extract_layouts(spark, transcripts_sf0001, out_dir, ckpt)
+    q.awaitTermination(300)
+    n_src = spark.read.parquet(transcripts_sf0001).count()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n_src
+    # re-trigger on the same checkpoint: nothing new -> no duplicates
+    q2 = stream_extract_layouts(spark, transcripts_sf0001, out_dir, ckpt)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out_dir).count() == n_src
+    dups = (spark.read.parquet(out_dir).groupBy("conv_id", "turn_idx")
+            .count().filter(F.col("count") > 1).count())
+    assert dups == 0
+
+
+def test_windowed_turn_counts_matches_batch(spark, transcripts_sf0001, tmp_path):
+    from pdf_parser_spark.streaming.pipeline import (
+        read_transcript_stream,
+        windowed_turn_counts,
+    )
+
+    stream = read_transcript_stream(spark, transcripts_sf0001)
+    agg = windowed_turn_counts(stream)
+    q = (agg.writeStream.format("memory").queryName("wtc")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r.window_start, r.tool): r.n_turns
+           for r in spark.sql("select * from wtc").collect()}
+    batch = spark.read.parquet(transcripts_sf0001)
+    want = {
+        (r.ws, r.tool): r.n
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "tool", "n").collect()
+    }
+    assert got == want

@@ -233,6 +233,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["layout_error_lineage"] = q_lineage
 
+    def q_page_select(spark, sf_dir):
+        from pdf_parser_spark.plans.pages import select_turns
+
+        src = select_turns(_transcripts(spark, sf_dir), "2-4")
+        return _longify(
+            extract_layouts(src).select(
+                "conv_id", "turn_idx", "page_number", "left_column",
+                F.map_contains_key("metadata", "error").cast("long").alias("is_error"))
+        )
+
+    q["page_select_extract"] = q_page_select
+
+    def q_compare(spark, sf_dir):
+        from pdf_parser_spark.operators.compare import compare_extractors
+
+        src = _transcripts(spark, sf_dir).filter(F.col("tool") == "page/v1")
+        return compare_extractors(src).groupBy("extractor_name").agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("left_column")).alias("left_chars"),
+            F.sum(F.length("footer")).alias("footer_chars"),
+        )
+
+    q["extractor_comparison"] = q_compare
+
     # --- relational operator parity -------------------------------------
     def q_region_classify(spark, sf_dir):
         return (
@@ -493,6 +517,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_turns
             FROM read_parquet('{g("layouts")}')
             GROUP BY conv_id
+        """,
+        "page_select_extract": f"""
+            SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+                   page_number::BIGINT AS page_number, left_column,
+                   is_error::BIGINT AS is_error
+            FROM read_parquet('{g("layouts")}')
+            WHERE turn_idx BETWEEN 1 AND 3
+        """,
+        "extractor_comparison": f"""
+            SELECT 'a002' AS extractor_name, count(*)::BIGINT AS n_turns,
+                   sum(length(left_column))::BIGINT AS left_chars,
+                   sum(length(footer))::BIGINT AS footer_chars
+            FROM read_parquet('{g("layouts_a002")}')
+            UNION ALL
+            SELECT 'a003', count(*)::BIGINT,
+                   sum(length(left_column))::BIGINT,
+                   sum(length(footer))::BIGINT
+            FROM read_parquet('{g("layouts")}')
+            WHERE conv_id || ':' || turn_idx IN (
+                      SELECT conv_id || ':' || turn_idx
+                      FROM read_parquet('{g("layouts_a002")}'))
+            UNION ALL
+            SELECT 'a004', count(*)::BIGINT,
+                   sum(length(left_column))::BIGINT,
+                   sum(length(footer))::BIGINT
+            FROM read_parquet('{g("layouts_a004")}')
         """,
         "layout_error_lineage": f"""
             SELECT is_error::BIGINT AS is_error, count(*)::BIGINT AS n_turns

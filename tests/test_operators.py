@@ -134,3 +134,26 @@ def test_lineage_error_rows_accounted(spark, transcripts_sf0001, tmp_path):
     n_err = out.filter(F.map_contains_key("metadata", "error")).count()
     assert metrics["error_rows"].sum() == n_err
     assert n_err > 0  # the fixture includes malformed payloads
+
+
+def test_json_sink_roundtrip(spark, layouts):
+    import json
+
+    from pdf_parser_spark.operators.jsonsink import conversation_json, with_layout_json
+
+    per_turn = with_layout_json(layouts).select(
+        "conv_id", "turn_idx", "page_number", "layout_json").limit(50).collect()
+    for r in per_turn:
+        obj = json.loads(r.layout_json)
+        assert obj["page_number"] == r.page_number
+        assert set(obj) <= {"page_number", "header", "footer", "left_column",
+                            "right_column", "page_width", "page_height",
+                            "column_separator_position", "metadata"}
+
+    docs = conversation_json(layouts).limit(5).collect()
+    for r in docs:
+        obj = json.loads(r.doc_json)
+        assert obj["conv_id"] == r.conv_id
+        assert obj["total_pages"] == len(obj["pages"])
+        nums = [p["page_number"] for p in obj["pages"]]
+        assert nums == sorted(nums)  # stable turn order inside the document

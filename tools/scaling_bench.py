@@ -23,7 +23,7 @@ from pdf_parser_spark.operators.extract import extract_layouts  # noqa: E402
 from pdf_parser_spark.session import ensure_min_partitions, get_spark  # noqa: E402
 
 
-def run_level(tpath: str, cpus: int, repeats: int = 3, inflate: int = 4) -> dict:
+def run_level(tpath: str, cpus: int, repeats: int = 4, inflate: int = 4) -> dict:
     spark = get_spark(f"scaling-bench-{cpus}", cpus=str(cpus))
     src = spark.read.parquet(tpath)
     # Inflate the workload by unioning k scans so per-job fixed overhead
@@ -48,6 +48,7 @@ def run_level(tpath: str, cpus: int, repeats: int = 3, inflate: int = 4) -> dict
 def pair(tpath: str, sf_dir: str, n_small: int) -> dict:
     small = run_level(tpath, n_small)
     print(json.dumps(small))
+    time.sleep(15)  # let the previous JVM + python workers fully drain
     big = run_level(tpath, n_small * 4)
     print(json.dumps(big))
     eff = (big["turns_per_sec"] / small["turns_per_sec"]) / 4.0
@@ -78,6 +79,7 @@ def main() -> None:
     # task threads + 32 python workers on 32 cores) and all-core turbo
     # drops the clock ~1.2x, so this pair under-reads true distributed
     # scaling; reported for transparency.
+    time.sleep(15)
     pair(tpath, sf_dir, 8)
 
 

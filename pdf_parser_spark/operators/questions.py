@@ -87,3 +87,66 @@ def questions_per_page(questions: DataFrame) -> DataFrame:
     return questions.groupBy("conv_id", "page_number").agg(
         F.count(F.lit(1)).alias("n_questions")
     )
+
+
+def question_markdown_col() -> F.Column:
+    """S11: one question's markdown section (A004:431-443 — ``## Question
+    N``, text, italic page/column footer line, ``---`` separator)."""
+    return F.concat(
+        F.lit("## Question "), F.col("question_number").cast("string"),
+        F.lit("\n\n"), F.col("question_text"),
+        F.lit("\n\n*Page: "), F.col("page_number").cast("string"),
+        F.lit(", Column: "), F.col("col_side"), F.lit("*\n\n---\n"),
+    )
+
+
+def questions_to_markdown(questions: DataFrame) -> DataFrame:
+    """S11: one markdown document per conversation — header with source +
+    total count, then per-question sections in question-number order
+    (A004:431-443; conv_id stands in for pdf_path)."""
+    per_q = questions.withColumn("q_md", question_markdown_col())
+    return (
+        per_q.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_questions"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct("
+                "question_number, turn_idx, col_side, q_md))), s -> s.q_md), '\\n')"
+            ).alias("body"),
+        )
+        .select(
+            "conv_id",
+            F.concat(
+                F.lit("# Questions\n\n**Source:** "), F.col("conv_id"),
+                F.lit("\n\n**Total Questions:** "),
+                F.col("total_questions").cast("string"),
+                F.lit("\n\n---\n\n"), F.col("body"),
+            ).alias("questions_md"),
+            "total_questions",
+        )
+    )
+
+
+def questions_to_json(questions: DataFrame) -> DataFrame:
+    """S11: the ``{conv_id, total_questions, questions:[...]}`` document
+    per conversation (A004:420-429)."""
+    return (
+        questions.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_questions"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(question_number, "
+                "turn_idx, col_side, question_text, page_number, "
+                "start_offset, end_offset))), s -> struct("
+                "s.question_number as question_number, "
+                "s.question_text as question_text, "
+                "s.page_number as page_number, s.col_side as col_side, "
+                "s.start_offset as start_offset, s.end_offset as end_offset))"
+            ).alias("questions"),
+        )
+        .select(
+            "conv_id",
+            F.to_json(F.struct("conv_id", "total_questions", "questions"))
+            .alias("questions_json"),
+        )
+    )

@@ -130,3 +130,55 @@ def test_windowed_turn_counts_matches_batch(spark, transcripts_sf0001, tmp_path)
         .select(F.col("w.start").alias("ws"), "tool", "n").collect()
     }
     assert got == want
+
+
+def test_stateful_conversation_progress(spark, transcripts_sf0001, tmp_path):
+    from pdf_parser_spark.streaming.pipeline import read_transcript_stream
+    from pdf_parser_spark.streaming.stateful import conversation_progress
+
+    stream = read_transcript_stream(spark, transcripts_sf0001,
+                                    max_files_per_trigger=2)
+    q = (conversation_progress(stream)
+         .writeStream.format("memory").queryName("conv_prog")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    import pandas as pd
+
+    got = spark.sql(
+        "select conv_id, max(turns_seen) as seen, max(max_turn_idx) as mx, "
+        "max(contiguous_upto) as upto from conv_prog group by conv_id"
+    ).toPandas().set_index("conv_id")
+    src = pd.read_parquet(transcripts_sf0001)
+    want = src.groupby("conv_id")["turn_idx"].agg(["count", "max"])
+    assert len(got) == len(want)
+    for conv_id, row in want.iterrows():
+        assert got.loc[conv_id, "seen"] == row["count"], conv_id
+        assert got.loc[conv_id, "mx"] == row["max"], conv_id
+        # fixture turns are contiguous from 0 -> final contiguity = count
+        assert got.loc[conv_id, "upto"] == row["count"], conv_id
+
+
+def test_question_sinks(spark, transcripts_sf0001):
+    import json
+
+    from pyspark.sql import functions as F
+    from pdf_parser_spark.operators.extract import extract_layouts
+    from pdf_parser_spark.operators.questions import (
+        extract_questions,
+        questions_to_json,
+        questions_to_markdown,
+    )
+
+    src = spark.read.parquet(transcripts_sf0001).filter(F.col("tool") == "page/v1")
+    qs = extract_questions(extract_layouts(src, variant="a004"))
+    md = questions_to_markdown(qs).limit(5).collect()
+    for r in md:
+        assert r.questions_md.startswith("# Questions\n\n**Source:** " + r.conv_id)
+        assert r.questions_md.count("## Question ") == r.total_questions
+    js = questions_to_json(qs).limit(5).collect()
+    for r in js:
+        obj = json.loads(r.questions_json)
+        assert obj["conv_id"] == r.conv_id
+        assert obj["total_questions"] == len(obj["questions"])
+        nums = [x["question_number"] for x in obj["questions"]]
+        assert nums == sorted(nums)

@@ -48,10 +48,15 @@ LAYOUT_SCHEMA_DDL = (
 DEFAULT_PAGE_W = 612.0
 DEFAULT_PAGE_H = 792.0
 
-_SPAN_RE = r"^SPAN (\S+) (\S+) (\S+) (\S+) size=(\S+) font=(.*?) text=(.*)$"
-_LINE_RE = r"^LINE (\S+) (\S+) (\S+) (\S+)$"
-_RECT_RE = r"^RECT (\S+) (\S+) (\S+) (\S+) fill=(\S+),(\S+),(\S+)$"
-_PAGE_RE = r"^PAGE w=(\S+) h=(\S+)$"
+# Record grammar shared with the oracle parser (payload.py) — both sides
+# accept exactly the same strict language, so tokenize-failure semantics
+# match by construction (fuzz-tested in tests/test_fuzz.py).
+from pdf_parser_spark.payload import (  # noqa: E402
+    LINE_PATTERN as _LINE_RE,
+    PAGE_PATTERN as _PAGE_RE,
+    RECT_PATTERN as _RECT_RE,
+    SPAN_PATTERN as _SPAN_RE,
+)
 
 
 def _unescape_series(s: pd.Series) -> pd.Series:
@@ -209,8 +214,11 @@ def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
 
     first = recs_df.groupby("rid", sort=False).first()
     page_kv = first["line"].str.extract(_PAGE_RE)
-    widths = pd.to_numeric(page_kv[0], errors="coerce")
-    heights = pd.to_numeric(page_kv[1], errors="coerce")
+    # astype(float), not to_numeric: the regex already guarantees
+    # parseability, and to_numeric's int inference loses float identity
+    # ("612" -> 612.0 for page_rect stringification, "-0" -> -0.0)
+    widths = page_kv[0].astype(float)
+    heights = page_kv[1].astype(float)
     bad_header = widths.isna() | heights.isna()
     if bad_header.any():
         bad_rids = first.index[bad_header.to_numpy()]
@@ -236,14 +244,14 @@ def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
     rect_mask = line.str.startswith("RECT ")
 
     # LINE records: malformed ones are skipped (degraded drawing scan)
-    vl = line[vline_mask].str.extract(_LINE_RE).apply(pd.to_numeric, errors="coerce")
+    vl = line[vline_mask].str.extract(_LINE_RE).astype(float)
     vl.columns = ["x1", "y1", "x2", "y2"]
     vl["rid"] = recs_df.loc[vline_mask, "rid"].to_numpy()
     vl["pos"] = recs_df.loc[vline_mask, "pos"].to_numpy()
     vl = vl.dropna(subset=["x1", "y1", "x2", "y2"])
 
     # RECT records
-    rc = line[rect_mask].str.extract(_RECT_RE).apply(pd.to_numeric, errors="coerce")
+    rc = line[rect_mask].str.extract(_RECT_RE).astype(float)
     rc.columns = ["x0", "y0", "x1", "y1", "r", "g", "b"]
     rc["rid"] = recs_df.loc[rect_mask, "rid"].to_numpy()
     rc = rc.dropna()
@@ -255,7 +263,7 @@ def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
     sp["rid"] = recs_df.loc[span_mask, "rid"].to_numpy()
     sp["pos"] = recs_df.loc[span_mask, "pos"].to_numpy()
     for c in ("x0", "y0", "x1", "y1", "size"):
-        sp[c] = pd.to_numeric(sp[c], errors="coerce")
+        sp[c] = sp[c].astype(float)
     sp_bad = sp["text"].isna() | sp[["x0", "y0", "x1", "y1", "size"]].isna().any(axis=1)
     tokfail_rids = set(sp.loc[sp_bad, "rid"].unique())
     sp = sp[~sp["rid"].isin(tokfail_rids)]
@@ -300,7 +308,7 @@ def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
                 & (y1_a[1:] == y1_a[:-1])
             )
         sp["grp"] = np.cumsum(new_grp)
-        font_nonempty = sp["font"].replace("", np.nan)
+        font_nonempty = sp["font"].mask(sp["font"] == "")
         blocks = sp.groupby("grp", sort=False).agg(
             rid=("rid", "first"),
             x0=("x0", "min"),

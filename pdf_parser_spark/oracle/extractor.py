@@ -248,7 +248,10 @@ def extract_turn(
                 # S3 fallback: whole-page single block (A003:94-108). The
                 # fallback replaces any partially tokenized blocks; it spans
                 # the real page rect, already parsed from the PAGE header.
-                page = ParsedPage(width=exc.width, height=exc.height)
+                # Drawings survive (separate scan in the reference,
+                # A003:38,53) and still drive separator/footer logic.
+                page = ParsedPage(width=exc.width, height=exc.height,
+                                  lines=exc.lines, rects=exc.rects)
                 blocks = []
                 if exc.salvaged_text.strip():
                     blocks = [

@@ -39,7 +39,34 @@ Error semantics mirror the reference's two failure levels:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+
+# Strict record grammar, shared verbatim with the vectorized Spark
+# tokenizer (operators/extract.py) so both parsers accept exactly the same
+# language: single-space separators, finite canonical decimals (no
+# nan/inf/hex/underscores). Any deviation is a malformed record — SPAN
+# deviations fail the page's tokenize (S3 fallback), LINE/RECT deviations
+# are skipped (degraded drawing scan), a PAGE-header deviation is a
+# page-level error.
+FLOAT_PATTERN = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+PAGE_PATTERN = rf"^PAGE w=({FLOAT_PATTERN}) h=({FLOAT_PATTERN})$"
+LINE_PATTERN = (
+    rf"^LINE ({FLOAT_PATTERN}) ({FLOAT_PATTERN}) "
+    rf"({FLOAT_PATTERN}) ({FLOAT_PATTERN})$")
+RECT_PATTERN = (
+    rf"^RECT ({FLOAT_PATTERN}) ({FLOAT_PATTERN}) "
+    rf"({FLOAT_PATTERN}) ({FLOAT_PATTERN}) "
+    rf"fill=({FLOAT_PATTERN}),({FLOAT_PATTERN}),({FLOAT_PATTERN})$")
+SPAN_PATTERN = (
+    rf"^SPAN ({FLOAT_PATTERN}) ({FLOAT_PATTERN}) "
+    rf"({FLOAT_PATTERN}) ({FLOAT_PATTERN}) "
+    rf"size=({FLOAT_PATTERN}) font=(.*?) text=(.*)$")
+
+_PAGE_RE = re.compile(PAGE_PATTERN)
+_LINE_RE = re.compile(LINE_PATTERN)
+_RECT_RE = re.compile(RECT_PATTERN)
+_SPAN_RE = re.compile(SPAN_PATTERN)
 
 
 class PayloadError(Exception):
@@ -50,13 +77,20 @@ class TokenizeError(Exception):
     """Span-tree tokenize failure; carries salvaged plain text plus the page
     dims already parsed from the PAGE header (the reference reads page.rect
     before tokenizing, A003:286, so the fallback block spans the *real*
-    page rect, A003:100-103)."""
+    page rect, A003:100-103) and the page's drawings — in the reference,
+    ``get_drawings()`` is a separate call from text tokenization
+    (A003:38,53 vs :71), so vector lines and filled rects survive a text
+    tokenize failure and still drive separator detection and colored-footer
+    classification."""
 
-    def __init__(self, message: str, salvaged_text: str, width: float, height: float):
+    def __init__(self, message: str, salvaged_text: str, width: float,
+                 height: float, lines=(), rects=()):
         super().__init__(message)
         self.salvaged_text = salvaged_text
         self.width = width
         self.height = height
+        self.lines = list(lines)
+        self.rects = list(rects)
 
 
 @dataclass
@@ -157,55 +191,50 @@ def parse_payload(payload: str) -> ParsedPage:
     if not isinstance(payload, str) or not payload.startswith("PAGE "):
         raise PayloadError("payload has no PAGE header")
     records = payload.split("\n")
-    header = records[0].split()
-    try:
-        kv = dict(part.split("=", 1) for part in header[1:])
-        width = float(kv["w"])
-        height = float(kv["h"])
-    except Exception as exc:  # malformed PAGE header -> page-level error
-        raise PayloadError(f"malformed PAGE header: {records[0]!r}") from exc
+    m = _PAGE_RE.match(records[0])
+    if not m:
+        raise PayloadError(f"malformed PAGE header: {records[0]!r}")
+    width = float(m.group(1))
+    height = float(m.group(2))
 
     page = ParsedPage(width=width, height=height)
 
     # Spans are accumulated as (x0, y0, x1, y1, size, font, text) tuples and
-    # merged into line-blocks afterwards.
+    # merged into line-blocks afterwards. Drawings are collected across the
+    # WHOLE payload even if a SPAN fails mid-way (text tokenization and
+    # drawing enumeration are independent scans in the reference).
     spans = []
+    bad_span = None
     for raw in records[1:]:
-        if not raw:
-            continue
-        kind, _, rest = raw.partition(" ")
-        if kind == "LINE":
-            try:
-                x1, y1, x2, y2 = (float(v) for v in rest.split())
-                page.lines.append((x1, y1, x2, y2))
-            except Exception:
+        if raw.startswith("LINE "):
+            m = _LINE_RE.match(raw)
+            if not m:
                 continue  # degraded drawing scan: skip bad record
-        elif kind == "RECT":
-            try:
-                coords, _, fillpart = rest.partition(" fill=")
-                x0, y0, x1, y1 = (float(v) for v in coords.split())
-                r, g, b = (float(v) for v in fillpart.split(","))
-                page.rects.append((x0, y0, x1, y1, (r, g, b)))
-            except Exception:
+            page.lines.append(tuple(float(v) for v in m.groups()))
+        elif raw.startswith("RECT "):
+            m = _RECT_RE.match(raw)
+            if not m:
                 continue
-        elif kind == "SPAN":
-            try:
-                geom, _, tail = rest.partition(" size=")
-                x0, y0, x1, y1 = (float(v) for v in geom.split())
-                sizepart, _, tail = tail.partition(" font=")
-                size = float(sizepart)
-                font, _, text = tail.partition(" text=")
-                if not _:
-                    raise ValueError("SPAN without text=")
-                spans.append((x0, y0, x1, y1, size, font, unescape_text(text)))
-            except Exception as exc:
-                raise TokenizeError(
-                    f"malformed SPAN record: {raw[:80]!r}",
-                    _salvage_text(payload),
-                    width,
-                    height,
-                ) from exc
-        # Unknown record kinds are ignored (forward compatibility).
+            g = [float(v) for v in m.groups()]
+            page.rects.append((g[0], g[1], g[2], g[3], (g[4], g[5], g[6])))
+        elif raw.startswith("SPAN ") and bad_span is None:
+            m = _SPAN_RE.match(raw)
+            if not m:
+                bad_span = raw
+                continue
+            x0, y0, x1, y1, size = (float(v) for v in m.groups()[:5])
+            spans.append((x0, y0, x1, y1, size, m.group(6),
+                          unescape_text(m.group(7))))
+        # Unknown record kinds (and empty lines) are ignored.
+    if bad_span is not None:
+        raise TokenizeError(
+            f"malformed SPAN record: {bad_span[:80]!r}",
+            _salvage_text(payload),
+            width,
+            height,
+            lines=page.lines,
+            rects=page.rects,
+        )
 
     # Merge consecutive spans sharing (y0, y1) into one line-block — the
     # analog of iterating line["spans"] in the reference

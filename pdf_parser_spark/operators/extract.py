@@ -172,12 +172,23 @@ def _reassemble_regions(blocks: pd.DataFrame) -> pd.DataFrame:
         {"rid": rid2[starts], "region": reg2[starts], "text": region_texts})
 
 
-def _grid_separator(x0s: np.ndarray, x1s: np.ndarray, width: float) -> float:
-    """O4 first-hit grid search (A003:146-153)."""
-    for sep_x in range(int(width * 0.3), int(width * 0.7), 10):
-        if (x1s < sep_x).any() and (x0s > sep_x).any():
-            return float(sep_x)
-    return width / 2.0
+def _grid_separator_closed_form(min_x1, max_x0, width):
+    """O4 first-hit grid search (A003:146-153), closed form over arrays.
+
+    The loop semantics — first ``c`` in ``range(int(0.3w), int(0.7w), 10)``
+    with ``any(x1 < c)`` and ``any(x0 > c)`` — reduce exactly:
+    ``any(x1 < c)`` iff ``min(x1) < c`` (monotone increasing in c), so the
+    first qualifying c is the first grid point strictly above min(x1);
+    ``any(x0 > c)`` iff ``max(x0) > c`` is monotone DEcreasing in c, so if
+    that first c fails it, every later c does too. int() truncates toward
+    zero like Python's.
+    """
+    a = np.trunc(width * 0.3).astype(np.int64)
+    end = np.trunc(width * 0.7).astype(np.int64)
+    k = np.where(min_x1 < a, 0, np.floor((min_x1 - a) / 10.0) + 1)
+    c = a + 10 * k
+    ok = (c < end) & (max_x0 > c) & ~np.isnan(min_x1)
+    return np.where(ok, c.astype(float), width / 2.0)
 
 
 def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
@@ -357,20 +368,18 @@ def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
                 zip(best["rid"], (best["x1"] + best["x2"]) / 2.0)
             )
 
-    # --- O4 grid-search separator for the rest --------------------------
-    separators = {}
-    blocks_by_rid = dict(iter(blocks.groupby("rid", sort=False))) if len(blocks) else {}
-    for rid, w, h in dims.itertuples(index=False):
-        if rid in sep_by_line:
-            separators[rid] = float(sep_by_line[rid])
-            continue
-        grp = blocks_by_rid.get(rid)
-        if grp is None or grp.empty:
-            separators[rid] = w / 2.0
-        else:
-            separators[rid] = _grid_separator(
-                grp["x0"].to_numpy(), grp["x1"].to_numpy(), w
-            )
+    # --- O4 grid-search separator for the rest (vectorized closed form) --
+    if len(blocks):
+        extents = blocks.groupby("rid", sort=False).agg(
+            min_x1=("x1", "min"), max_x0=("x0", "max"))
+    else:
+        extents = pd.DataFrame(columns=["min_x1", "max_x0"])
+    dims_w = dims.set_index("rid")["w"]
+    min_x1 = extents["min_x1"].reindex(dims_w.index).to_numpy(dtype=float)
+    max_x0 = extents["max_x0"].reindex(dims_w.index).to_numpy(dtype=float)
+    grid_sep = _grid_separator_closed_form(min_x1, max_x0, dims_w.to_numpy())
+    separators = dict(zip(dims_w.index, grid_sep))
+    separators.update((rid, float(v)) for rid, v in sep_by_line.items())
 
     # --- P3/P4 colored regions + semantic footer flag --------------------
     nonwhite = rc[~((rc["r"] == 1.0) & (rc["g"] == 1.0) & (rc["b"] == 1.0))]
@@ -461,34 +470,39 @@ def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
     base["column_separator_position"] = base["rid"].map(separators)
     base["page_number"] = base["turn_idx"].to_numpy() + 1
 
-    total_blocks = blocks.groupby("rid", sort=False).size() if len(blocks) else pd.Series(dtype=np.int64)
+    def _aligned(series) -> np.ndarray:
+        if len(series):
+            return series.reindex(dims_w.index).fillna(0).astype(np.int64).to_numpy()
+        return np.zeros(len(dims_w), dtype=np.int64)
 
-    def count_of(series, rid):
-        v = series.get(rid, 0) if len(series) else 0
-        return int(v)
-
-    metadata = []
-    rc_cols = region_counts.columns if len(region_counts) else []
-    for rid, w, h in dims.itertuples(index=False):
-        counts = {}
-        for reg_name in ("header", "footer", "left_column", "right_column"):
-            if len(region_counts) and reg_name in rc_cols and rid in region_counts.index:
-                counts[reg_name] = int(region_counts.loc[rid, reg_name])
-            else:
-                counts[reg_name] = 0
-        metadata.append(
-            {
-                "total_text_blocks": str(count_of(total_blocks, rid)),
-                "header_blocks": str(counts["header"]),
-                "footer_blocks": str(counts["footer"]),
-                "left_column_blocks": str(counts["left_column"]),
-                "right_column_blocks": str(counts["right_column"]),
-                "vertical_lines_detected": str(count_of(n_vlines, rid)),
-                "colored_footer_regions": str(count_of(n_colored, rid)),
-                "has_footer": "true" if counts["footer"] > 0 else "false",
-                "page_rect": json.dumps([0.0, 0.0, w, h]),
-            }
-        )
+    total_blocks = _aligned(
+        blocks.groupby("rid", sort=False).size() if len(blocks) else pd.Series(dtype=np.int64))
+    vln_arr = _aligned(n_vlines)
+    col_arr = _aligned(n_colored)
+    region_names = ("header", "footer", "left_column", "right_column")
+    if len(region_counts):
+        rc_full = region_counts.reindex(
+            index=dims_w.index, columns=region_names, fill_value=0).fillna(0)
+        reg_arrs = [rc_full[c].astype(np.int64).to_numpy() for c in region_names]
+    else:
+        reg_arrs = [np.zeros(len(dims_w), dtype=np.int64)] * 4
+    # page_rect uses float repr — exactly json.dumps' float formatting
+    metadata = [
+        {
+            "total_text_blocks": str(t),
+            "header_blocks": str(hh),
+            "footer_blocks": str(ff),
+            "left_column_blocks": str(ll),
+            "right_column_blocks": str(rr),
+            "vertical_lines_detected": str(v),
+            "colored_footer_regions": str(c),
+            "has_footer": "true" if ff > 0 else "false",
+            "page_rect": f"[0.0, 0.0, {float(w)!r}, {float(h)!r}]",
+        }
+        for t, hh, ff, ll, rr, v, c, w, h in zip(
+            total_blocks, reg_arrs[0], reg_arrs[1], reg_arrs[2], reg_arrs[3],
+            vln_arr, col_arr, dims["w"].to_numpy(), dims["h"].to_numpy())
+    ]
     meta_by_rid = pd.Series(metadata, index=dims["rid"].to_numpy())
     base["metadata"] = base["rid"].map(meta_by_rid)
 

@@ -45,7 +45,12 @@ MAX_CONTENT_DEPTH = 10
 WRAP_WIDTH = 80.0  # Boilerpipe-style wrapped-line count for text density
 
 
+_WS_RE = re.compile(r"\s+")
+
+
 def _unescape(text: str) -> str:
+    if "&" not in text:
+        return text
     for k, v in _ENTITIES.items():
         text = text.replace(k, v)
     return text
@@ -77,7 +82,11 @@ def tokenize_html(payload: str) -> list:
 
     def flush():
         nonlocal cur_parts, cur_link_chars, cur_depth
-        text = re.sub(r"\s+", " ", "".join(cur_parts)).strip()
+        if not cur_parts:
+            cur_link_chars = 0
+            cur_depth = None
+            return
+        text = _WS_RE.sub(" ", "".join(cur_parts)).strip()
         if text:
             blocks.append(
                 {
@@ -105,7 +114,7 @@ def tokenize_html(payload: str) -> list:
                     cur_flags = [in_h, in_f, in_n]
                 else:
                     cur_flags = [cur_flags[0] or in_h, cur_flags[1] or in_f, cur_flags[2] or in_n]
-                norm_len = len(re.sub(r"\s+", " ", text).strip())
+                norm_len = len(_WS_RE.sub(" ", text).strip())
                 if in_a:
                     cur_link_chars += norm_len
             cur_parts.append(text)

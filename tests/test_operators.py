@@ -157,3 +157,33 @@ def test_json_sink_roundtrip(spark, layouts):
         assert obj["total_pages"] == len(obj["pages"])
         nums = [p["page_number"] for p in obj["pages"]]
         assert nums == sorted(nums)  # stable turn order inside the document
+
+
+def test_extract_job_cli_and_resume(spark, transcripts_sf0001, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from extract_job import main as job_main
+
+    out = str(tmp_path / "cli_out")
+    rc = job_main(["--input", transcripts_sf0001, "--output", out,
+                   "--n-buckets", "4", "--pages", "1-4"])
+    assert rc == 0
+    from pdf_parser_spark.operators.manifest import committed_buckets, read_output
+
+    assert len(committed_buckets(os.path.join(out, "_manifests"))) == 4
+    n1 = read_output(spark, out).count()
+    assert n1 > 0
+    rc = job_main(["--input", transcripts_sf0001, "--output", out,
+                   "--n-buckets", "4", "--pages", "1-4"])  # full resume skip
+    assert rc == 0
+    assert read_output(spark, out).count() == n1
+
+
+def test_io_roundtrip(spark, tmp_path):
+    from pdf_parser_spark.io import read_table, write_table
+
+    df = spark.range(10).withColumnRenamed("id", "x")
+    path = str(tmp_path / "t")
+    write_table(df, path)
+    assert read_table(spark, path).count() == 10

@@ -438,6 +438,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = q_lsh_topk
 
+    def q_ivf_assign(spark, sf_dir):
+        return _longify(S.ivf_assign(_tbl(spark, sf_dir, "embeddings")))
+
+    q["ann_ivf_assign"] = q_ivf_assign
+
+    def q_ivf_topk(spark, sf_dir):
+        return _longify(S.ivf_topk(_tbl(spark, sf_dir, "embeddings"), k=10))
+
+    q["ann_ivf_topk"] = q_ivf_topk
+
     # --- multimodal plumbing ----------------------------------------------
     def q_multimodal(spark, sf_dir):
         import pandas as pd
@@ -753,6 +763,53 @@ def oracle_sql() -> dict[str, str]:
                 SELECT n.vec_id, n.e, n.norm
                 FROM nrm n JOIN buckets bu ON n.vec_id = bu.vec_id, qb
                 WHERE bu.bucket = qb.qbucket),
+            q AS (SELECT e AS qe, norm AS qn FROM nrm WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_inner_product(e, qe) / (norm * qn), 4) AS score
+            FROM cand, q
+            WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "ann_ivf_assign": f"""
+            WITH {_VEC_CTES},
+            cents AS (
+                SELECT vec_id AS centroid_id, e AS cvec, norm AS cnorm
+                FROM nrm ORDER BY vec_id LIMIT 16),
+            scored AS (
+                SELECT n.vec_id, c.centroid_id,
+                       round(list_inner_product(n.e, c.cvec)
+                             / (n.norm * c.cnorm), 6) AS cscore
+                FROM nrm n, cents c),
+            best AS (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cscore DESC, centroid_id ASC) AS rn
+                FROM scored)
+            SELECT vec_id, centroid_id::BIGINT AS centroid_id
+            FROM best WHERE rn = 1
+        """,
+        "ann_ivf_topk": f"""
+            WITH {_VEC_CTES},
+            cents AS (
+                SELECT vec_id AS centroid_id, e AS cvec, norm AS cnorm
+                FROM nrm ORDER BY vec_id LIMIT 16),
+            scored AS (
+                SELECT n.vec_id, c.centroid_id,
+                       round(list_inner_product(n.e, c.cvec)
+                             / (n.norm * c.cnorm), 6) AS cscore
+                FROM nrm n, cents c),
+            best AS (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cscore DESC, centroid_id ASC) AS rn
+                FROM scored),
+            assign AS (SELECT vec_id, centroid_id FROM best WHERE rn = 1),
+            qc AS (SELECT centroid_id AS qcent FROM assign WHERE vec_id = 0),
+            cand AS (
+                SELECT n.vec_id, n.e, n.norm
+                FROM nrm n JOIN assign a ON n.vec_id = a.vec_id, qc
+                WHERE a.centroid_id = qc.qcent),
             q AS (SELECT e AS qe, norm AS qn FROM nrm WHERE vec_id = 0)
             SELECT vec_id,
                    round(list_inner_product(e, qe) / (norm * qn), 4) AS score

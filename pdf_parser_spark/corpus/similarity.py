@@ -104,6 +104,56 @@ def lsh_topk(df: DataFrame, query_id: int = 0, k: int = 10, planes: int = 8,
     return brute_topk(candidates, query_id=query_id, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_assign(df: DataFrame, n_centroids: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine.
+
+    Centroids are the `n_centroids` lowest-id vectors — a deterministic
+    stand-in for a k-means codebook (at production scale the codebook
+    comes from a sampled k-means job; assignment below is unchanged).
+    The centroid set is broadcast, so assignment is a map-side broadcast
+    nested-loop over C candidates per vector — no shuffle of the big side.
+    Ties break toward the lower centroid id.
+    """
+    cents = (
+        with_norm(df, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("cvec"), F.col("norm").alias("cnorm"))
+    )
+    scored = (
+        with_norm(df, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col), F.col("centroid_id"),
+            F.round(cosine(vec_col, "cvec", "norm", "cnorm"), 6).alias("cscore"),
+        )
+    )
+    w_best = (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("cscore"), (-F.col("centroid_id")).alias("neg")))
+             .alias("best"))
+        .select(F.col(id_col), (-F.col("best.neg")).cast("long").alias("centroid_id"))
+    )
+    return w_best
+
+
+def ivf_topk(df: DataFrame, query_id: int = 0, k: int = 10,
+             n_centroids: int = 16, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF probe-1 ANN: search only the query's centroid cell (scans
+    ~N/C vectors; recall is tuned by probing more cells at scale)."""
+    assign = ivf_assign(df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+    with_c = df.join(assign, id_col)
+    qc = (with_c.filter(F.col(id_col) == query_id)
+          .select(F.col("centroid_id").alias("qcent")))
+    cand = with_c.join(F.broadcast(qc),
+                       F.col("centroid_id") == F.col("qcent")).drop("qcent")
+    return brute_topk(cand, query_id=query_id, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      use_lsh: bool = False, planes: int = 8) -> DataFrame:

@@ -139,3 +139,18 @@ def test_lang_id_and_stats(spark, docs):
     assert fps[0] == fps[1] == fps[2]
     assert fps[0] == hashlib.md5(
         " ".join(DOCS[0][1].lower().split()).encode()).hexdigest()
+
+
+def test_ivf_assign_and_topk(vecs):
+    assign = {r.vec_id: r.centroid_id for r in S.ivf_assign(vecs, n_centroids=2).collect()}
+    # centroids are vec_id 0 and 1; each vector goes to its nearest
+    for vid, v in VECS:
+        c0 = _cos(v, VECS[0][1])
+        c1 = _cos(v, VECS[1][1])
+        want = 0 if round(c0, 6) >= round(c1, 6) else 1
+        assert assign[vid] == want, vid
+    top = S.ivf_topk(vecs, query_id=0, k=3, n_centroids=2).collect()
+    members = [vid for vid, c in assign.items() if c == assign[0] and vid != 0]
+    want_rank = sorted(((vid, round(_cos(VECS[vid][1], VECS[0][1]), 4)) for vid in members),
+                       key=lambda t: (-t[1], t[0]))[:3]
+    assert [(r.vec_id, r.score) for r in top] == want_rank

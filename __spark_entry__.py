@@ -450,28 +450,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- multimodal plumbing ----------------------------------------------
     def q_multimodal(spark, sf_dir):
-        import pandas as pd
+        from pdf_parser_spark.corpus import multimodal as M
 
-        def decode_stub(batches):
-            # Binary decode is stubbed (no image/audio libs in container):
-            # deterministic fake metadata from the byte payload; the Spark
-            # plumbing (binary column, Arrow batches, schema) is real.
-            for pdf in batches:
-                n = pdf["payload"].map(len)
-                yield pd.DataFrame({
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n,
-                    "width": (n % 640) + 16,
-                    "height": ((n * 7) % 480) + 16,
-                    "kind": "fake/v1",
-                })
-
-        docs = _tbl(spark, sf_dir, "documents").select(
-            "doc_id", F.encode("text", "utf-8").alias("payload"))
-        out = docs.mapInPandas(
-            decode_stub,
-            schema="doc_id long, n_bytes long, width long, height long, kind string")
-        return out
+        binr = M.attach_binary(_tbl(spark, sf_dir, "documents"), kind="fake/v1")
+        return M.decode_meta(binr).select(
+            "doc_id", "n_bytes", "width", "height", "kind")
 
     q["multimodal_decode_meta"] = q_multimodal
 

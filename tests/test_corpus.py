@@ -154,3 +154,34 @@ def test_ivf_assign_and_topk(vecs):
     want_rank = sorted(((vid, round(_cos(VECS[vid][1], VECS[0][1]), 4)) for vid in members),
                        key=lambda t: (-t[1], t[0]))[:3]
     assert [(r.vec_id, r.score) for r in top] == want_rank
+
+
+def test_multimodal_plumbing(spark, docs):
+    import pytest as _pytest
+
+    from pdf_parser_spark.corpus import multimodal as M
+
+    binr = M.attach_binary(docs)
+    meta = {r.doc_id: r for r in M.decode_meta(binr).collect()}
+    for doc_id, text in DOCS:
+        m = meta[doc_id]
+        assert m.n_bytes == len(text.encode())
+        assert m.width == (m.n_bytes % 640) + 16 and m.ok
+    with _pytest.raises(Exception, match="codec not available"):
+        M.decode_meta(binr, strict=True).collect()
+
+    thumbs = M.resize_stub(binr).collect()
+    assert all(len(r.thumb) == 32 and r.out_width == 64 for r in thumbs)
+
+    frames = M.frame_sample(binr, every_n_bytes=16, max_frames=3).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in per_doc.items():
+        assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == list(range(len(rows)))
+        assert len(rows) <= 3
+
+    feats = {r.doc_id: r.feature for r in M.feature_extract(binr).collect()}
+    for doc_id, _ in DOCS:
+        assert len(feats[doc_id]) == M.FEATURE_DIM
+        assert abs(sum(feats[doc_id]) - 1.0) < 1e-5

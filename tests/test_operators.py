@@ -187,3 +187,39 @@ def test_io_roundtrip(spark, tmp_path):
     path = str(tmp_path / "t")
     write_table(df, path)
     assert read_table(spark, path).count() == 10
+
+
+def test_mega_conversation_skew(spark):
+    """A single conversation far larger than any other must extract and
+    reassemble without concentrating work in one task (the skew axis of
+    the north rule). 30k turns through the full pipeline."""
+    from pyspark.sql import functions as F2
+
+    from pdf_parser_spark.operators.reassemble import reassemble_conversations
+    from pdf_parser_spark.session import ensure_min_partitions
+
+    n = 30_000
+    src = (
+        spark.range(n)
+        .select(
+            F2.lit("mega-conv").alias("conv_id"),
+            F2.col("id").cast("int").alias("turn_idx"),
+            F2.lit("user").alias("role"),
+            F2.concat(F2.lit("turn text "), F2.col("id").cast("string")).alias("text"),
+            F2.lit("plain").alias("tool"),
+            F2.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    src = ensure_min_partitions(src, 16)
+    lay = extract_layouts(src)
+    assert lay.count() == n
+    out = reassemble_conversations(lay, text_col="right_column",
+                                   block_size=1024).collect()
+    assert len(out) == 1
+    doc = out[0]["doc"]
+    assert out[0]["n_turns"] == n
+    parts = doc.split("\n\n")
+    assert len(parts) == n
+    assert parts[0] == "turn text 0"
+    assert parts[12345] == "turn text 12345"
+    assert parts[-1] == f"turn text {n - 1}"

@@ -279,8 +279,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
         return spark.sql("""
             WITH e AS (
+                -- timestampdiff on TIMESTAMP_NTZ: epoch micros independent
+                -- of the session timezone (parquet loads ts as NTZ; a
+                -- cast-to-timestamp would shift by the session zone)
                 SELECT user_id, event_id,
-                       unix_micros(cast(ts AS timestamp)) AS us FROM events),
+                       timestampdiff(MICROSECOND,
+                           to_timestamp_ntz('1970-01-01 00:00:00'), ts) AS us
+                FROM events),
             marked AS (
                 SELECT user_id, event_id, us,
                        CASE WHEN lag(us) OVER w IS NULL
@@ -364,7 +369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"))
             .select(
-                F.unix_micros(F.col("w.start").cast("timestamp")).alias("ws_us"),
+                # session-timezone independent epoch micros of the NTZ
+                # window start (see line_sessionize note)
+                F.expr("timestampdiff(MICROSECOND, "
+                       "to_timestamp_ntz('1970-01-01 00:00:00'), w.start)")
+                .alias("ws_us"),
                 "event_type", "n")
         )
 

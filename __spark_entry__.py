@@ -144,6 +144,23 @@ _SHINGLE_CTES = f"""
     sh AS (SELECT DISTINCT doc_id, md5(unnest(gs)) AS sh FROM grams)
 """
 
+_MINHASH_CTES = """
+    mh AS (
+        SELECT doc_id, seed, min(md5(sh || '#' || seed)) AS minhash
+        FROM sh, (SELECT unnest(range(0, 8)) AS seed) s
+        GROUP BY doc_id, seed),
+    banded AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(array_to_string(
+                   list_sort(list(seed || ':' || minhash)), '|')) AS band_key
+        FROM mh GROUP BY doc_id, seed // 2),
+    mh_pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id)
+"""
+
 _VEC_CTES = """
     v AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS e FROM embeddings),
     nrm AS (SELECT vec_id, e,
@@ -424,6 +441,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = q_simhash
 
+    def q_clusters(spark, sf_dir):
+        pairs = D.minhash_lsh_pairs(_tbl(spark, sf_dir, "documents"))
+        return _longify(D.dup_clusters(pairs))
+
+    q["dedup_clusters"] = q_clusters
+
+    def q_df_stats(spark, sf_dir):
+        return _longify(TS.token_df_stats(_tbl(spark, sf_dir, "documents")))
+
+    q["token_df_stats"] = q_df_stats
+
     def q_cos_dups(spark, sf_dir):
         return _longify(S.cosine_dup_pairs(
             _tbl(spark, sf_dir, "embeddings"),
@@ -674,19 +702,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": f"""
             WITH {_SHINGLE_CTES},
-            mh AS (
-                SELECT doc_id, seed, min(md5(sh || '#' || seed)) AS minhash
-                FROM sh, (SELECT unnest(range(0, 8)) AS seed) s
-                GROUP BY doc_id, seed),
-            banded AS (
-                SELECT doc_id, seed // 2 AS band,
-                       md5(array_to_string(
-                           list_sort(list(seed || ':' || minhash)), '|')) AS band_key
-                FROM mh GROUP BY doc_id, seed // 2)
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM banded a
-            JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
-                 AND a.doc_id < b.doc_id
+            {_MINHASH_CTES}
+            SELECT id_a, id_b FROM mh_pairs
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLE_CTES},
+            {_MINHASH_CTES},
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM mh_pairs
+                UNION
+                SELECT id_b, id_a FROM mh_pairs),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+            SELECT src AS doc_id,
+                   least(src, min(dst))::BIGINT AS cluster_id
+            FROM reach GROUP BY src
+        """,
+        "token_df_stats": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents),
+            dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok)
+            SELECT t.doc_id,
+                   count(*)::BIGINT AS n_distinct_tokens,
+                   min(d.df)::BIGINT AS min_df,
+                   max(d.df)::BIGINT AS max_df,
+                   sum(d.df)::BIGINT AS sum_df
+            FROM toks t JOIN dfreq d ON t.tok = d.tok
+            GROUP BY t.doc_id
         """,
         "dedup_simhash": f"""
             WITH toks AS (

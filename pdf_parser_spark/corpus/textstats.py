@@ -86,6 +86,31 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_df_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two-pass corpus statistics: per-document aggregates of token
+    document frequency (the backbone of rarity/quality scoring and TF-IDF
+    at corpus scale).
+
+    Pass 1 computes each distinct token's document frequency (one shuffle
+    on the token); pass 2 joins it back to the exploded tokens and
+    aggregates per doc. All outputs are integers so the result is
+    bit-stable across engines (no float log/agg-order hazards)."""
+    toks = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.min("df").alias("min_df"),
+            F.max("df").alias("max_df"),
+            F.sum("df").alias("sum_df"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 of the lowercased,
     whitespace-collapsed text (the document-granularity analog of the

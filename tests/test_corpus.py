@@ -185,3 +185,20 @@ def test_multimodal_plumbing(spark, docs):
     for doc_id, _ in DOCS:
         assert len(feats[doc_id]) == M.FEATURE_DIM
         assert abs(sum(feats[doc_id]) - 1.0) < 1e-5
+
+
+def test_dup_clusters_connected_components(spark):
+    # two components: {1,2,3,4} via a chain, {10,11}; singleton pairs absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in D.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_token_df_stats(spark, docs):
+    stats = {r.doc_id: r for r in TS.token_df_stats(docs).collect()}
+    # 'the' appears in docs 0,1,2,3 -> df=4; doc 4 shares no tokens with 0-3
+    s0 = stats[0]
+    assert s0.n_distinct_tokens == 8  # 'the' deduped
+    assert s0.max_df == 4  # the/quick/brown/... appear in docs 0,1,2(,3)
+    assert stats[4].max_df == 1 and stats[4].min_df == 1

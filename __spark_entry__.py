@@ -441,6 +441,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = q_simhash
 
+    def q_dedup_keep(spark, sf_dir):
+        docs = _tbl(spark, sf_dir, "documents")
+        keep = D.exact_dedup(docs).select("keep_id")
+        return _longify(
+            docs.join(keep, docs["doc_id"] == keep["keep_id"])
+            .select("doc_id", "lang", "source", "n_chars"))
+
+    q["dedup_keep_docs"] = q_dedup_keep
+
+    def q_quality_by_source(spark, sf_dir):
+        docs = _tbl(spark, sf_dir, "documents")
+        n_punct = F.regexp_count(F.col("text"), F.lit(TS.PUNCT_RE))
+        n_tok = F.size(F.split(F.col("text"), " "))
+        return (
+            docs.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("text")).alias("sum_chars"),
+                F.sum(n_tok).alias("sum_tokens"),
+                F.sum(n_punct).alias("sum_punct"),
+            )
+            .select(
+                "source", "n_docs", "sum_chars", "sum_tokens", "sum_punct",
+                F.round(F.col("sum_punct") / F.col("sum_chars"), 6)
+                .alias("punct_ratio"),
+            )
+        )
+
+    q["quality_by_source"] = q_quality_by_source
+
     def q_clusters(spark, sf_dir):
         pairs = D.minhash_lsh_pairs(_tbl(spark, sf_dir, "documents"))
         return _longify(D.dup_clusters(pairs))
@@ -704,6 +734,23 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SHINGLE_CTES},
             {_MINHASH_CTES}
             SELECT id_a, id_b FROM mh_pairs
+        """,
+        "dedup_keep_docs": f"""
+            WITH fp AS (
+                SELECT md5({_CANON}) AS fp, min(doc_id) AS keep_id
+                FROM documents GROUP BY 1)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d JOIN fp ON d.doc_id = fp.keep_id
+        """,
+        "quality_by_source": """
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(length(text))::BIGINT AS sum_chars,
+                   sum(len(string_split(text, ' ')))::BIGINT AS sum_tokens,
+                   sum(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')))::BIGINT AS sum_punct,
+                   round(sum(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')))::DOUBLE
+                         / sum(length(text)), 6) AS punct_ratio
+            FROM documents GROUP BY source
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_SHINGLE_CTES},

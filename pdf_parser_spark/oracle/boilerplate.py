@@ -65,6 +65,9 @@ def tokenize_html(payload: str) -> list:
     """
     blocks = []
     stack = []
+    # open-tag counters replace repeated `tag in stack` list scans (hot
+    # path: one context check per text segment); counter > 0 <=> in stack
+    counts: dict = {}
     cur_parts = []
     cur_link_chars = 0
     cur_depth = None
@@ -72,10 +75,10 @@ def tokenize_html(payload: str) -> list:
 
     def context_flags():
         return (
-            "header" in stack,
-            "footer" in stack,
-            ("nav" in stack) or ("aside" in stack),
-            "a" in stack,
+            counts.get("header", 0) > 0,
+            counts.get("footer", 0) > 0,
+            counts.get("nav", 0) > 0 or counts.get("aside", 0) > 0,
+            counts.get("a", 0) > 0,
         )
 
     cur_flags = [False, False, False]
@@ -126,15 +129,18 @@ def tokenize_html(payload: str) -> list:
         if closing:
             if tag in BLOCK_TAGS:
                 flush()
-            if tag in stack:
+            if counts.get(tag, 0) > 0:
                 while stack and stack[-1] != tag:
-                    stack.pop()
+                    popped = stack.pop()
+                    counts[popped] -= 1
                 if stack:
-                    stack.pop()
+                    popped = stack.pop()
+                    counts[popped] -= 1
         else:
             if tag in BLOCK_TAGS:
                 flush()
             stack.append(tag)
+            counts[tag] = counts.get(tag, 0) + 1
 
     tail = payload[pos:]
     if tail and not (stack and stack[-1] in SKIP_CONTENT_TAGS):

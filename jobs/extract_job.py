@@ -59,6 +59,7 @@ def main(argv=None) -> int:
         n_buckets=args.n_buckets,
         variant=get_variant(args.variant),
         input_path=args.input,
+        pages_spec=args.pages,
     )
     metrics = lineage_metrics(spark, args.output)
     metrics.orderBy("bucket").show(args.n_buckets, truncate=False)

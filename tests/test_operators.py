@@ -125,6 +125,38 @@ def test_manifest_resume_exact(spark, transcripts_sf0001, tmp_path):
     assert set(metrics["status"]) == {"committed"}
 
 
+def test_manifest_resume_validation(spark, transcripts_sf0001, tmp_path):
+    """Resume with a different run shape fails fast (no silent mixing)."""
+    out_dir = str(tmp_path / "val_out")
+    src = spark.read.parquet(transcripts_sf0001)
+    run_with_manifest(spark, src, out_dir, n_buckets=4)
+    with pytest.raises(ValueError, match="resume mismatch.*n_buckets"):
+        run_with_manifest(spark, src, out_dir, n_buckets=8)
+    with pytest.raises(ValueError, match="resume mismatch.*variant"):
+        run_with_manifest(spark, src, out_dir, n_buckets=4, variant="a002")
+    with pytest.raises(ValueError, match="resume mismatch.*pages_spec"):
+        run_with_manifest(spark, src, out_dir, n_buckets=4, pages_spec="1-3")
+    # matching shape still resumes cleanly
+    res = run_with_manifest(spark, src, out_dir, n_buckets=4)
+    assert res["processed"] == [] and len(res["skipped"]) == 4
+
+
+def test_manifest_job_is_single_scan(spark, transcripts_sf0001):
+    """The whole-run plan reads the input exactly once, shuffle-free,
+    for ANY bucket count — the per-bucket rescan loop is gone."""
+    from pdf_parser_spark.operators.manifest import bucket_expr, bucket_job_plan
+
+    src = spark.read.parquet(transcripts_sf0001).withColumn(
+        "bucket", bucket_expr(64))
+    plan_df = bucket_job_plan(src, list(range(64)), 64)
+    plan = plan_df._sc._jvm.PythonSQLUtils.explainString(
+        plan_df._jdf.queryExecution(), "formatted")
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Exchange" not in plan
+
+
 def test_lineage_error_rows_accounted(spark, transcripts_sf0001, tmp_path):
     out_dir = str(tmp_path / "lin_out")
     src = spark.read.parquet(transcripts_sf0001)

@@ -64,6 +64,25 @@ def main() -> None:
               "columns the UDF consumes."),
     )
 
+    from pdf_parser_spark.operators.manifest import bucket_expr, bucket_job_plan
+
+    manifest_plan_df = bucket_job_plan(
+        tr.withColumn("bucket", bucket_expr(64)), list(range(64)), 64)
+    manifest_plan = formatted(manifest_plan_df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", manifest_plan, re.M)) == 1, \
+        "manifest job: more than one input scan"
+    assert "Exchange" not in manifest_plan, "manifest job: unexpected shuffle"
+    sections.append((
+        "Manifest single-pass job (checkpoint/resume write path)",
+        ("ALL pending buckets are extracted in ONE job: exactly one input "
+         "Scan (asserted), zero Exchange (asserted). The bucket predicate "
+         "rides the scan's codegen filter; the partition column is "
+         "recomputed map-side and the write is partitionBy(bucket) with "
+         "dynamic overwrite — input IO is independent of n_buckets "
+         "(previously the per-bucket driver loop rescanned the input "
+         "n_buckets times)."),
+        compact(manifest_plan)))
+
     audit(
         "Page selection pushdown (P7)",
         select_turns(tr, "2-4").select("conv_id", "turn_idx", "tool"),

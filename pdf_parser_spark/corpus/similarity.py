@@ -61,34 +61,46 @@ def brute_topk(df: DataFrame, query_id: int = 0, k: int = 10,
     )
 
 
+def _plane_signs(planes: int, dims: int) -> list:
+    """The deterministic ±1 hyperplane matrix: sign(p, d) = +1 iff the
+    first hex char of md5('p<p>d<d>') is in 0..7 — the exact derivation
+    the DuckDB oracle twin uses, computed driver-side once (planes × dims
+    scalars) instead of per row."""
+    import hashlib
+
+    return [
+        [1.0 if hashlib.md5(f"p{p}d{d}".encode()).hexdigest()[0] in "01234567"
+         else -1.0 for d in range(dims)]
+        for p in range(planes)
+    ]
+
+
 def lsh_buckets(df: DataFrame, planes: int = 8, dims: int = 64,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH bucket per vector.
 
-    Hyperplane signs are md5-derived: sign(p, d) = +1 iff the first hex
-    char of md5('p<p>d<d>') is in 0..7. Bucket = sum over planes of
-    (projection > 0) << p. Deterministic and engine-portable."""
-    pd_pairs = F.explode(F.sequence(F.lit(0), F.lit(planes - 1))).alias("plane")
-    sign = F.when(
-        F.substring(F.md5(F.concat(F.lit("p"), F.col("plane"), F.lit("d"), F.col("dim"))), 1, 1)
-        .isin(*list("01234567")), F.lit(1.0)).otherwise(F.lit(-1.0))
-    comp = (
-        df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "val"))
-        .select(id_col, "dim", F.col("val").cast("double").alias("val"), pd_pairs)
-        .withColumn("sgn", sign)
-    )
-    proj = (
-        comp.groupBy(id_col, "plane")
-        .agg(F.sum(F.col("val") * F.col("sgn")).alias("proj"))
+    Bucket = sum over planes of (projection > 0) << p, with the sign
+    matrix embedded as a broadcast literal. Entirely row-local: one
+    nested higher-order fold per row (planes × dims multiply-adds), no
+    explode, no shuffle — the previous formulation blew every vector up
+    into dims × planes rows through two aggregations. Projections fold
+    left in array order, so the sum is deterministic."""
+    signs = F.array(*[
+        F.array(*[F.lit(s) for s in row]) for row in _plane_signs(planes, dims)
+    ])
+    bucket = F.expr(
+        f"""
+        aggregate(sequence(0, {planes - 1}), cast(0 as bigint),
+          (acc, p) -> acc + if(
+            aggregate(zip_with({vec_col}, element_at(_signs, p + 1),
+                               (x, s) -> cast(x as double) * s),
+                      cast(0.0 as double), (a2, v) -> a2 + v) > 0,
+            shiftleft(cast(1 as bigint), p), cast(0 as bigint)))
+        """
     )
     return (
-        proj.withColumn(
-            "bit",
-            F.expr("case when proj > 0 "
-                   "then shiftleft(cast(1 as bigint), cast(plane as int)) "
-                   "else cast(0 as bigint) end"))
-        .groupBy(id_col)
-        .agg(F.sum("bit").alias("bucket"))
+        df.withColumn("_signs", signs)
+        .select(F.col(id_col), bucket.alias("bucket"))
     )
 
 

@@ -195,6 +195,36 @@ def test_dup_clusters_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_dup_clusters_string_ids_and_long_chain(spark):
+    # string ids: label-sum convergence would NULL out and stop after one
+    # round; changed-label counting must still find the true components
+    pairs = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(20)] + [("x", "y")],
+        "id_a string, id_b string")
+    stats = {}
+    got = {r.doc_id: r.cluster_id
+           for r in D.dup_clusters(pairs, stats=stats).collect()}
+    assert stats["converged"]
+    for i in range(21):
+        assert got[f"d{i:03d}"] == "d000"
+    assert got["x"] == "x" and got["y"] == "x"
+    # pointer jumping: a 21-node chain must beat O(diameter) rounds
+    assert stats["rounds"] <= 6
+
+
+def test_jaccard_on_candidates_matches_full_join(spark, docs):
+    """The LSH-gated exact Jaccard (the 100 TB path) scores candidate
+    pairs identically to the all-pairs oracle form."""
+    cands = D.minhash_lsh_pairs(docs)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in D.jaccard_on_candidates(cands, docs, threshold=0.1).collect()}
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    cand_set = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert got == {p: j for p, j in full.items() if p in cand_set}
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+
+
 def test_token_df_stats(spark, docs):
     stats = {r.doc_id: r for r in TS.token_df_stats(docs).collect()}
     # 'the' appears in docs 0,1,2,3 -> df=4; doc 4 shares no tokens with 0-3

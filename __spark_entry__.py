@@ -208,6 +208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["layout_extract_a003"] = _layout_query("a003", page_only=False)
     q["layout_extract_a002"] = _layout_query("a002", page_only=True)
     q["layout_extract_a004"] = _layout_query("a004", page_only=True)
+    # A000 (C3 line-extent classifier over stub-detected blocks; the ML
+    # detection stage S5/S6 is deterministically stubbed — see
+    # oracle/extractor.py's A000 section)
+    q["layout_extract_a000"] = _layout_query("a000", page_only=True)
 
     def q_questions(spark, sf_dir):
         src = _transcripts(spark, sf_dir).filter(F.col("tool") == "page/v1")
@@ -436,6 +440,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_lsh"] = q_minhash
 
+    def q_jaccard_lsh(spark, sf_dir):
+        docs = _tbl(spark, sf_dir, "documents")
+        return _longify(D.jaccard_on_candidates(
+            D.minhash_lsh_pairs(docs), docs, threshold=JACCARD_THRESHOLD))
+
+    q["dedup_jaccard_lsh"] = q_jaccard_lsh
+
     def q_simhash(spark, sf_dir):
         return _longify(D.simhash_pairs(_tbl(spark, sf_dir, "documents")))
 
@@ -547,6 +558,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_extract_a003": _layout_oracle("layouts"),
         "layout_extract_a002": _layout_oracle("layouts_a002"),
         "layout_extract_a004": _layout_oracle("layouts_a004"),
+        "layout_extract_a000": _layout_oracle("layouts_a000"),
         "question_spans": f"""
             SELECT conv_id, turn_idx::BIGINT AS turn_idx,
                    page_number::BIGINT AS page_number,
@@ -734,6 +746,27 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SHINGLE_CTES},
             {_MINHASH_CTES}
             SELECT id_a, id_b FROM mh_pairs
+        """,
+        "dedup_jaccard_lsh": f"""
+            WITH {_SHINGLE_CTES},
+            {_MINHASH_CTES},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT p.id_a, p.id_b, count(*) AS i
+                FROM mh_pairs p
+                JOIN sh a ON a.doc_id = p.id_a
+                JOIN sh b ON b.doc_id = p.id_b AND b.sh = a.sh
+                GROUP BY 1, 2)
+            SELECT p.id_a, p.id_b,
+                   round(coalesce(i, 0)::DOUBLE
+                         / (sa.sz + sb.sz - coalesce(i, 0)), 4) AS jaccard
+            FROM mh_pairs p
+            LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
+            WHERE round(coalesce(i, 0)::DOUBLE
+                        / (sa.sz + sb.sz - coalesce(i, 0)), 4)
+                  >= {JACCARD_THRESHOLD}
         """,
         "dedup_keep_docs": f"""
             WITH fp AS (

@@ -102,7 +102,7 @@ def markdown_c002(n, header, footer, left, right) -> str:
 def ensure_goldens(sf: float) -> str:
     """Generate (once) every golden table for a scale factor; returns dir."""
     gdir = golden_dir(sf)
-    stamp = os.path.join(gdir, "_COMPLETE")
+    stamp = os.path.join(gdir, "_COMPLETE_v2")
     if os.path.exists(stamp):
         return gdir
     os.makedirs(gdir, exist_ok=True)
@@ -110,7 +110,7 @@ def ensure_goldens(sf: float) -> str:
     src = pd.read_parquet(transcripts_path(sf))
     src = src.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
-    layouts, layouts_a002, layouts_a004 = [], [], []
+    layouts, layouts_a002, layouts_a004, layouts_a000 = [], [], [], []
     questions, spans, markdown = [], [], []
     for conv_id, turn_idx, text, tool in src[
         ["conv_id", "turn_idx", "text", "tool"]
@@ -133,6 +133,8 @@ def ensure_goldens(sf: float) -> str:
         if tool == "page/v1":
             layouts_a002.append(
                 _layout_row(conv_id, t, extract_turn(text, tool, t, "a002")))
+            layouts_a000.append(
+                _layout_row(conv_id, t, extract_turn(text, tool, t, "a000")))
             lay4 = extract_turn(text, tool, t, "a004")
             layouts_a004.append(_layout_row(conv_id, t, lay4))
             for col_side, col_text in (("left", lay4["left_column"]),
@@ -175,6 +177,8 @@ def ensure_goldens(sf: float) -> str:
         os.path.join(gdir, "layouts_a002.parquet"), index=False)
     pd.DataFrame(layouts_a004, columns=LAYOUT_COLS).to_parquet(
         os.path.join(gdir, "layouts_a004.parquet"), index=False)
+    pd.DataFrame(layouts_a000, columns=LAYOUT_COLS).to_parquet(
+        os.path.join(gdir, "layouts_a000.parquet"), index=False)
     pd.DataFrame(
         questions,
         columns=["conv_id", "turn_idx", "page_number", "question_number",

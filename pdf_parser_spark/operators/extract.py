@@ -143,6 +143,13 @@ def _reassemble_regions(blocks: pd.DataFrame) -> pd.DataFrame:
         same = (rid[1:] == rid[:-1]) & (reg[1:] == reg[:-1])
         new_group[1:] = ~(same & (np.abs(cy[1:] - cy[:-1]) < 10.0))
     b["line_id"] = np.cumsum(new_group)
+    return _join_line_groups(b)
+
+
+def _join_line_groups(b: pd.DataFrame) -> pd.DataFrame:
+    """O3 tail shared by the A003-family and A000 line groupings: sort
+    members by x0 within each (rid, region, line_id), join spans with " ",
+    lines with "\\n" — via the C-level segmented join."""
     b = b.sort_values(["rid", "region", "line_id", "x0"], kind="stable")
 
     rid2 = b["rid"].to_numpy()
@@ -191,17 +198,17 @@ def _grid_separator_closed_form(min_x1, max_x0, width):
     return np.where(ok, c.astype(float), width / 2.0)
 
 
-def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
-    """Vectorized A003-family extraction for tool='page/v1' rows.
-
-    ``rows``: columns rid (batch-local int64), turn_idx, text.
-    Returns one layout row per rid.
-    """
-    cfg = VARIANTS[variant]
+def _tokenize_stage(rows: pd.DataFrame):
+    """Variant-INdependent half of the page pipeline: payload tokenize,
+    block building, drawing scan, separator search, colored regions
+    (A003 stages 3a-3b; classification thresholds do not enter until
+    ``_classify_stage``). Returns ``(state, error_frames)`` where state is
+    None when no row survived tokenization. Splitting here lets
+    ``compare_extractors`` tokenize once and classify N times."""
     out_parts = []
     n = len(rows)
     if n == 0:
-        return _empty_layout_frame()
+        return None, out_parts
 
     payload = rows["text"]
     is_str = payload.map(lambda v: isinstance(v, str))
@@ -216,7 +223,7 @@ def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
         )
         rows = rows[~no_page]
     if rows.empty:
-        return pd.concat(out_parts, ignore_index=True)
+        return None, out_parts
 
     # --- explode payload records, keep payload order ------------------
     recs = rows.set_index("rid")["text"].str.split("\n").explode()
@@ -244,7 +251,7 @@ def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
         widths = widths[~bad_header]
         heights = heights[~bad_header]
     if rows.empty:
-        return pd.concat(out_parts, ignore_index=True)
+        return None, out_parts
 
     dims = pd.DataFrame({"rid": widths.index, "w": widths.to_numpy(), "h": heights.to_numpy()})
 
@@ -388,6 +395,33 @@ def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
     footer_regions = nonwhite.merge(dims, on="rid")
     footer_regions = footer_regions[footer_regions["y0"] > footer_regions["h"] * 0.5]
 
+    state = {
+        "rows": rows, "blocks": blocks, "dims": dims, "dims_idx": dims_idx,
+        "dims_w": dims_w, "separators": separators, "n_vlines": n_vlines,
+        "n_colored": n_colored, "footer_regions": footer_regions,
+        "vl": vl,  # raw parsed LINE records: a000 re-filters proportionally
+    }
+    return state, out_parts
+
+
+def _classify_stage(state: dict, variant: str) -> pd.DataFrame:
+    """Variant-dependent half: footer semantics + region classification +
+    reassembly + metadata (A003 stages 3c-3e). Pure reader of ``state`` —
+    every frame it derives is a fresh merge/copy, so N variants can share
+    one tokenize."""
+    cfg = VARIANTS[variant]
+    if cfg.footer_mode == "line_extent":
+        return _classify_stage_a000(state)
+    rows = state["rows"]
+    blocks = state["blocks"]
+    dims = state["dims"]
+    dims_idx = state["dims_idx"]
+    dims_w = state["dims_w"]
+    separators = state["separators"]
+    n_vlines = state["n_vlines"]
+    n_colored = state["n_colored"]
+    footer_regions = state["footer_regions"]
+
     has_footer = pd.Series(False, index=dims_idx.index)
     if cfg.footer_mode == "semantic" and len(blocks):
         bb = blocks.merge(dims, on="rid")
@@ -506,8 +540,225 @@ def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
     meta_by_rid = pd.Series(metadata, index=dims["rid"].to_numpy())
     base["metadata"] = base["rid"].map(meta_by_rid)
 
-    out_parts.append(base[["rid"] + LAYOUT_FIELDS])
+    return base[["rid"] + LAYOUT_FIELDS]
+
+
+def _reassemble_regions_a000(blocks: pd.DataFrame) -> pd.DataFrame:
+    """A000's O2: running-max-y1 line grouping (A000:226-241), then the
+    shared O3 join. The running max resets on line breaks, so unlike the
+    A003 anchor it does NOT reduce to a consecutive difference — the
+    group-id pass is a sequential scan over the batch's sorted block
+    arrays (tens of blocks per page; same justification as the HTML
+    tokenizer loop)."""
+    if blocks.empty:
+        return pd.DataFrame({"rid": [], "region": [], "text": []})
+    b = blocks.sort_values(["rid", "region", "y0", "x0"], kind="stable").reset_index(drop=True)
+    rid = b["rid"].to_numpy()
+    reg = b["region"].to_numpy()
+    y0a = b["y0"].to_numpy()
+    y1a = b["y1"].to_numpy()
+    n = len(b)
+    line_id = np.empty(n, dtype=np.int64)
+    cur = 0
+    cur_max = -1.0
+    for i in range(n):
+        if i == 0 or rid[i] != rid[i - 1] or reg[i] != reg[i - 1]:
+            cur += 1
+            cur_max = y1a[i]
+        elif y0a[i] < cur_max + 10:
+            if y1a[i] > cur_max:
+                cur_max = y1a[i]
+        else:
+            cur += 1
+            cur_max = y1a[i]
+        line_id[i] = cur
+    b["line_id"] = line_id
+    return _join_line_groups(b)
+
+
+def _classify_stage_a000(state: dict) -> pd.DataFrame:
+    """A000's variant-dependent half (C3 line-extent classifier), on the
+    deterministically stub-detected blocks — see the oracle twin's module
+    comment (oracle/extractor.py) for the stub rationale and the exact
+    A000 file:line ports."""
+    rows = state["rows"]
+    blocks = state["blocks"]
+    dims = state["dims"]
+    dims_idx = state["dims_idx"]
+    dims_w = state["dims_w"]
+    vl = state["vl"]
+
+    # --- proportional P1 (A000:116-126) + O5 best line with extents ------
+    sep_line, hy_line, fy_line = {}, {}, {}
+    n_vlines = pd.Series(dtype=np.int64)
+    if len(vl):
+        vm = vl.merge(dims, on="rid", how="left")
+        keep = (np.abs(vm["x2"] - vm["x1"]) < vm["w"] * 0.01) & (
+            np.abs(vm["y2"] - vm["y1"]) > vm["h"] * 0.2)
+        vlf = vm[keep].copy()
+        n_vlines = vlf.groupby("rid", sort=False).size()
+        if len(vlf):
+            vlf["length"] = np.abs(vlf["y2"] - vlf["y1"])
+            center_ok = (
+                np.abs((vlf["x1"] + vlf["x2"]) / 2.0 - vlf["w"] / 2.0)
+                < vlf["w"] * 0.25
+            )
+            cand = vlf[center_ok]
+            if len(cand):
+                best = cand.loc[cand.groupby("rid", sort=False)["length"].idxmax()]
+                sep_line = {r: float(v) for r, v in
+                            zip(best["rid"], (best["x1"] + best["x2"]) / 2.0)}
+                hy_line = {r: float(v) for r, v in zip(best["rid"], best["y1"])}
+                fy_line = {r: float(v) for r, v in zip(best["rid"], best["y2"])}
+
+    # --- A000 grid search, closed form (A000:167-181) --------------------
+    # First c in range(int(0.3w), int(0.7w)+1, 5) with strictly more than
+    # 10% of block centers on each side. count(cx < c) is nondecreasing and
+    # count(cx > c) nonincreasing in c, so valid c form the open interval
+    # (lo, hi) with lo = k-th smallest center, hi = k-th largest,
+    # k = floor(0.1n)+1 (integer count > 0.1n). Answer = first grid point
+    # > lo if it is also < hi and <= the inclusive end, else w/2.
+    separators = dict(zip(dims_w.index, dims_w.to_numpy() / 2.0))
+    if len(blocks):
+        bb0 = blocks.merge(dims, on="rid")
+        bb0["cx"] = (bb0["x0"] + bb0["x1"]) / 2.0
+        s = bb0.sort_values(["rid", "cx"], kind="stable")
+        pos = s.groupby("rid", sort=False).cumcount().to_numpy()
+        sizes = s.groupby("rid", sort=False)["cx"].transform("size").to_numpy()
+        k = np.floor(sizes * 0.1).astype(np.int64) + 1
+        lo_rows = s[pos == k - 1]
+        hi_rows = s[pos == sizes - k]
+        grid = pd.DataFrame({
+            "lo": lo_rows.set_index("rid")["cx"],
+            "hi": hi_rows.set_index("rid")["cx"],
+            "w": lo_rows.set_index("rid")["w"],
+        }).dropna()
+        a = np.trunc(grid["w"].to_numpy() * 0.3)
+        end = np.trunc(grid["w"].to_numpy() * 0.7)
+        lo = grid["lo"].to_numpy()
+        hi = grid["hi"].to_numpy()
+        i_min = np.where(lo < a, 0.0, np.floor((lo - a) / 5.0) + 1)
+        c = a + 5.0 * i_min
+        ok = (c <= end) & (c < hi)
+        for rid_, c_, ok_ in zip(grid.index, c, ok):
+            if ok_:
+                separators[rid_] = float(c_)
+    separators.update((r, float(v)) for r, v in sep_line.items())
+
+    # --- C3 classification by block edges (A000:183-215) -----------------
+    region_text = pd.DataFrame({"rid": [], "region": [], "text": []})
+    region_counts = {}
+    if len(blocks):
+        bb = blocks.merge(dims, on="rid")
+        bb["sep"] = bb["rid"].map(separators)
+        h_arr = bb["h"].to_numpy()
+        hy_arr = bb["rid"].map(hy_line).to_numpy(dtype=float)
+        fy_arr = bb["rid"].map(fy_line).to_numpy(dtype=float)
+        eff_header = np.where(np.isnan(hy_arr), h_arr * 0.15, hy_arr + 10)
+        eff_footer = np.where(np.isnan(fy_arr), h_arr * 0.9, fy_arr - 10)
+        bb_cx = ((bb["x0"] + bb["x1"]) / 2.0).to_numpy()
+        is_header = bb["y1"].to_numpy() < eff_header
+        is_footer = ~is_header & (bb["y0"].to_numpy() > eff_footer)
+        region = np.where(
+            is_header, "header",
+            np.where(
+                is_footer, "footer",
+                np.where(bb_cx < bb["sep"].to_numpy(), "left_column", "right_column"),
+            ),
+        )
+        bb["region"] = region
+        region_text = _reassemble_regions_a000(
+            bb[["rid", "region", "x0", "y0", "x1", "y1", "text"]])
+        region_counts = (
+            bb.groupby(["rid", "region"], sort=False).size().unstack(fill_value=0)
+        )
+
+    # --- assemble rows with A000's metadata keys (A000:270-281) ----------
+    base = rows[["rid", "turn_idx"]].copy()
+    piv = (
+        region_text.pivot(index="rid", columns="region", values="text")
+        if len(region_text)
+        else pd.DataFrame()
+    )
+    for col in ("header", "footer", "left_column", "right_column"):
+        vals = piv[col] if col in piv.columns else pd.Series(dtype=object)
+        base[col] = base["rid"].map(vals).fillna("")
+    base["page_width"] = base["rid"].map(dims_idx["w"])
+    base["page_height"] = base["rid"].map(dims_idx["h"])
+    base["column_separator_position"] = base["rid"].map(separators)
+    base["page_number"] = base["turn_idx"].to_numpy() + 1
+
+    def _aligned(series) -> np.ndarray:
+        if len(series):
+            return series.reindex(dims_w.index).fillna(0).astype(np.int64).to_numpy()
+        return np.zeros(len(dims_w), dtype=np.int64)
+
+    total_blocks = _aligned(
+        blocks.groupby("rid", sort=False).size() if len(blocks) else pd.Series(dtype=np.int64))
+    vln_arr = _aligned(n_vlines)
+    region_names = ("header", "footer", "left_column", "right_column")
+    if len(region_counts):
+        rc_full = region_counts.reindex(
+            index=dims_w.index, columns=region_names, fill_value=0).fillna(0)
+        reg_arrs = [rc_full[c].astype(np.int64).to_numpy() for c in region_names]
+    else:
+        reg_arrs = [np.zeros(len(dims_w), dtype=np.int64)] * 4
+    hy_vals = [hy_line.get(r) for r in dims_w.index]
+    fy_vals = [fy_line.get(r) for r in dims_w.index]
+    metadata = [
+        {
+            "total_text_blocks_layoutlm": str(t),
+            "header_blocks": str(hh),
+            "footer_blocks": str(ff),
+            "left_column_blocks": str(ll),
+            "right_column_blocks": str(rr),
+            "vertical_lines_detected_count": str(v),
+            "page_rect": f"[0.0, 0.0, {float(w)!r}, {float(h)!r}]",
+            "header_y_boundary": json.dumps(hy),
+            "footer_y_boundary": json.dumps(fy),
+        }
+        for t, hh, ff, ll, rr, v, w, h, hy, fy in zip(
+            total_blocks, reg_arrs[0], reg_arrs[1], reg_arrs[2], reg_arrs[3],
+            vln_arr, dims["w"].to_numpy(), dims["h"].to_numpy(),
+            hy_vals, fy_vals)
+    ]
+    meta_by_rid = pd.Series(metadata, index=dims["rid"].to_numpy())
+    base["metadata"] = base["rid"].map(meta_by_rid)
+
+    return base[["rid"] + LAYOUT_FIELDS]
+
+
+def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:
+    """Vectorized A003-family extraction for tool='page/v1' rows.
+
+    ``rows``: columns rid (batch-local int64), turn_idx, text.
+    Returns one layout row per rid.
+    """
+    state, out_parts = _tokenize_stage(rows)
+    if state is not None:
+        out_parts = out_parts + [_classify_stage(state, variant)]
+    if not out_parts:
+        return _empty_layout_frame()
     return pd.concat(out_parts, ignore_index=True)
+
+
+def _extract_page_rows_multi(rows: pd.DataFrame, variants) -> dict:
+    """One tokenize, N classifications: variant -> layout frame.
+
+    The D4 comparison fan-out previously re-tokenized identical payloads
+    once per variant; the span-tree parse is variant-independent
+    (/root/reference/pdf_layout_tester.py:325-365 runs extractors on the
+    same already-opened pages), so only ``_classify_stage`` repeats."""
+    state, out_parts = _tokenize_stage(rows)
+    result = {}
+    for v in variants:
+        parts = list(out_parts)
+        if state is not None:
+            parts.append(_classify_stage(state, v))
+        result[v] = (
+            pd.concat(parts, ignore_index=True) if parts else _empty_layout_frame()
+        )
+    return result
 
 
 _PAGE_RECT_JSON = json.dumps([0.0, 0.0, DEFAULT_PAGE_W, DEFAULT_PAGE_H])
@@ -676,3 +927,50 @@ def extract_layouts(df, variant: str = "a003"):
             yield extract_batch(pdf, variant)
 
     return df.mapInPandas(run, schema=LAYOUT_SCHEMA_DDL)
+
+
+def extract_batch_multi(pdf: pd.DataFrame, variants) -> pd.DataFrame:
+    """Multi-variant extraction for one Arrow batch: tokenize the page
+    payloads once, classify per variant; html/plain rows are
+    variant-independent and computed once, replicated per variant. Output
+    adds ``extractor_name``."""
+    pdf = pdf.reset_index(drop=True)
+    pdf["rid"] = np.arange(len(pdf), dtype=np.int64)
+    tool = pdf["tool"].fillna("plain")
+    try:
+        per_variant = _extract_page_rows_multi(
+            pdf[tool == "page/v1"][["rid", "turn_idx", "text"]], variants)
+        shared = [
+            _extract_html_rows(pdf[tool == "html/v1"][["rid", "turn_idx", "text"]]),
+            _extract_plain_rows(
+                pdf[~tool.isin(["page/v1", "html/v1"])][["rid", "turn_idx", "text"]]),
+        ]
+        frames = []
+        for v in variants:
+            layouts = pd.concat([per_variant[v]] + shared, ignore_index=True)
+            merged = pdf.drop(columns=["text"]).merge(layouts, on="rid").sort_values("rid")
+            cols = [c for c in PASSTHROUGH if c in merged.columns] + LAYOUT_FIELDS
+            out = merged[cols].reset_index(drop=True)
+            out["extractor_name"] = v
+            frames.append(out)
+        return pd.concat(frames, ignore_index=True)
+    except Exception:  # noqa: BLE001 — batch-level degrade: per-variant oracle
+        src = pdf.drop(columns=["rid"])
+        frames = []
+        for v in variants:
+            out = extract_batch(src.copy(), variant=v)
+            out["extractor_name"] = v
+            frames.append(out)
+        return pd.concat(frames, ignore_index=True)
+
+
+def extract_layouts_multi(df, variants=("a002", "a003", "a004")):
+    """Spark operator: one scan + one MapInPandas emitting every variant's
+    layouts tagged with ``extractor_name`` (the D4 fan-out without N input
+    scans or N tokenizes)."""
+
+    def run(batches):
+        for pdf in batches:
+            yield extract_batch_multi(pdf, variants)
+
+    return df.mapInPandas(run, schema=LAYOUT_SCHEMA_DDL + ", extractor_name string")

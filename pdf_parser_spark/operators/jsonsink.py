@@ -31,11 +31,23 @@ PAGE_FIELDS = (
 
 
 def layout_struct() -> F.Column:
-    return F.struct(*[F.col(c) for c in PAGE_FIELDS])
+    # Error rows carry NaN column_separator_position (pandas float path);
+    # to_json serializes NaN as the string "NaN" whereas the reference's
+    # json.dumps of None emits null — normalize NaN to null here so the
+    # S8 sink shape matches for error pages.
+    cols = [
+        F.when(F.isnan(F.col(c)), F.lit(None).cast("double"))
+        .otherwise(F.col(c)).alias(c)
+        if c == "column_separator_position" else F.col(c)
+        for c in PAGE_FIELDS
+    ]
+    return F.struct(*cols)
 
 
 def layout_json_col() -> F.Column:
-    return F.to_json(layout_struct())
+    # ignoreNullFields=false: the reference's json.dumps(asdict(...))
+    # serializes None fields as explicit nulls, not omissions.
+    return F.to_json(layout_struct(), {"ignoreNullFields": "false"})
 
 
 def with_layout_json(layouts: DataFrame) -> DataFrame:
@@ -44,6 +56,11 @@ def with_layout_json(layouts: DataFrame) -> DataFrame:
 
 def conversation_json(layouts: DataFrame) -> DataFrame:
     """One ExtractionResult-shaped JSON document per conversation."""
+    layouts = layouts.withColumn(
+        "column_separator_position",
+        F.when(F.isnan("column_separator_position"),
+               F.lit(None).cast("double"))
+        .otherwise(F.col("column_separator_position")))
     return (
         layouts.groupBy("conv_id")
         .agg(
@@ -61,6 +78,7 @@ def conversation_json(layouts: DataFrame) -> DataFrame:
         )
         .select(
             "conv_id",
-            F.to_json(F.struct("conv_id", "total_pages", "pages")).alias("doc_json"),
+            F.to_json(F.struct("conv_id", "total_pages", "pages"),
+                      {"ignoreNullFields": "false"}).alias("doc_json"),
         )
     )

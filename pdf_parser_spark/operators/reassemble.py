@@ -33,16 +33,22 @@ def reassemble_conversations(
     block_size: int = 1024,
 ) -> DataFrame:
     """One row per conv_id: ``doc`` = text_col of every turn joined by
-    ``sep`` in turn_idx order, plus n_turns. Two-stage for skew safety."""
-    esc = sep.replace("'", "\\'")
+    ``sep`` in turn_idx order, plus n_turns. Two-stage for skew safety.
+
+    The separator rides as a plain literal through ``array_join`` — never
+    spliced into the SQL text, where backslashes/quotes would be
+    re-parsed as escape sequences."""
     partial = (
         df.select("conv_id", "turn_idx", F.col(text_col).alias("t"))
         .withColumn("block", (F.col("turn_idx") / block_size).cast("long"))
         .groupBy("conv_id", "block")
         .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(struct(turn_idx, t))), "
-                f"s -> s.t), '{esc}')"
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "t"))),
+                    lambda s: s["t"],
+                ),
+                sep,
             ).alias("part"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -50,9 +56,12 @@ def reassemble_conversations(
     return (
         partial.groupBy("conv_id")
         .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(struct(block, part))), "
-                f"s -> s.part), '{esc}')"
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("block", "part"))),
+                    lambda s: s["part"],
+                ),
+                sep,
             ).alias("doc"),
             F.sum("n").alias("n_turns"),
         )

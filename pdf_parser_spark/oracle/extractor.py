@@ -74,6 +74,7 @@ class VariantConfig:
 
 
 VARIANTS = {
+    "a000": VariantConfig("a000", 0.15, 0.90, "line_extent", ()),
     "a002": VariantConfig("a002", 0.15, 0.90, "band", ()),
     "a003": VariantConfig("a003", 0.15, 0.95, "semantic", tuple(A003_FOOTER_KEYWORDS)),
     "a004": VariantConfig("a004", 0.10, 0.95, "keyword", tuple(A004_FOOTER_KEYWORDS)),
@@ -113,6 +114,141 @@ def find_column_separator(page: ParsedPage, blocks: list) -> float:
         if left > 0 and right > 0:
             return float(sep_x)
     return width / 2
+
+
+# --- A000 variant (C3 line-extent classifier, no ML dependency) ----------
+#
+# The reference's A000 sources blocks from a detectron2 layout model
+# (S5/S6, /root/reference/A000_layoutlm_extractor.py:59-98) — torch is
+# absent and the path untested, so block DETECTION is stubbed
+# deterministically with the native tokenized blocks (the same stand-in
+# shape as corpus/multimodal.py's codec stub: real dataflow, stubbed
+# model). Everything downstream of detection is the reference's own
+# heuristic code, ported exactly:
+#
+# * proportional vertical-line predicate: |x1-x0| < 0.01*w and
+#   |y1-y0| > 0.2*h (A000:116-126)
+# * best-line window 0.25*w, returns the line's (y0, y1) extent
+#   (A000:141-161)
+# * grid search: range(int(0.3w), int(0.7w)+1, 5), CENTER-based counts,
+#   both sides > 10% of blocks (A000:167-181); centers equal to the
+#   candidate count on neither side
+# * classify by block EDGES against line-extent bounds: header iff
+#   y1 < line_y0+10 (else 0.15h), footer iff y0 > line_y1-10 (else 0.9h)
+#   (A000:183-215)
+# * line grouping by running max-y1: a block joins the current line iff
+#   y0 < current_line_y_max + 10 (A000:226-241)
+# * metadata keys per A000:270-281 (no has_footer / colored_footer keys)
+
+
+def _vertical_lines_a000(page: ParsedPage):
+    """A000's proportional P1 (A000:116-126)."""
+    return [
+        (x1, y1, x2, y2)
+        for (x1, y1, x2, y2) in page.lines
+        if abs(x2 - x1) < page.width * 0.01 and abs(y2 - y1) > page.height * 0.2
+    ]
+
+
+def find_column_separator_a000(page: ParsedPage, blocks: list):
+    """A000 separator search; returns (separator_x, line_y0, line_y1)
+    (A000:127-181)."""
+    width = page.width
+    separator_x = width / 2
+    vlines = _vertical_lines_a000(page)
+    if vlines:
+        center_x = width / 2
+        best, best_length = None, 0.0
+        for x1, y1, x2, y2 in vlines:
+            length = abs(y2 - y1)
+            if abs((x1 + x2) / 2 - center_x) < width * 0.25 and length > best_length:
+                best, best_length = (x1, y1, x2, y2), length
+        if best:
+            return (best[0] + best[2]) / 2, best[1], best[3]
+
+    if not blocks:
+        return width / 2, None, None
+
+    n = len(blocks)
+    for sep_x in range(int(width * 0.3), int(width * 0.7) + 1, 5):
+        left = sum(1 for b in blocks if (b.x0 + b.x1) / 2 < sep_x)
+        right = sum(1 for b in blocks if (b.x0 + b.x1) / 2 > sep_x)
+        if left > n * 0.1 and right > n * 0.1:
+            separator_x = float(sep_x)
+            break
+    return separator_x, None, None
+
+
+def classify_regions_a000(blocks: list, height: float, separator_x: float,
+                          header_y_max, footer_y_min) -> dict:
+    """C3: block-EDGE classification against line-extent bounds
+    (A000:183-215)."""
+    eff_header = header_y_max + 10 if header_y_max is not None else height * 0.15
+    eff_footer = footer_y_min - 10 if footer_y_min is not None else height * 0.9
+    regions = {"header": [], "footer": [], "left_column": [], "right_column": []}
+    for b in blocks:
+        if b.y1 < eff_header:
+            regions["header"].append(b)
+        elif b.y0 > eff_footer:
+            regions["footer"].append(b)
+        elif (b.x0 + b.x1) / 2 < separator_x:
+            regions["left_column"].append(b)
+        else:
+            regions["right_column"].append(b)
+    return regions
+
+
+def blocks_to_text_a000(blocks: list) -> str:
+    """A000's O2: running-max-y1 line grouping (A000:217-248)."""
+    if not blocks:
+        return ""
+    ordered = sorted(blocks, key=lambda b: (b.y0, b.x0))
+    lines, current, cur_y_max = [], [], -1.0
+    for b in ordered:
+        if not current or b.y0 < cur_y_max + 10:
+            current.append(b)
+            cur_y_max = max(cur_y_max, b.y1)
+        else:
+            lines.append(current)
+            current = [b]
+            cur_y_max = b.y1
+    if current:
+        lines.append(current)
+    return "\n".join(
+        " ".join(b.text for b in sorted(line, key=lambda b: b.x0)) for line in lines
+    )
+
+
+def _extract_turn_a000(page: ParsedPage, blocks: list, turn_idx: int) -> dict:
+    """A000's extract_page_layout on stub-detected blocks (A000:250-293).
+    Unlike A003's, the reference A000 has NO per-page error wrapper; our
+    engine still degrades per turn (the caller's try/except) because a
+    failing Spark task would violate resume accounting (D1 rationale)."""
+    separator_x, line_y0, line_y1 = find_column_separator_a000(page, blocks)
+    regions = classify_regions_a000(
+        blocks, page.height, separator_x, line_y0, line_y1)
+    metadata = {
+        "total_text_blocks_layoutlm": _meta(len(blocks)),
+        "header_blocks": _meta(len(regions["header"])),
+        "footer_blocks": _meta(len(regions["footer"])),
+        "left_column_blocks": _meta(len(regions["left_column"])),
+        "right_column_blocks": _meta(len(regions["right_column"])),
+        "vertical_lines_detected_count": _meta(len(_vertical_lines_a000(page))),
+        "page_rect": _meta([0.0, 0.0, page.width, page.height]),
+        "header_y_boundary": _meta(line_y0),
+        "footer_y_boundary": _meta(line_y1),
+    }
+    return {
+        "page_number": turn_idx + 1,
+        "header": blocks_to_text_a000(regions["header"]),
+        "footer": blocks_to_text_a000(regions["footer"]),
+        "left_column": blocks_to_text_a000(regions["left_column"]),
+        "right_column": blocks_to_text_a000(regions["right_column"]),
+        "page_width": page.width,
+        "page_height": page.height,
+        "column_separator_position": separator_x,
+        "metadata": metadata,
+    }
 
 
 def _colored_regions(page: ParsedPage):
@@ -276,6 +412,9 @@ def extract_turn(
                     )
                 ]
             page.blocks = blocks
+
+        if cfg.footer_mode == "line_extent":
+            return _extract_turn_a000(page, blocks, turn_idx)
 
         separator_x = find_column_separator(page, blocks)
         regions = classify_regions(page, blocks, separator_x, cfg)

@@ -178,9 +178,21 @@ def test_json_sink_roundtrip(spark, layouts):
     for r in per_turn:
         obj = json.loads(r.layout_json)
         assert obj["page_number"] == r.page_number
-        assert set(obj) <= {"page_number", "header", "footer", "left_column",
+        assert set(obj) == {"page_number", "header", "footer", "left_column",
                             "right_column", "page_width", "page_height",
                             "column_separator_position", "metadata"}
+
+    # error rows serialize column_separator_position as JSON null (the
+    # reference's json.dumps of None), never the string "NaN"
+    err = (
+        with_layout_json(layouts)
+        .filter(F.map_contains_key("metadata", "error"))
+        .select("layout_json").limit(10).collect())
+    assert err, "fixture has no error rows"
+    for r in err:
+        obj = json.loads(r.layout_json)
+        assert obj["column_separator_position"] is None
+        assert "NaN" not in r.layout_json
 
     docs = conversation_json(layouts).limit(5).collect()
     for r in docs:

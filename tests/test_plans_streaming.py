@@ -66,6 +66,61 @@ def test_compare_extractors(spark, transcripts_sf0001):
     assert counts == {"a002": n, "a003": n, "a004": n}
 
 
+def test_compare_extractors_single_pass_matches_per_variant(spark, transcripts_sf0001):
+    """The fused D4 fan-out (one scan, one tokenize) emits exactly what N
+    independent extract_layouts runs emit, and its plan reads the input
+    once with no shuffle."""
+    import re
+
+    from pdf_parser_spark.operators.extract import extract_layouts
+
+    src = spark.read.parquet(transcripts_sf0001).filter(F.col("turn_idx") < 4)
+    fused = compare_extractors(src)
+    plan = fused._sc._jvm.PythonSQLUtils.explainString(
+        fused._jdf.queryExecution(), "formatted")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Exchange" not in plan
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1
+
+    key = ["conv_id", "turn_idx", "extractor_name"]
+    got = fused.orderBy(*key).toPandas().set_index(key)
+    for v in ("a002", "a003", "a004"):
+        want = (
+            extract_layouts(src, variant=v)
+            .withColumn("extractor_name", F.lit(v))
+            .orderBy(*key).toPandas().set_index(key))
+        sub = got.loc[(slice(None), slice(None), v), :]
+        for col in ("header", "footer", "left_column", "right_column",
+                    "page_number", "metadata"):
+            assert list(sub[col]) == list(want[col]), (v, col)
+
+
+def test_validate_extractor_protocol():
+    """D5: a conforming module passes; malformed extractors are rejected
+    with the reference's arity-style errors."""
+    from pdf_parser_spark.operators import extract as extract_mod
+    from pdf_parser_spark.operators.compare import validate_extractor
+
+    assert validate_extractor(extract_mod) == []
+
+    class Missing:
+        pass
+
+    errs = validate_extractor(Missing)
+    assert any("missing required callable" in e for e in errs)
+
+    class BadArity:
+        @staticmethod
+        def extract_batch(a, b, c):  # three REQUIRED args: not protocol
+            return None
+
+        extract_layouts = "not callable"
+
+    errs = validate_extractor(BadArity)
+    assert any("extract_batch" in e and "positional" in e for e in errs)
+    assert any("not callable" in e for e in errs)
+
+
 # ---- normalization -------------------------------------------------------
 
 def test_normalize_layouts(spark):

@@ -89,7 +89,24 @@ def test_html_batch_spans_and_labels():
 def test_variant_dispatch_vectorized():
     payload = make_page_payload("vv", 0, "keyword_footer")
     batch = _batch_frame([("vv", 0, "user", payload, "page/v1")])
-    for variant in ("a002", "a003", "a004"):
+    for variant in ("a000", "a002", "a003", "a004"):
         out = extract_batch(batch.copy(), variant=variant)
         want = extract_turn(payload, "page/v1", 0, variant=variant)
         _assert_layout_equal(out.iloc[0], want, f"variant={variant}")
+
+
+@pytest.mark.parametrize("archetype", PAGE_ARCHETYPES)
+def test_a000_vectorized_matches_oracle_per_archetype(archetype):
+    """The A000 line-extent classifier (C3) — proportional P1, extent
+    bounds, center-count grid search, running-max line grouping — equals
+    its oracle on every archetype."""
+    rows = []
+    for i in range(8):
+        conv = f"a0-{archetype}-{i}"
+        rows.append((conv, i, "user", make_page_payload(conv, i, archetype), "page/v1"))
+    batch = _batch_frame(rows)
+    out = extract_batch(batch, variant="a000")
+    assert len(out) == len(rows)
+    for i, (conv, turn_idx, _, payload, _tool) in enumerate(rows):
+        want = extract_turn(payload, "page/v1", turn_idx, variant="a000")
+        _assert_layout_equal(out.iloc[i], want, f"a000 {archetype}[{i}]")

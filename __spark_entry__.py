@@ -237,7 +237,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["markdown_c002"] = _md("c002")
 
     def q_reassemble(spark, sf_dir):
-        layouts = extract_layouts(_transcripts(spark, sf_dir))
+        # manual pruning through the MapInPandas barrier: only the three
+        # columns reassembly needs cross the Arrow boundary
+        layouts = extract_layouts(
+            _transcripts(spark, sf_dir),
+            columns=["conv_id", "turn_idx", "left_column"])
         return _longify(reassemble_conversations(layouts, text_col="left_column"))
 
     q["conv_reassembly"] = q_reassemble

@@ -60,7 +60,8 @@ def main() -> None:
         "html_spans": lambda: force_count(boilerplate_spans(transcripts)),
         "markdown_c001": lambda: to_markdown(extract_layouts(transcripts), "c001")
         .agg(F.sum(F.length("markdown"))).first()[0],
-        "conv_reassembly": lambda: extract_layouts(transcripts)
+        "conv_reassembly": lambda: extract_layouts(
+            transcripts, columns=["conv_id", "turn_idx", "left_column"])
         .transform(lambda df: reassemble_conversations(df))
         .agg(F.sum(F.length("doc"))).first()[0],
         "dedup_minhash_lsh": lambda: force_count(D.minhash_lsh_pairs(docs)),

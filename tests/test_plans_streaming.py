@@ -95,6 +95,30 @@ def test_compare_extractors_single_pass_matches_per_variant(spark, transcripts_s
             assert list(sub[col]) == list(want[col]), (v, col)
 
 
+def test_table_io_seam(tmp_path, monkeypatch):
+    """The pluggable IO interface: parquet impl round-trips data and
+    manifests; the Iceberg impl routes path-like targets to parquet and
+    raises clearly for catalog operations absent a runtime."""
+    from pdf_parser_spark.io import IcebergTableIO, ParquetTableIO, get_table_io
+
+    pio = ParquetTableIO()
+    mdir = str(tmp_path / "_manifests")
+    pio.commit_manifest(mdir, {"bucket": 3, "status": "committed"})
+    pio.commit_manifest(mdir, {"bucket": 1, "status": "committed"})
+    assert sorted(pio.committed_manifests(mdir)) == [1, 3]
+
+    iio = IcebergTableIO()
+    # path-like manifest dirs fall through to the file protocol
+    assert sorted(iio.committed_manifests(mdir)) == [1, 3]
+    with pytest.raises(NotImplementedError, match="Iceberg catalog"):
+        iio.committed_manifests("catalog.db.manifests")
+
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "iceberg")
+    assert get_table_io().format == "iceberg"
+    monkeypatch.delenv("SPARK_GRAFT_TABLE_FORMAT")
+    assert get_table_io().format == "parquet"
+
+
 def test_validate_extractor_protocol():
     """D5: a conforming module passes; malformed extractors are rejected
     with the reference's arity-style errors."""

@@ -215,7 +215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_questions(spark, sf_dir):
         src = _transcripts(spark, sf_dir).filter(F.col("tool") == "page/v1")
-        layouts = extract_layouts(src, variant="a004")
+        layouts = extract_layouts(src, variant="a004", columns=[
+            "conv_id", "turn_idx", "page_number", "left_column", "right_column"])
         return _longify(extract_questions(layouts))
 
     q["question_spans"] = q_questions
@@ -227,7 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _md(flavor):
         def run(spark, sf_dir):
-            layouts = extract_layouts(_transcripts(spark, sf_dir))
+            layouts = extract_layouts(_transcripts(spark, sf_dir), columns=[
+                "conv_id", "turn_idx", "page_number", "header", "footer",
+                "left_column", "right_column"])
             return _longify(
                 to_markdown(layouts, flavor=flavor)
                 .select("conv_id", "turn_idx", "markdown"))
@@ -492,6 +495,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = q_clusters
 
+    def q_near_dedup(spark, sf_dir):
+        docs = _tbl(spark, sf_dir, "documents")
+        return _longify(
+            D.near_dedup_keep_docs(docs, threshold=JACCARD_THRESHOLD)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+    q["near_dedup_keep"] = q_near_dedup
+
     def q_df_stats(spark, sf_dir):
         return _longify(TS.token_df_stats(_tbl(spark, sf_dir, "documents")))
 
@@ -529,6 +540,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(S.ivf_topk(_tbl(spark, sf_dir, "embeddings"), k=10))
 
     q["ann_ivf_topk"] = q_ivf_topk
+
+    def q_ivf_topk_probe2(spark, sf_dir):
+        return _longify(S.ivf_topk(
+            _tbl(spark, sf_dir, "embeddings"), k=10, n_probe=2))
+
+    q["ann_ivf_topk_probe2"] = q_ivf_topk_probe2
 
     # --- multimodal plumbing ----------------------------------------------
     def q_multimodal(spark, sf_dir):
@@ -804,6 +821,40 @@ def oracle_sql() -> dict[str, str]:
                    least(src, min(dst))::BIGINT AS cluster_id
             FROM reach GROUP BY src
         """,
+        "near_dedup_keep": f"""
+            WITH RECURSIVE {_SHINGLE_CTES},
+            {_MINHASH_CTES},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT p.id_a, p.id_b, count(*) AS i
+                FROM mh_pairs p
+                JOIN sh a ON a.doc_id = p.id_a
+                JOIN sh b ON b.doc_id = p.id_b AND b.sh = a.sh
+                GROUP BY 1, 2),
+            jac AS (
+                SELECT p.id_a, p.id_b
+                FROM mh_pairs p
+                LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b
+                JOIN sizes sa ON sa.doc_id = p.id_a
+                JOIN sizes sb ON sb.doc_id = p.id_b
+                WHERE round(coalesce(i, 0)::DOUBLE
+                            / (sa.sz + sb.sz - coalesce(i, 0)), 4)
+                      >= {JACCARD_THRESHOLD}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM jac
+                UNION
+                SELECT id_b, id_a FROM jac),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            losers AS (
+                SELECT src AS doc_id FROM reach
+                GROUP BY src HAVING min(dst) < src)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
         "token_df_stats": f"""
             WITH toks AS (
                 SELECT DISTINCT doc_id,
@@ -933,6 +984,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM nrm n JOIN assign a ON n.vec_id = a.vec_id, qc
                 WHERE a.centroid_id = qc.qcent),
             q AS (SELECT e AS qe, norm AS qn FROM nrm WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_inner_product(e, qe) / (norm * qn), 4) AS score
+            FROM cand, q
+            WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "ann_ivf_topk_probe2": f"""
+            WITH {_VEC_CTES},
+            cents AS (
+                SELECT vec_id AS centroid_id, e AS cvec, norm AS cnorm
+                FROM nrm ORDER BY vec_id LIMIT 16),
+            scored AS (
+                SELECT n.vec_id, c.centroid_id,
+                       round(list_inner_product(n.e, c.cvec)
+                             / (n.norm * c.cnorm), 6) AS cscore
+                FROM nrm n, cents c),
+            best AS (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cscore DESC, centroid_id ASC) AS rn
+                FROM scored),
+            assign AS (SELECT vec_id, centroid_id FROM best WHERE rn = 1),
+            q AS (SELECT e AS qe, norm AS qn FROM nrm WHERE vec_id = 0),
+            qprobe AS (
+                SELECT c.centroid_id
+                FROM cents c, q
+                ORDER BY round(list_inner_product(c.cvec, q.qe)
+                               / (c.cnorm * q.qn), 6) DESC, c.centroid_id ASC
+                LIMIT 2),
+            cand AS (
+                SELECT n.vec_id, n.e, n.norm
+                FROM nrm n
+                JOIN assign a ON n.vec_id = a.vec_id
+                JOIN qprobe p ON a.centroid_id = p.centroid_id)
             SELECT vec_id,
                    round(list_inner_product(e, qe) / (norm * qn), 4) AS score
             FROM cand, q

@@ -56,9 +56,14 @@ def main() -> None:
         "extract_a003": lambda: force_count(extract_layouts(transcripts)),
         "extract_questions": lambda: force_count(
             extract_questions(extract_layouts(
-                transcripts.filter(F.col("tool") == "page/v1"), variant="a004"))),
+                transcripts.filter(F.col("tool") == "page/v1"), variant="a004",
+                columns=["conv_id", "turn_idx", "page_number",
+                         "left_column", "right_column"]))),
         "html_spans": lambda: force_count(boilerplate_spans(transcripts)),
-        "markdown_c001": lambda: to_markdown(extract_layouts(transcripts), "c001")
+        "markdown_c001": lambda: to_markdown(
+            extract_layouts(transcripts, columns=[
+                "conv_id", "turn_idx", "page_number", "header", "footer",
+                "left_column", "right_column"]), "c001")
         .agg(F.sum(F.length("markdown"))).first()[0],
         "conv_reassembly": lambda: extract_layouts(
             transcripts, columns=["conv_id", "turn_idx", "left_column"])

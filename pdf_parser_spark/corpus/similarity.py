@@ -153,16 +153,33 @@ def ivf_assign(df: DataFrame, n_centroids: int = 16,
 
 
 def ivf_topk(df: DataFrame, query_id: int = 0, k: int = 10,
-             n_centroids: int = 16, id_col: str = "vec_id",
+             n_centroids: int = 16, n_probe: int = 1, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
-    """IVF probe-1 ANN: search only the query's centroid cell (scans
-    ~N/C vectors; recall is tuned by probing more cells at scale)."""
+    """IVF probe-N ANN: search the ``n_probe`` cells whose centroids are
+    closest to the query (scans ~n_probe*N/C vectors; recall/latency knob
+    at scale). Probe cells are ranked by (cosine desc, centroid_id asc)
+    with the same 6dp rounding as assignment, so probe-1 is exactly the
+    query's own cell."""
     assign = ivf_assign(df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
     with_c = df.join(assign, id_col)
-    qc = (with_c.filter(F.col(id_col) == query_id)
-          .select(F.col("centroid_id").alias("qcent")))
-    cand = with_c.join(F.broadcast(qc),
-                       F.col("centroid_id") == F.col("qcent")).drop("qcent")
+    base = with_norm(df, vec_col)
+    cents = (
+        base.orderBy(F.col(id_col).asc()).limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("cvec"), F.col("norm").alias("cnorm"))
+    )
+    q = (base.filter(F.col(id_col) == query_id)
+         .select(F.col(vec_col).alias("qvec"), F.col("norm").alias("qnorm")))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            F.round(cosine("cvec", "qvec", "cnorm", "qnorm"), 6).alias("cscore"))
+        .orderBy(F.col("cscore").desc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    cand = with_c.join(F.broadcast(probe), "centroid_id").drop("centroid_id")
     return brute_topk(cand, query_id=query_id, k=k, id_col=id_col, vec_col=vec_col)
 
 

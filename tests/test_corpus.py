@@ -225,6 +225,25 @@ def test_jaccard_on_candidates_matches_full_join(spark, docs):
     assert (0, 1) in got and got[(0, 1)] == 1.0
 
 
+def test_near_dedup_keep_docs_pipeline(docs):
+    """LSH -> exact Jaccard -> components -> keep-min, end to end."""
+    kept = sorted(r.doc_id for r in
+                  D.near_dedup_keep_docs(docs, threshold=0.5).collect())
+    # 0,1,2 are canonical-exact dups: identical shingle sets -> identical
+    # minhash signatures -> guaranteed LSH collision -> keep only 0.
+    # 3 (jaccard ~0.56 vs 0) is removed only if LSH proposed it (banding
+    # is probabilistic at this similarity); 4 and 5 always survive.
+    assert 0 in kept and 4 in kept and 5 in kept
+    assert 1 not in kept and 2 not in kept
+    cands = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (3 in kept) == ((0, 3) not in cands)
+    # a high threshold keeps the near-dup even when it is a candidate
+    kept_strict = sorted(r.doc_id for r in
+                         D.near_dedup_keep_docs(docs, threshold=0.99).collect())
+    assert 3 in kept_strict and 0 in kept_strict
+    assert 1 not in kept_strict and 2 not in kept_strict
+
+
 def test_token_df_stats(spark, docs):
     stats = {r.doc_id: r for r in TS.token_df_stats(docs).collect()}
     # 'the' appears in docs 0,1,2,3 -> df=4; doc 4 shares no tokens with 0-3

@@ -1,0 +1,95 @@
+"""CLI corpus near-dedup job: the spark-submit deployment surface for the
+training-data pipeline (the corpus analog of jobs/extract_job.py):
+
+    spark-submit --py-files engine.zip jobs/dedup_job.py \\
+        --input  /path/to/documents_ds \\
+        --output /path/to/kept_ds \\
+        [--method minhash|exact|simhash] [--threshold 0.5] \\
+        [--report-clusters]
+
+Runs the scale-shaped pipeline (candidates are always bucketed, never
+all-pairs; exact Jaccard only on candidates; connected components via
+pointer-jumping label propagation) and writes the surviving documents
+through the pluggable table IO.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="corpus near-dedup job")
+    p.add_argument("--input", required=True, help="documents table/path")
+    p.add_argument("--output", required=True, help="kept-documents output")
+    p.add_argument("--method", default="minhash",
+                   choices=("minhash", "exact", "simhash"))
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="Jaccard threshold (minhash method)")
+    p.add_argument("--max-hamming", type=int, default=1,
+                   help="Hamming radius (simhash method)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--report-clusters", action="store_true",
+                   help="also print the duplicate-cluster summary")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = SparkSession.builder.appName("dedup-job").getOrCreate()
+
+    from pdf_parser_spark.corpus import dedup as D
+    from pdf_parser_spark.io import read_table, write_table
+
+    docs = read_table(spark, args.input)
+    n_in = docs.count()
+
+    if args.method == "exact":
+        keep = D.exact_dedup(docs, id_col=args.id_col, text_col=args.text_col)
+        kept = docs.join(
+            F.broadcast(keep.select(F.col("keep_id").alias(args.id_col))),
+            args.id_col, "left_semi")
+        pairs = None
+    elif args.method == "simhash":
+        pairs = D.simhash_pairs(
+            docs, max_hamming=args.max_hamming,
+            id_col=args.id_col, text_col=args.text_col)
+        clusters = D.dup_clusters(pairs)
+        losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+                  .select(F.col("doc_id").alias(args.id_col)))
+        kept = docs.join(F.broadcast(losers), args.id_col, "left_anti")
+    else:
+        pairs = D.jaccard_on_candidates(
+            D.minhash_lsh_pairs(docs, id_col=args.id_col,
+                                text_col=args.text_col),
+            docs, threshold=args.threshold,
+            id_col=args.id_col, text_col=args.text_col)
+        clusters = D.dup_clusters(pairs)
+        losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+                  .select(F.col("doc_id").alias(args.id_col)))
+        kept = docs.join(F.broadcast(losers), args.id_col, "left_anti")
+
+    write_table(kept, args.output)
+    n_out = read_table(spark, args.output).count()
+    print(f"dedup-job done: method={args.method} docs_in={n_in} "
+          f"docs_kept={n_out} removed={n_in - n_out}")
+    if args.report_clusters and pairs is not None:
+        stats: dict = {}
+        summary = (
+            D.dup_clusters(pairs, stats=stats)
+            .groupBy("cluster_id").count()
+            .filter(F.col("count") > 1)
+            .orderBy(F.col("count").desc()))
+        summary.show(20, truncate=False)
+        print(f"cluster rounds={stats.get('rounds')} "
+              f"converged={stats.get('converged')}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -105,6 +105,24 @@ def main() -> None:
               "at stage 2, not O(turns)."),
     )
 
+    from pdf_parser_spark.operators.compare import compare_extractors
+
+    cmp_plan_df = compare_extractors(tr)
+    cmp_plan = formatted(cmp_plan_df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", cmp_plan, re.M)) == 1, \
+        "compare fan-out: more than one input scan"
+    assert len(re.findall(r"^\(\d+\) MapInPandas", cmp_plan, re.M)) == 1, \
+        "compare fan-out: more than one MapInPandas"
+    assert "Exchange" not in cmp_plan, "compare fan-out: unexpected shuffle"
+    sections.append((
+        "Extractor comparison fan-out (D4, fused)",
+        ("All N variants come from ONE scan and ONE MapInPandas (asserted): "
+         "the tokenize stage is variant-independent, so the fused operator "
+         "parses each payload once and classifies N times inside the same "
+         "Arrow batch — previously N independent extract_layouts runs "
+         "re-read and re-tokenized the input N times."),
+        compact(cmp_plan)))
+
     audit(
         "ANN brute top-k (exact baseline)",
         S.brute_topk(embs, k=10),

@@ -168,6 +168,23 @@ def test_lineage_error_rows_accounted(spark, transcripts_sf0001, tmp_path):
     assert n_err > 0  # the fixture includes malformed payloads
 
 
+def test_reassembly_mega_conversation_two_stage(spark):
+    """Skew evidence: a single conversation far larger than block_size
+    reassembles correctly — stage 1 splits it into per-block partials so
+    no task ever sort-merges more than block_size turns."""
+    n = 5000
+    rows = [("mega", i, f"turn {i}") for i in range(n)] + [
+        ("tiny", 0, "a"), ("tiny", 1, "b")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, left_column string").repartition(16)
+    out = {r.conv_id: r for r in
+           reassemble_conversations(df, block_size=256).collect()}
+    assert out["mega"].n_turns == n
+    want = "\n\n".join(f"turn {i}" for i in range(n))
+    assert out["mega"].doc == want  # exact turn order across 20 blocks
+    assert out["tiny"].doc == "a\n\nb"
+
+
 def test_json_sink_roundtrip(spark, layouts):
     import json
 

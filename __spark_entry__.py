@@ -213,6 +213,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle/extractor.py's A000 section)
     q["layout_extract_a000"] = _layout_query("a000", page_only=True)
 
+    def q_blocks(spark, sf_dir):
+        from pdf_parser_spark.operators.extract import extract_blocks
+
+        src = _transcripts(spark, sf_dir).filter(F.col("tool") == "page/v1")
+        return _longify(extract_blocks(src))
+
+    q["text_blocks"] = q_blocks
+
+    def q_region_clip(spark, sf_dir):
+        # S7: clip to the top-left quadrant of a 612x792 page, then an
+        # ordered per-turn reassembly of the clipped region's text
+        from pdf_parser_spark.operators.extract import clip_blocks, extract_blocks
+
+        src = _transcripts(spark, sf_dir).filter(F.col("tool") == "page/v1")
+        clipped = clip_blocks(extract_blocks(src), 0.0, 0.0, 306.0, 396.0)
+        return _longify(
+            clipped.groupBy("conv_id", "turn_idx")
+            .agg(
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("y0", "x0", "block_idx", "text"))),
+                        lambda s: s["text"]),
+                    "\n").alias("clipped"),
+            ))
+
+    q["region_text_clip"] = q_region_clip
+
     def q_questions(spark, sf_dir):
         src = _transcripts(spark, sf_dir).filter(F.col("tool") == "page/v1")
         layouts = extract_layouts(src, variant="a004", columns=[
@@ -580,6 +609,21 @@ def oracle_sql() -> dict[str, str]:
         "layout_extract_a002": _layout_oracle("layouts_a002"),
         "layout_extract_a004": _layout_oracle("layouts_a004"),
         "layout_extract_a000": _layout_oracle("layouts_a000"),
+        "text_blocks": f"""
+            SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+                   block_idx::BIGINT AS block_idx,
+                   x0, y0, x1, y1, font_size, font_name, text
+            FROM read_parquet('{_golden("blocks")}')
+        """,
+        "region_text_clip": f"""
+            SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+                   count(*)::BIGINT AS n_blocks,
+                   string_agg(text, chr(10)
+                              ORDER BY y0, x0, block_idx) AS clipped
+            FROM read_parquet('{_golden("blocks")}')
+            WHERE x0 >= 0.0 AND x1 <= 306.0 AND y0 >= 0.0 AND y1 <= 396.0
+            GROUP BY conv_id, turn_idx
+        """,
         "question_spans": f"""
             SELECT conv_id, turn_idx::BIGINT AS turn_idx,
                    page_number::BIGINT AS page_number,

@@ -24,6 +24,7 @@ import pandas as pd
 from pdf_parser_spark.generator import transcripts_path
 from pdf_parser_spark.oracle.boilerplate import strip_boilerplate
 from pdf_parser_spark.oracle.extractor import extract_turn
+from pdf_parser_spark.payload import Block, TokenizeError, parse_payload
 from pdf_parser_spark.oracle.questions import extract_questions_from_text
 
 GOLDEN_BASE = "/root/repo/data/golden"
@@ -99,10 +100,27 @@ def markdown_c002(n, header, footer, left, right) -> str:
     return "\n".join(frags)
 
 
+def _oracle_blocks(text) -> list:
+    """The reference get_text_blocks contract on one payload: merged
+    line-blocks, S3 fallback block on tokenize failure, [] when the
+    payload is unparseable (those turns become D1 error rows with no
+    blocks)."""
+    try:
+        return parse_payload(text).blocks
+    except TokenizeError as exc:
+        if exc.salvaged_text.strip():
+            return [Block(text=exc.salvaged_text.strip(), x0=0.0, y0=0.0,
+                          x1=exc.width, y1=exc.height,
+                          font_size=12.0, font_name="Unknown")]
+        return []
+    except Exception:  # noqa: BLE001 — null / malformed payloads
+        return []
+
+
 def ensure_goldens(sf: float) -> str:
     """Generate (once) every golden table for a scale factor; returns dir."""
     gdir = golden_dir(sf)
-    stamp = os.path.join(gdir, "_COMPLETE_v2")
+    stamp = os.path.join(gdir, "_COMPLETE_v3")
     if os.path.exists(stamp):
         return gdir
     os.makedirs(gdir, exist_ok=True)
@@ -111,6 +129,7 @@ def ensure_goldens(sf: float) -> str:
     src = src.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
     layouts, layouts_a002, layouts_a004, layouts_a000 = [], [], [], []
+    block_rows = []
     questions, spans, markdown = [], [], []
     for conv_id, turn_idx, text, tool in src[
         ["conv_id", "turn_idx", "text", "tool"]
@@ -131,6 +150,12 @@ def ensure_goldens(sf: float) -> str:
             }
         )
         if tool == "page/v1":
+            for bi, b in enumerate(_oracle_blocks(text)):
+                block_rows.append(
+                    {"conv_id": conv_id, "turn_idx": t, "block_idx": bi,
+                     "x0": b.x0, "y0": b.y0, "x1": b.x1, "y1": b.y1,
+                     "font_size": b.font_size, "font_name": b.font_name,
+                     "text": b.text})
             layouts_a002.append(
                 _layout_row(conv_id, t, extract_turn(text, tool, t, "a002")))
             layouts_a000.append(
@@ -179,6 +204,11 @@ def ensure_goldens(sf: float) -> str:
         os.path.join(gdir, "layouts_a004.parquet"), index=False)
     pd.DataFrame(layouts_a000, columns=LAYOUT_COLS).to_parquet(
         os.path.join(gdir, "layouts_a000.parquet"), index=False)
+    pd.DataFrame(
+        block_rows,
+        columns=["conv_id", "turn_idx", "block_idx", "x0", "y0", "x1", "y1",
+                 "font_size", "font_name", "text"],
+    ).to_parquet(os.path.join(gdir, "blocks.parquet"), index=False)
     pd.DataFrame(
         questions,
         columns=["conv_id", "turn_idx", "page_number", "question_number",

@@ -948,6 +948,64 @@ def extract_layouts(df, variant: str = "a003", columns: list | None = None):
     return df.mapInPandas(run, schema=schema)
 
 
+BLOCKS_SCHEMA_DDL = (
+    "conv_id string, turn_idx int, block_idx int, "
+    "x0 double, y0 double, x1 double, y1 double, "
+    "font_size double, font_name string, text string"
+)
+
+
+def blocks_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The TextBlock relation for one Arrow batch: one row per merged
+    line-block of each page/v1 turn (S2 tokenize + G1 merge + P2
+    non-empty filter), the S3 fallback block for tokenize failures, zero
+    rows for unparseable turns — exactly the reference's
+    ``get_text_blocks`` protocol method
+    (/root/reference/A003_colored_footer.py:66-110) exposed as a scan."""
+    pdf = pdf.reset_index(drop=True)
+    pdf["rid"] = np.arange(len(pdf), dtype=np.int64)
+    tool = pdf["tool"].fillna("plain")
+    page_rows = pdf[tool == "page/v1"][["rid", "turn_idx", "text"]]
+    cols = ["conv_id", "turn_idx", "block_idx", "x0", "y0", "x1", "y1",
+            "font_size", "font_name", "text"]
+    state, _errs = _tokenize_stage(page_rows)
+    if state is None or state["blocks"].empty:
+        return pd.DataFrame(columns=cols).astype(
+            {"turn_idx": np.int32, "block_idx": np.int32})
+    blocks = state["blocks"].copy()
+    # rows are already in payload order within each rid (span position
+    # order; fallback blocks are each rid's only row)
+    blocks["block_idx"] = blocks.groupby("rid", sort=False).cumcount()
+    out = blocks.merge(pdf[["rid", "conv_id", "turn_idx"]], on="rid")
+    return out[cols]
+
+
+def extract_blocks(df) -> "DataFrame":
+    """Spark operator: transcripts -> the TextBlock table. Turn-local,
+    shuffle-free; the atomic tuple of the reference's dataflow
+    (SURVEY.md section 1.1) as a first-class relation, so geometric
+    predicates (P1-P5, S7 region clip) compose relationally."""
+
+    def run(batches):
+        for pdf in batches:
+            yield blocks_batch(pdf)
+
+    return df.mapInPandas(run, schema=BLOCKS_SCHEMA_DDL)
+
+
+def clip_blocks(blocks, x0: float, y0: float, x1: float, y1: float):
+    """S7 region text clip (/root/reference/A000_layoutlm_extractor.py:100-108)
+    as a relational filter: blocks fully contained in the rect — the P5
+    containment predicate (A003:224-230) lifted from page-local loop to
+    DataFrame filter. Pushes down to the parquet scan when ``blocks`` is a
+    materialized block table."""
+    import pyspark.sql.functions as _F
+
+    return blocks.filter(
+        (_F.col("x0") >= x0) & (_F.col("x1") <= x1)
+        & (_F.col("y0") >= y0) & (_F.col("y1") <= y1))
+
+
 def extract_batch_multi(pdf: pd.DataFrame, variants) -> pd.DataFrame:
     """Multi-variant extraction for one Arrow batch: tokenize the page
     payloads once, classify per variant; html/plain rows are

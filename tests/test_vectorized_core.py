@@ -95,6 +95,40 @@ def test_variant_dispatch_vectorized():
         _assert_layout_equal(out.iloc[0], want, f"variant={variant}")
 
 
+def test_blocks_batch_matches_oracle_parse():
+    """The TextBlock relation equals the oracle's parsed blocks, in
+    payload order, for every archetype plus failure payloads."""
+    from pdf_parser_spark.operators.extract import blocks_batch
+    from pdf_parser_spark.payload import Block, TokenizeError, parse_payload
+
+    rows = []
+    for a_i, archetype in enumerate(PAGE_ARCHETYPES):
+        conv = f"blk-{archetype}"
+        rows.append((conv, a_i, "user", make_page_payload(conv, a_i, archetype),
+                     "page/v1"))
+    rows.append(("blk-null", 99, "user", None, "page/v1"))
+    rows.append(("blk-noheader", 98, "user", "SPAN no page header", "page/v1"))
+    got = blocks_batch(_batch_frame(rows))
+
+    for conv, turn_idx, _, payload, _t in rows:
+        sub = got[got["conv_id"] == conv]
+        try:
+            want = parse_payload(payload).blocks
+        except TokenizeError as exc:
+            want = ([Block(text=exc.salvaged_text.strip(), x0=0.0, y0=0.0,
+                           x1=exc.width, y1=exc.height, font_size=12.0,
+                           font_name="Unknown")]
+                    if exc.salvaged_text.strip() else [])
+        except Exception:  # noqa: BLE001
+            want = []
+        assert len(sub) == len(want), conv
+        for i, b in enumerate(want):
+            r = sub[sub["block_idx"] == i].iloc[0]
+            assert (r["text"], r["x0"], r["y0"], r["x1"], r["y1"],
+                    r["font_size"], r["font_name"]) == (
+                b.text, b.x0, b.y0, b.x1, b.y1, b.font_size, b.font_name), (conv, i)
+
+
 @pytest.mark.parametrize("archetype", PAGE_ARCHETYPES)
 def test_a000_vectorized_matches_oracle_per_archetype(archetype):
     """The A000 line-extent classifier (C3) — proportional P1, extent

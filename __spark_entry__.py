@@ -459,6 +459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_fingerprint"] = q_fp
 
+    def q_winnow(spark, sf_dir):
+        return _longify(TS.winnow_fingerprints(_tbl(spark, sf_dir, "documents")))
+
+    q["winnow_fingerprints"] = q_winnow
+
     # --- corpus: dedup -----------------------------------------------------
     def q_dedup_exact(spark, sf_dir):
         return _longify(D.exact_dedup(_tbl(spark, sf_dir, "documents")))
@@ -786,6 +791,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_CANON}) AS fp FROM documents
+        """,
+        "winnow_fingerprints": f"""
+            WITH c AS (
+                SELECT doc_id, {_CANON} AS t FROM documents
+                WHERE length({_CANON}) >= 5),
+            g AS (
+                SELECT doc_id, t, unnest(range(0, length(t) - 4)) AS i
+                FROM c),
+            h AS (
+                SELECT doc_id, i,
+                       substr(md5(substr(t, i + 1, 5)), 1, 8) AS hh,
+                       length(t) - 4 AS n_grams
+                FROM g),
+            wmin AS (
+                SELECT doc_id, i, n_grams,
+                       min(hh) OVER (PARTITION BY doc_id ORDER BY i
+                                     ROWS BETWEEN CURRENT ROW
+                                     AND 3 FOLLOWING) AS fp
+                FROM h)
+            SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= n_grams - 4
         """,
         "dedup_exact": f"""
             SELECT md5({_CANON}) AS fp,

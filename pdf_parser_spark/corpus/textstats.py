@@ -111,6 +111,43 @@ def token_df_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
+                        text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm): hash every
+    character k-gram of the canonical text, then keep the minimum hash of
+    each window of ``w`` consecutive k-grams. Output: distinct
+    (doc_id, fp) rows — the sketch used for local-similarity /
+    containment detection, complementary to MinHash (which sketches
+    global set similarity).
+
+    Hashes are the first 8 hex chars of md5 (string min is lexicographic,
+    identical in Spark and DuckDB). k-gram hashing is explode + codegen
+    md5 (no interpreted HOF); the rolling min is one bounded window per
+    document — shuffle key doc_id, window state O(w)."""
+    from pyspark.sql import Window
+
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    grams = (
+        df.select("doc_id", canon.alias("t"))
+        .filter(F.length("t") >= k)
+        .select(
+            "doc_id", "t",
+            F.explode(F.sequence(F.lit(0), F.length("t") - k)).alias("i"))
+        .select(
+            "doc_id", "i",
+            F.substring(F.md5(F.expr(f"substr(t, i + 1, {k})")), 1, 8).alias("h"),
+            (F.length("t") - k + 1).alias("n_grams"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("i") <= F.col("n_grams") - w)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 of the lowercased,
     whitespace-collapsed text (the document-granularity analog of the

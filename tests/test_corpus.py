@@ -244,6 +244,25 @@ def test_near_dedup_keep_docs_pipeline(docs):
     assert 1 not in kept_strict and 2 not in kept_strict
 
 
+def test_winnow_fingerprints_match_python(spark):
+    """Winnowing sketch equals an independent Python implementation."""
+    texts = [(0, "the quick brown fox"), (1, "tiny"), (2, "abcdefgh")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in TS.winnow_fingerprints(df, k=5, w=4).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+
+    def py_winnow(t, k=5, w=4):
+        t = " ".join(t.lower().split())
+        hs = [hashlib.md5(t[i:i + k].encode()).hexdigest()[:8]
+              for i in range(len(t) - k + 1)]
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    assert got.get(0, set()) == py_winnow(texts[0][1])
+    assert 1 not in got  # shorter than k -> no grams
+    assert got.get(2, set()) == py_winnow("abcdefgh")  # exactly one window
+
+
 def test_token_df_stats(spark, docs):
     stats = {r.doc_id: r for r in TS.token_df_stats(docs).collect()}
     # 'the' appears in docs 0,1,2,3 -> df=4; doc 4 shares no tokens with 0-3

@@ -306,7 +306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdf_parser_spark.operators.compare import compare_extractors
 
         src = _transcripts(spark, sf_dir).filter(F.col("tool") == "page/v1")
-        return compare_extractors(src).groupBy("extractor_name").agg(
+        return compare_extractors(
+            src, variants=("a000", "a002", "a003", "a004")
+        ).groupBy("extractor_name").agg(
             F.count(F.lit(1)).alias("n_turns"),
             F.sum(F.length("left_column")).alias("left_chars"),
             F.sum(F.length("footer")).alias("footer_chars"),
@@ -668,9 +670,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE turn_idx BETWEEN 1 AND 3
         """,
         "extractor_comparison": f"""
-            SELECT 'a002' AS extractor_name, count(*)::BIGINT AS n_turns,
+            SELECT 'a000' AS extractor_name, count(*)::BIGINT AS n_turns,
                    sum(length(left_column))::BIGINT AS left_chars,
                    sum(length(footer))::BIGINT AS footer_chars
+            FROM read_parquet('{g("layouts_a000")}')
+            UNION ALL
+            SELECT 'a002', count(*)::BIGINT,
+                   sum(length(left_column))::BIGINT,
+                   sum(length(footer))::BIGINT
             FROM read_parquet('{g("layouts_a002")}')
             UNION ALL
             SELECT 'a003', count(*)::BIGINT,

@@ -101,6 +101,35 @@ def _oracle_row(text, tool, turn_idx):
     return extract_turn(text, tool if tool == "page/v1" else "plain", turn_idx)
 
 
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_page_payload, min_size=1, max_size=6))
+def test_a000_vectorized_equals_oracle_on_fuzz(payloads):
+    """The A000 line-extent classifier path under fuzz: never raises,
+    matches the oracle per turn (proportional P1, extent bounds,
+    center-count grid, running-max grouping are all exercised by the
+    arbitrary geometry)."""
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"a{i}" for i in range(len(payloads))],
+            "turn_idx": list(range(len(payloads))),
+            "role": ["user"] * len(payloads),
+            "text": payloads,
+            "tool": ["page/v1"] * len(payloads),
+            "ts": [pd.Timestamp("2024-01-01")] * len(payloads),
+        }
+    )
+    got = extract_batch(pdf.copy(), variant="a000")
+    assert len(got) == len(payloads)
+    for i, text in enumerate(payloads):
+        want = extract_turn(text, "page/v1", i, variant="a000")
+        g = got.iloc[i]
+        for k in ("page_number", "header", "footer", "left_column", "right_column"):
+            assert g[k] == want[k], (k, text)
+        for k in ("page_width", "page_height", "column_separator_position"):
+            assert _norm_float(g[k]) == _norm_float(want[k]), (k, text)
+        assert dict(g["metadata"]) == want["metadata"], text
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.lists(st.tuples(_any_payload, _tool), min_size=1, max_size=8))
 def test_vectorized_equals_oracle_on_fuzz(rows):

@@ -55,6 +55,24 @@ def stream_extract_layouts(spark: SparkSession, src_dir: str, out_dir: str,
     return writer.start()
 
 
+def stream_dedup_turns(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drop turns whose canonical-text fingerprint
+    was already seen within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on the md5
+    fingerprint and evicts state older than the watermark — bounded state,
+    the streaming counterpart of ``corpus.dedup.exact_dedup`` (at 100 TB
+    ingest the dedup horizon is a deployment knob; global history lives in
+    the batch pipeline)."""
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        stream.withColumn("fp", F.md5(canon))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp")
+    )
+
+
 def windowed_turn_counts(stream: DataFrame, window: str = "1 hour",
                          watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window turn counts per tool (late data beyond

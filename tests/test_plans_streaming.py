@@ -187,6 +187,29 @@ def test_stream_extract_and_resume(spark, transcripts_sf0001, tmp_path):
     assert dups == 0
 
 
+def test_stream_dedup_turns(spark, transcripts_sf0001):
+    """Streaming exact dedup keeps one turn per canonical fingerprint
+    (within the watermark horizon) — matches the batch distinct count."""
+    from pdf_parser_spark.streaming.pipeline import (
+        read_transcript_stream,
+        stream_dedup_turns,
+    )
+
+    stream = read_transcript_stream(spark, transcripts_sf0001)
+    q = (stream_dedup_turns(stream).writeStream.format("memory")
+         .queryName("sdt").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.sql("SELECT count(*) AS n FROM sdt").first()["n"]
+    batch = spark.read.parquet(transcripts_sf0001)
+    want = (batch.select(
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))))
+        .distinct().count())
+    # all fixture rows share one load window, so horizon eviction cannot
+    # reduce below the batch-distinct count
+    assert got == want
+
+
 def test_windowed_turn_counts_matches_batch(spark, transcripts_sf0001, tmp_path):
     from pdf_parser_spark.streaming.pipeline import (
         read_transcript_stream,

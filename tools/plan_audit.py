@@ -144,6 +144,16 @@ def main() -> None:
     )
 
     audit(
+        "Near-dedup pipeline (LSH -> exact Jaccard -> keep)",
+        D.jaccard_on_candidates(D.minhash_lsh_pairs(docs), docs, threshold=0.3),
+        forbids=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        note=("The full 100 TB dedup composition contains NO cross join "
+              "anywhere (asserted): candidates come from the banded "
+              "bucket equi-join, exact Jaccard scoring joins only "
+              "semi-pruned candidate shingles on (id, shingle) keys."),
+    )
+
+    audit(
         "Exact dedup (hash-groupBy)",
         D.exact_dedup(docs),
         requires=[r"HashAggregate.*Exchange.*HashAggregate"],

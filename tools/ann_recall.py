@@ -1,0 +1,83 @@
+"""ANN quality evidence: recall@k and scanned-fraction for the bucketed
+ANN variants vs the exact brute-force baseline.
+
+The scale path (LSH buckets, IVF cells) trades recall for scan fraction;
+this harness quantifies both so the trade-off is a measured number, not
+prose. Results are recorded in BASELINE.md.
+
+Usage: python tools/ann_recall.py [sf_dir] [n_queries] [k]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pdf_parser_spark.corpus import similarity as S  # noqa: E402
+from pdf_parser_spark.session import get_spark  # noqa: E402
+
+
+def topk_ids(df) -> list:
+    return [r.vec_id for r in df.collect()]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    spark = get_spark("ann-recall", cpus="8")
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+    n_vecs = embs.count()
+    query_ids = [r.vec_id for r in
+                 embs.select("vec_id").orderBy("vec_id").limit(n_queries).collect()]
+
+    lsh_planes = (2, 4, 8)
+    bucket_sizes, bucket_of = {}, {}
+    for p in lsh_planes:
+        b = S.lsh_buckets(embs, planes=p).cache()
+        bucket_sizes[p] = {
+            r.bucket: r.n for r in
+            b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+        bucket_of[p] = {r.vec_id: r.bucket for r in b.collect()}
+
+    assign = S.ivf_assign(embs).cache()
+    cell_sizes = {r.centroid_id: r.n for r in
+                  assign.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    cell_of = {r.vec_id: r.centroid_id for r in assign.collect()}
+
+    methods = {
+        **{f"lsh_p{p}": (lambda q, p=p: S.lsh_topk(embs, query_id=q, k=k, planes=p))
+           for p in lsh_planes},
+        "ivf_probe1": lambda q: S.ivf_topk(embs, query_id=q, k=k, n_probe=1),
+        "ivf_probe2": lambda q: S.ivf_topk(embs, query_id=q, k=k, n_probe=2),
+    }
+    recalls = {m: [] for m in methods}
+    scanned = {m: [] for m in methods}
+    for q in query_ids:
+        exact = set(topk_ids(S.brute_topk(embs, query_id=q, k=k)))
+        for m, fn in methods.items():
+            approx = set(topk_ids(fn(q)))
+            recalls[m].append(len(exact & approx) / max(len(exact), 1))
+        for p in lsh_planes:
+            scanned[f"lsh_p{p}"].append(
+                bucket_sizes[p].get(bucket_of[p][q], 0) / n_vecs)
+        scanned["ivf_probe1"].append(cell_sizes.get(cell_of[q], 0) / n_vecs)
+        scanned["ivf_probe2"].append(
+            min(1.0, 2 * cell_sizes.get(cell_of[q], 0) / n_vecs))
+
+    out = {"sf_dir": sf_dir, "n_vecs": n_vecs, "k": k, "n_queries": n_queries}
+    for m in methods:
+        out[f"recall_{m}"] = round(sum(recalls[m]) / len(recalls[m]), 3)
+        out[f"scan_frac_{m}"] = round(sum(scanned[m]) / len(scanned[m]), 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -438,6 +438,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tumbling_window_counts"] = q_window_counts
 
+    def q_stream_dedup(spark, sf_dir):
+        # a REAL streaming query (memory sink, availableNow): the
+        # surviving rows of the watermarked streaming dedup carry exactly
+        # one row per distinct canonical fingerprint — that set is
+        # deterministic even though which arrival survives is not
+        from pdf_parser_spark.streaming.pipeline import (
+            read_transcript_stream,
+            stream_dedup_turns,
+        )
+
+        name = "gate_stream_dedup"
+        spark.catalog.dropTempView(name)
+        qy = (stream_dedup_turns(
+                read_transcript_stream(spark, transcripts_path(sf_from_dir(sf_dir))))
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append").trigger(availableNow=True).start())
+        qy.awaitTermination(600)
+        canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        return spark.table(name).select(F.md5(canon).alias("fp")).distinct()
+
+    q["stream_dedup_fps"] = q_stream_dedup
+
     # --- corpus: text stats ----------------------------------------------
     def q_quality(spark, sf_dir):
         return _longify(TS.quality_scores(_tbl(spark, sf_dir, "documents")))
@@ -765,6 +787,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
                    count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2
+        """,
+        "stream_dedup_fps": f"""
+            SELECT DISTINCT
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet')
         """,
         "text_quality_scores": f"""
             SELECT doc_id,

@@ -250,6 +250,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["question_spans"] = q_questions
 
+    def q_questions_per_page(spark, sf_dir):
+        from pdf_parser_spark.operators.questions import questions_per_page
+
+        src = _transcripts(spark, sf_dir).filter(F.col("tool") == "page/v1")
+        layouts = extract_layouts(src, variant="a004", columns=[
+            "conv_id", "turn_idx", "page_number", "left_column", "right_column"])
+        return _longify(questions_per_page(extract_questions(layouts)))
+
+    q["questions_per_page"] = q_questions_per_page
+
+    def q_question_md(spark, sf_dir):
+        from pdf_parser_spark.operators.questions import questions_to_markdown
+
+        src = _transcripts(spark, sf_dir).filter(F.col("tool") == "page/v1")
+        layouts = extract_layouts(src, variant="a004", columns=[
+            "conv_id", "turn_idx", "page_number", "left_column", "right_column"])
+        return _longify(questions_to_markdown(extract_questions(layouts)))
+
+    q["question_sinks_md"] = q_question_md
+
     def q_html_spans(spark, sf_dir):
         return _longify(boilerplate_spans(_transcripts(spark, sf_dir)))
 
@@ -661,6 +681,34 @@ def oracle_sql() -> dict[str, str]:
                    start_offset::BIGINT AS start_offset,
                    end_offset::BIGINT AS end_offset
             FROM read_parquet('{g("questions")}')
+        """,
+        "questions_per_page": f"""
+            SELECT conv_id, page_number::BIGINT AS page_number,
+                   count(*)::BIGINT AS n_questions
+            FROM read_parquet('{g("questions")}')
+            GROUP BY 1, 2
+        """,
+        "question_sinks_md": f"""
+            WITH md AS (
+                SELECT conv_id, question_number, turn_idx, col_side,
+                       start_offset,
+                       '## Question ' || question_number::VARCHAR
+                       || chr(10) || chr(10) || question_text
+                       || chr(10) || chr(10) || '*Page: '
+                       || page_number::VARCHAR || ', Column: ' || col_side
+                       || '*' || chr(10) || chr(10) || '---' || chr(10) AS q_md
+                FROM read_parquet('{g("questions")}'))
+            SELECT conv_id,
+                   '# Questions' || chr(10) || chr(10) || '**Source:** '
+                   || conv_id || chr(10) || chr(10) || '**Total Questions:** '
+                   || count(*)::VARCHAR || chr(10) || chr(10) || '---'
+                   || chr(10) || chr(10)
+                   || string_agg(q_md, chr(10)
+                                 ORDER BY question_number, turn_idx,
+                                          col_side, start_offset)
+                       AS questions_md,
+                   count(*)::BIGINT AS total_questions
+            FROM md GROUP BY conv_id
         """,
         "html_content_spans": f"""
             SELECT conv_id, turn_idx::BIGINT AS turn_idx,

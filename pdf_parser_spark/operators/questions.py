@@ -112,8 +112,12 @@ def questions_to_markdown(questions: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("total_questions"),
             F.expr(
+                # start_offset completes a unique sort key (duplicate
+                # question numbers can occur within a column), so document
+                # order is fully deterministic
                 "array_join(transform(array_sort(collect_list(struct("
-                "question_number, turn_idx, col_side, q_md))), s -> s.q_md), '\\n')"
+                "question_number, turn_idx, col_side, start_offset, q_md))), "
+                "s -> s.q_md), '\\n')"
             ).alias("body"),
         )
         .select(

@@ -480,6 +480,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_dedup_fps"] = q_stream_dedup
 
+    def q_stream_progress(spark, sf_dir):
+        # applyInPandasWithState under a REAL streaming query: per-batch
+        # update rows are batching-dependent, but each conversation's
+        # FINAL state (max turns_seen row) is deterministic
+        from pdf_parser_spark.streaming.pipeline import read_transcript_stream
+        from pdf_parser_spark.streaming.stateful import conversation_progress
+
+        name = "gate_stream_progress"
+        spark.catalog.dropTempView(name)
+        qy = (conversation_progress(
+                read_transcript_stream(spark, transcripts_path(sf_from_dir(sf_dir))))
+              .writeStream.format("memory").queryName(name)
+              .outputMode("update").trigger(availableNow=True).start())
+        qy.awaitTermination(600)
+        return (
+            spark.table(name)
+            .groupBy("conv_id")
+            .agg(F.max(F.struct(
+                "turns_seen", "max_turn_idx", "contiguous_upto")).alias("s"))
+            .select("conv_id", "s.turns_seen", "s.max_turn_idx",
+                    "s.contiguous_upto")
+        )
+
+    q["stream_conv_progress"] = q_stream_progress
+
     # --- corpus: text stats ----------------------------------------------
     def q_quality(spark, sf_dir):
         return _longify(TS.quality_scores(_tbl(spark, sf_dir, "documents")))
@@ -840,6 +865,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
             FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet')
+        """,
+        "stream_conv_progress": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx) - 1 AS rn
+                FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet'))
+            SELECT conv_id,
+                   count(*)::BIGINT AS turns_seen,
+                   max(turn_idx)::BIGINT AS max_turn_idx,
+                   count(*) FILTER (turn_idx = rn)::BIGINT AS contiguous_upto
+            FROM t GROUP BY conv_id
         """,
         "text_quality_scores": f"""
             SELECT doc_id,

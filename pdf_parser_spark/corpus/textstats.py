@@ -12,8 +12,14 @@ path — and each has an exact ANSI-SQL twin for the DuckDB oracle
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # Small deterministic stopword marker lists for the n-gram/marker language
 # heuristic. Ties break by the fixed language order below.
@@ -122,28 +128,40 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     global set similarity).
 
     Hashes are the first 8 hex chars of md5 (string min is lexicographic,
-    identical in Spark and DuckDB). k-gram hashing is explode + codegen
-    md5 (no interpreted HOF); the rolling min is one bounded window per
-    document — shuffle key doc_id, window state O(w)."""
-    from pyspark.sql import Window
-
+    identical across engines). Canonicalization stays JVM-side (so
+    lower/whitespace semantics match every other operator exactly); the
+    per-document gram-hash + rolling min runs row-local in an Arrow
+    pandas UDF with a NumPy shifted-minimum (w-1 vector mins) — no gram
+    explode, no per-gram shuffle (the explode + window-function form
+    pushed ~50 grams per char through an exchange and was ~10× slower).
+    Only the per-doc distinct fingerprints are emitted; the final
+    distinct is the one shuffle."""
     canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    grams = (
+
+    @pandas_udf("array<string>")
+    def winnow_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            n = len(t) - k + 1
+            if n < w:
+                out.append([])
+                continue
+            # first 8 hex chars of md5 == first 4 digest bytes big-endian,
+            # so the lexicographic string min equals the uint32 min
+            hs = np.array(
+                [int.from_bytes(
+                    hashlib.md5(t[i:i + k].encode("utf-8")).digest()[:4], "big")
+                 for i in range(n)], dtype=np.uint32)
+            m = hs[: n - w + 1].copy()
+            for s in range(1, w):
+                np.minimum(m, hs[s: s + n - w + 1], out=m)
+            out.append([f"{v:08x}" for v in set(m.tolist())])
+        return pd.Series(out)
+
+    return (
         df.select("doc_id", canon.alias("t"))
         .filter(F.length("t") >= k)
-        .select(
-            "doc_id", "t",
-            F.explode(F.sequence(F.lit(0), F.length("t") - k)).alias("i"))
-        .select(
-            "doc_id", "i",
-            F.substring(F.md5(F.expr(f"substr(t, i + 1, {k})")), 1, 8).alias("h"),
-            (F.length("t") - k + 1).alias("n_grams"))
-    )
-    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
-    return (
-        grams.withColumn("fp", F.min("h").over(win))
-        .filter(F.col("i") <= F.col("n_grams") - w)
-        .select("doc_id", "fp")
+        .select("doc_id", F.explode(winnow_udf(F.col("t"))).alias("fp"))
         .distinct()
     )
 

@@ -150,6 +150,11 @@ def _run_bucket_job(
         dynamic_overwrite=True,
     )
     rows_in_total = int(obs.get["rows_in"])
+    if rows_in_total == 0:
+        # zero input rows -> the dynamic-overwrite write emitted no data
+        # files; nothing to scan for counts
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        return {}, wall_ms
 
     # Post-write listing scan: counts only, partition-pruned to the
     # buckets this job wrote.
@@ -252,7 +257,13 @@ def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     ``bucket`` partition column prunes uncommitted partitions at the file
     index, then the column is dropped to keep the layout schema stable.
     """
+    from pdf_parser_spark.operators.extract import LAYOUT_SCHEMA_DDL
+
     done = committed_buckets(os.path.join(out_dir, "_manifests"))
+    if not done or all(m.get("rows_out", 0) == 0 for m in done.values()):
+        # an all-empty run writes no data files (dynamic overwrite emits
+        # nothing) — surface the stable empty relation, not a scan error
+        return spark.createDataFrame([], LAYOUT_SCHEMA_DDL)
     return (
         get_table_io().read(spark, out_dir)
         .filter(F.col("bucket").isin([int(k) for k in sorted(done)]))

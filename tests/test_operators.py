@@ -157,6 +157,20 @@ def test_manifest_job_is_single_scan(spark, transcripts_sf0001):
     assert "Exchange" not in plan
 
 
+def test_manifest_empty_input(spark, transcripts_sf0001, tmp_path):
+    """A run whose filter matches nothing still commits (empty) manifests
+    and read_output returns a stable empty relation."""
+    out_dir = str(tmp_path / "empty_out")
+    src = spark.read.parquet(transcripts_sf0001).filter(F.col("turn_idx") > 10**6)
+    res = run_with_manifest(spark, src, out_dir, n_buckets=4)
+    assert len(res["processed"]) == 4
+    metrics = lineage_metrics(spark, out_dir).toPandas()
+    assert metrics["rows_out"].sum() == 0
+    out = read_output(spark, out_dir)
+    assert out.count() == 0
+    assert "left_column" in out.columns
+
+
 def test_lineage_error_rows_accounted(spark, transcripts_sf0001, tmp_path):
     out_dir = str(tmp_path / "lin_out")
     src = spark.read.parquet(transcripts_sf0001)

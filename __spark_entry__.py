@@ -213,6 +213,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle/extractor.py's A000 section)
     q["layout_extract_a000"] = _layout_query("a000", page_only=True)
 
+    def q_layout_meta(spark, sf_dir):
+        # G2: the region-count/flag metadata map, field by field
+        src = _transcripts(spark, sf_dir).filter(F.col("tool") == "page/v1")
+        out = extract_layouts(src)
+        m = F.col("metadata")
+        return _longify(out.select(
+            "conv_id", "turn_idx",
+            *[m[k].cast("long").alias(k) for k in (
+                "total_text_blocks", "header_blocks", "footer_blocks",
+                "left_column_blocks", "right_column_blocks",
+                "vertical_lines_detected", "colored_footer_regions")],
+            m["has_footer"].alias("has_footer"),
+            m["page_rect"].alias("page_rect"),
+            F.map_contains_key(m, "error").cast("long").alias("is_error"),
+        ))
+
+    q["layout_metadata_a003"] = q_layout_meta
+
     def q_blocks(spark, sf_dir):
         from pdf_parser_spark.operators.extract import extract_blocks
 
@@ -683,6 +701,19 @@ def oracle_sql() -> dict[str, str]:
         "layout_extract_a002": _layout_oracle("layouts_a002"),
         "layout_extract_a004": _layout_oracle("layouts_a004"),
         "layout_extract_a000": _layout_oracle("layouts_a000"),
+        "layout_metadata_a003": f"""
+            SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+                   total_text_blocks::BIGINT AS total_text_blocks,
+                   header_blocks::BIGINT AS header_blocks,
+                   footer_blocks::BIGINT AS footer_blocks,
+                   left_column_blocks::BIGINT AS left_column_blocks,
+                   right_column_blocks::BIGINT AS right_column_blocks,
+                   vertical_lines_detected::BIGINT AS vertical_lines_detected,
+                   colored_footer_regions::BIGINT AS colored_footer_regions,
+                   has_footer, page_rect,
+                   is_error::BIGINT AS is_error
+            FROM read_parquet('{_golden("layout_meta")}')
+        """,
         "text_blocks": f"""
             SELECT conv_id, turn_idx::BIGINT AS turn_idx,
                    block_idx::BIGINT AS block_idx,

@@ -120,7 +120,7 @@ def _oracle_blocks(text) -> list:
 def ensure_goldens(sf: float) -> str:
     """Generate (once) every golden table for a scale factor; returns dir."""
     gdir = golden_dir(sf)
-    stamp = os.path.join(gdir, "_COMPLETE_v3")
+    stamp = os.path.join(gdir, "_COMPLETE_v4")
     if os.path.exists(stamp):
         return gdir
     os.makedirs(gdir, exist_ok=True)
@@ -130,6 +130,7 @@ def ensure_goldens(sf: float) -> str:
 
     layouts, layouts_a002, layouts_a004, layouts_a000 = [], [], [], []
     block_rows = []
+    meta_rows = []
     questions, spans, markdown = [], [], []
     for conv_id, turn_idx, text, tool in src[
         ["conv_id", "turn_idx", "text", "tool"]
@@ -150,6 +151,24 @@ def ensure_goldens(sf: float) -> str:
             }
         )
         if tool == "page/v1":
+            md = lay["metadata"]
+
+            def _mi(key):
+                v = md.get(key)
+                return None if v is None else int(v.strip('"')) if v.lstrip('-').isdigit() else None
+
+            meta_rows.append(
+                {"conv_id": conv_id, "turn_idx": t,
+                 "total_text_blocks": _mi("total_text_blocks"),
+                 "header_blocks": _mi("header_blocks"),
+                 "footer_blocks": _mi("footer_blocks"),
+                 "left_column_blocks": _mi("left_column_blocks"),
+                 "right_column_blocks": _mi("right_column_blocks"),
+                 "vertical_lines_detected": _mi("vertical_lines_detected"),
+                 "colored_footer_regions": _mi("colored_footer_regions"),
+                 "has_footer": md.get("has_footer"),
+                 "page_rect": md.get("page_rect"),
+                 "is_error": int("error" in md)})
             for bi, b in enumerate(_oracle_blocks(text)):
                 block_rows.append(
                     {"conv_id": conv_id, "turn_idx": t, "block_idx": bi,
@@ -204,6 +223,13 @@ def ensure_goldens(sf: float) -> str:
         os.path.join(gdir, "layouts_a004.parquet"), index=False)
     pd.DataFrame(layouts_a000, columns=LAYOUT_COLS).to_parquet(
         os.path.join(gdir, "layouts_a000.parquet"), index=False)
+    pd.DataFrame(
+        meta_rows,
+        columns=["conv_id", "turn_idx", "total_text_blocks", "header_blocks",
+                 "footer_blocks", "left_column_blocks", "right_column_blocks",
+                 "vertical_lines_detected", "colored_footer_regions",
+                 "has_footer", "page_rect", "is_error"],
+    ).to_parquet(os.path.join(gdir, "layout_meta.parquet"), index=False)
     pd.DataFrame(
         block_rows,
         columns=["conv_id", "turn_idx", "block_idx", "x0", "y0", "x1", "y1",

@@ -493,8 +493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               .writeStream.format("memory").queryName(name)
               .outputMode("append").trigger(availableNow=True).start())
         qy.awaitTermination(600)
-        canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-        return spark.table(name).select(F.md5(canon).alias("fp")).distinct()
+        return (spark.table(name)
+                .select(F.md5(D.canonical_text("text")).alias("fp"))
+                .distinct())
 
     q["stream_dedup_fps"] = q_stream_dedup
 

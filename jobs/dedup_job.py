@@ -49,40 +49,36 @@ def main(argv=None) -> int:
     docs = read_table(spark, args.input)
     n_in = docs.count()
 
+    stats: dict = {}
+    clusters = None
     if args.method == "exact":
         keep = D.exact_dedup(docs, id_col=args.id_col, text_col=args.text_col)
         kept = docs.join(
-            F.broadcast(keep.select(F.col("keep_id").alias(args.id_col))),
+            keep.select(F.col("keep_id").alias(args.id_col)),
             args.id_col, "left_semi")
-        pairs = None
-    elif args.method == "simhash":
-        pairs = D.simhash_pairs(
-            docs, max_hamming=args.max_hamming,
-            id_col=args.id_col, text_col=args.text_col)
-        clusters = D.dup_clusters(pairs)
-        losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
-                  .select(F.col("doc_id").alias(args.id_col)))
-        kept = docs.join(F.broadcast(losers), args.id_col, "left_anti")
     else:
-        pairs = D.jaccard_on_candidates(
-            D.minhash_lsh_pairs(docs, id_col=args.id_col,
-                                text_col=args.text_col),
-            docs, threshold=args.threshold,
-            id_col=args.id_col, text_col=args.text_col)
-        clusters = D.dup_clusters(pairs)
-        losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
-                  .select(F.col("doc_id").alias(args.id_col)))
-        kept = docs.join(F.broadcast(losers), args.id_col, "left_anti")
+        if args.method == "simhash":
+            pairs = D.simhash_pairs(
+                docs, max_hamming=args.max_hamming,
+                id_col=args.id_col, text_col=args.text_col)
+        else:
+            pairs = D.jaccard_on_candidates(
+                D.minhash_lsh_pairs(docs, id_col=args.id_col,
+                                    text_col=args.text_col),
+                docs, threshold=args.threshold,
+                id_col=args.id_col, text_col=args.text_col)
+        # one clustering run feeds BOTH the keep set and the report
+        clusters = D.dup_clusters(pairs, stats=stats)
+        kept = D.keep_from_pairs(docs, pairs, id_col=args.id_col,
+                                 clusters=clusters)
 
     write_table(kept, args.output)
     n_out = read_table(spark, args.output).count()
     print(f"dedup-job done: method={args.method} docs_in={n_in} "
           f"docs_kept={n_out} removed={n_in - n_out}")
-    if args.report_clusters and pairs is not None:
-        stats: dict = {}
+    if args.report_clusters and clusters is not None:
         summary = (
-            D.dup_clusters(pairs, stats=stats)
-            .groupBy("cluster_id").count()
+            clusters.groupBy("cluster_id").count()
             .filter(F.col("count") > 1)
             .orderBy(F.col("count").desc()))
         summary.show(20, truncate=False)

@@ -86,19 +86,40 @@ def lsh_buckets(df: DataFrame, planes: int = 8, dims: int = 64,
     pandas UDF — row-local, no explode, no shuffle (the naive form blew
     every vector into dims × planes rows through two aggregations; a
     pure-SQL higher-order fold is interpreted per element and ~2× slower
-    than this matmul)."""
-    signs_t = np.array(_plane_signs(planes, dims), dtype=np.float64).T
+    than this matmul). ``dims`` only sizes the initial sign matrix —
+    vectors wider than it get lazily extended signs (same md5 derivation),
+    ragged batches fall back to per-row products, and null embeddings are
+    excluded up front (matching the exploded form, which emitted no rows
+    for them)."""
+    signs_cache = {dims: np.array(_plane_signs(planes, dims), dtype=np.float64).T}
     weights = (1 << np.arange(planes)).astype(np.int64)
+
+    def _signs_t(d: int):
+        if d not in signs_cache:
+            signs_cache[d] = np.array(
+                _plane_signs(planes, d), dtype=np.float64).T
+        return signs_cache[d]
 
     @pandas_udf("long")
     def bucket_udf(vecs: pd.Series) -> pd.Series:
         if not len(vecs):
             return pd.Series([], dtype="int64")
-        x = np.stack(vecs.to_numpy()).astype(np.float64)
-        proj = x @ signs_t[: x.shape[1]]
-        return pd.Series((proj > 0) @ weights)
+        arrs = vecs.to_numpy()
+        lens = {len(a) for a in arrs}
+        if len(lens) == 1:
+            x = np.stack(arrs).astype(np.float64)
+            proj = x @ _signs_t(x.shape[1])[: x.shape[1]]
+            return pd.Series((proj > 0) @ weights)
+        return pd.Series([
+            int(((np.asarray(a, dtype=np.float64)
+                  @ _signs_t(len(a))[: len(a)]) > 0) @ weights)
+            for a in arrs
+        ], dtype="int64")
 
-    return df.select(F.col(id_col), bucket_udf(F.col(vec_col)).alias("bucket"))
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), bucket_udf(F.col(vec_col)).alias("bucket"))
+    )
 
 
 def lsh_topk(df: DataFrame, query_id: int = 0, k: int = 10, planes: int = 8,
@@ -113,6 +134,33 @@ def lsh_topk(df: DataFrame, query_id: int = 0, k: int = 10, planes: int = 8,
     return brute_topk(candidates, query_id=query_id, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def _ivf_parts(df: DataFrame, n_centroids: int, id_col: str, vec_col: str):
+    """Shared IVF building blocks: (normed base, centroid set, assignment)
+    — computed once so ivf_assign/ivf_topk don't replan the norms or the
+    centroid orderBy twice."""
+    base = with_norm(df, vec_col)
+    cents = (
+        base.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("cvec"), F.col("norm").alias("cnorm"))
+    )
+    scored = (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col), F.col("centroid_id"),
+            F.round(cosine(vec_col, "cvec", "norm", "cnorm"), 6).alias("cscore"),
+        )
+    )
+    assign = (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("cscore"), (-F.col("centroid_id")).alias("neg")))
+             .alias("best"))
+        .select(F.col(id_col), (-F.col("best.neg")).cast("long").alias("centroid_id"))
+    )
+    return base, cents, assign
+
+
 def ivf_assign(df: DataFrame, n_centroids: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
@@ -125,28 +173,8 @@ def ivf_assign(df: DataFrame, n_centroids: int = 16,
     nested-loop over C candidates per vector — no shuffle of the big side.
     Ties break toward the lower centroid id.
     """
-    cents = (
-        with_norm(df, vec_col)
-        .orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"),
-                F.col(vec_col).alias("cvec"), F.col("norm").alias("cnorm"))
-    )
-    scored = (
-        with_norm(df, vec_col)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col), F.col("centroid_id"),
-            F.round(cosine(vec_col, "cvec", "norm", "cnorm"), 6).alias("cscore"),
-        )
-    )
-    w_best = (
-        scored.groupBy(id_col)
-        .agg(F.max(F.struct(F.col("cscore"), (-F.col("centroid_id")).alias("neg")))
-             .alias("best"))
-        .select(F.col(id_col), (-F.col("best.neg")).cast("long").alias("centroid_id"))
-    )
-    return w_best
+    _base, _cents, assign = _ivf_parts(df, n_centroids, id_col, vec_col)
+    return assign
 
 
 def ivf_topk(df: DataFrame, query_id: int = 0, k: int = 10,
@@ -157,14 +185,8 @@ def ivf_topk(df: DataFrame, query_id: int = 0, k: int = 10,
     at scale). Probe cells are ranked by (cosine desc, centroid_id asc)
     with the same 6dp rounding as assignment, so probe-1 is exactly the
     query's own cell."""
-    assign = ivf_assign(df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+    base, cents, assign = _ivf_parts(df, n_centroids, id_col, vec_col)
     with_c = df.join(assign, id_col)
-    base = with_norm(df, vec_col)
-    cents = (
-        base.orderBy(F.col(id_col).asc()).limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"),
-                F.col(vec_col).alias("cvec"), F.col("norm").alias("cnorm"))
-    )
     q = (base.filter(F.col(id_col) == query_id)
          .select(F.col(vec_col).alias("qvec"), F.col("norm").alias("qnorm")))
     probe = (

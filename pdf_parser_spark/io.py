@@ -113,13 +113,33 @@ class IcebergTableIO:
                 df, target, mode=mode, partition_by=partition_by,
                 dynamic_overwrite=dynamic_overwrite)
             return
-        writer = df.writeTo(target)
+        from pyspark.sql import functions as _F
+        from pyspark.sql.utils import AnalysisException
+
+        def _partitioned_writer():
+            w = df.writeTo(target)
+            if partition_by:
+                # declared table partitioning — without it a later
+                # overwritePartitions() would replace the WHOLE table,
+                # destroying previously committed buckets
+                w = w.partitionedBy(*[_F.col(c) for c in partition_by])
+            return w
+
         if dynamic_overwrite:
-            writer.overwritePartitions()
+            try:
+                df.writeTo(target).overwritePartitions()
+            except AnalysisException:
+                # bootstrap: first run against a not-yet-existing table
+                _partitioned_writer().create()
         elif mode == "append":
-            writer.append()
+            df.writeTo(target).append()
+        elif mode == "overwrite":
+            _partitioned_writer().createOrReplace()
         else:
-            writer.createOrReplace()
+            raise ValueError(
+                f"IcebergTableIO.write: unsupported mode {mode!r} for "
+                f"catalog table {target!r} (use append/overwrite, or a "
+                "filesystem path for format-native modes)")
 
     def commit_manifest(self, manifest_dir: str, manifest: dict) -> None:
         if manifest_dir.startswith(self._PATHY) or os.path.isabs(manifest_dir):

@@ -30,15 +30,19 @@ PAGE_FIELDS = (
 )
 
 
+def _sep_nan_to_null() -> F.Column:
+    """Error rows carry NaN column_separator_position (pandas float
+    path); to_json serializes NaN as the string "NaN" whereas the
+    reference's json.dumps of None emits null — normalize once here, used
+    by every S8 sink shape."""
+    c = F.col("column_separator_position")
+    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c).alias(
+        "column_separator_position")
+
+
 def layout_struct() -> F.Column:
-    # Error rows carry NaN column_separator_position (pandas float path);
-    # to_json serializes NaN as the string "NaN" whereas the reference's
-    # json.dumps of None emits null — normalize NaN to null here so the
-    # S8 sink shape matches for error pages.
     cols = [
-        F.when(F.isnan(F.col(c)), F.lit(None).cast("double"))
-        .otherwise(F.col(c)).alias(c)
-        if c == "column_separator_position" else F.col(c)
+        _sep_nan_to_null() if c == "column_separator_position" else F.col(c)
         for c in PAGE_FIELDS
     ]
     return F.struct(*cols)
@@ -57,10 +61,7 @@ def with_layout_json(layouts: DataFrame) -> DataFrame:
 def conversation_json(layouts: DataFrame) -> DataFrame:
     """One ExtractionResult-shaped JSON document per conversation."""
     layouts = layouts.withColumn(
-        "column_separator_position",
-        F.when(F.isnan("column_separator_position"),
-               F.lit(None).cast("double"))
-        .otherwise(F.col("column_separator_position")))
+        "column_separator_position", _sep_nan_to_null())
     return (
         layouts.groupBy("conv_id")
         .agg(

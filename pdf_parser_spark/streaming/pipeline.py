@@ -63,10 +63,12 @@ def stream_dedup_turns(stream: DataFrame, watermark: str = "2 hours") -> DataFra
     fingerprint and evicts state older than the watermark — bounded state,
     the streaming counterpart of ``corpus.dedup.exact_dedup`` (at 100 TB
     ingest the dedup horizon is a deployment knob; global history lives in
-    the batch pipeline)."""
-    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    the batch pipeline). The fingerprint is the SAME canonicalization
+    contract as the batch dedup (one definition, one import)."""
+    from pdf_parser_spark.corpus.dedup import canonical_text
+
     return (
-        stream.withColumn("fp", F.md5(canon))
+        stream.withColumn("fp", F.md5(canonical_text("text")))
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["fp"])
         .drop("fp")

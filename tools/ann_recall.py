@@ -51,6 +51,23 @@ def main() -> None:
                   assign.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     cell_of = {r.vec_id: r.centroid_id for r in assign.collect()}
 
+    # true probe-2 cells per query (same ranking as ivf_topk: cosine
+    # desc, centroid_id asc, 6dp rounding), computed driver-side in NumPy
+    import numpy as np
+
+    vec_rows = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                for r in embs.collect()}
+    cent_ids = sorted(vec_rows)[:16]
+    cmat = np.stack([vec_rows[c] for c in cent_ids])
+    cnorm = np.linalg.norm(cmat, axis=1)
+
+    def probe2_cells(qid):
+        qv = vec_rows[qid]
+        scores = np.round(cmat @ qv / (cnorm * np.linalg.norm(qv)), 6)
+        order = sorted(range(len(cent_ids)),
+                       key=lambda i: (-scores[i], cent_ids[i]))
+        return [cent_ids[i] for i in order[:2]]
+
     methods = {
         **{f"lsh_p{p}": (lambda q, p=p: S.lsh_topk(embs, query_id=q, k=k, planes=p))
            for p in lsh_planes},
@@ -69,7 +86,7 @@ def main() -> None:
                 bucket_sizes[p].get(bucket_of[p][q], 0) / n_vecs)
         scanned["ivf_probe1"].append(cell_sizes.get(cell_of[q], 0) / n_vecs)
         scanned["ivf_probe2"].append(
-            min(1.0, 2 * cell_sizes.get(cell_of[q], 0) / n_vecs))
+            sum(cell_sizes.get(c, 0) for c in probe2_cells(q)) / n_vecs)
 
     out = {"sf_dir": sf_dir, "n_vecs": n_vecs, "k": k, "n_queries": n_queries}
     for m in methods:

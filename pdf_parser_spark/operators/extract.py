@@ -23,6 +23,7 @@ Scale design:
 from __future__ import annotations
 
 import json
+import re
 
 import numpy as np
 import pandas as pd
@@ -179,6 +180,28 @@ def _join_line_groups(b: pd.DataFrame) -> pd.DataFrame:
         {"rid": rid2[starts], "region": reg2[starts], "text": region_texts})
 
 
+_KW_RE_CACHE: dict = {}
+
+
+def _kw_hit(lower_series: pd.Series, keywords: tuple) -> pd.Series:
+    """Vectorized ``any(k in text for k in keywords)``. Empty keyword
+    tuples hit nothing (an empty joined regex would match EVERY string)."""
+    if not keywords:
+        return pd.Series(False, index=lower_series.index)
+    if keywords not in _KW_RE_CACHE:
+        _KW_RE_CACHE[keywords] = "|".join(re.escape(k) for k in keywords)
+    return lower_series.str.contains(_KW_RE_CACHE[keywords], regex=True)
+
+
+def _has_digit(series: pd.Series) -> pd.Series:
+    """Exact oracle semantics: ``any(c.isdigit() for c in text)``
+    (A003:209). str.isdigit covers Numeric_Type=Digit characters (e.g.
+    superscripts) that the regex class \\d does not, so a regex would
+    diverge on Unicode digits. Applied only to footer-band candidates, so
+    the per-row loop touches a small subset."""
+    return series.map(lambda s: any(c.isdigit() for c in s))
+
+
 def _grid_separator_closed_form(min_x1, max_x0, width):
     """O4 first-hit grid search (A003:146-153), closed form over arrays.
 
@@ -237,7 +260,9 @@ def _tokenize_stage(rows: pd.DataFrame):
     # ("612" -> 612.0 for page_rect stringification, "-0" -> -0.0)
     widths = page_kv[0].astype(float)
     heights = page_kv[1].astype(float)
-    bad_header = widths.isna() | heights.isna()
+    # non-finite / absurd dims ('1e999' overflows to inf) are malformed
+    # headers on both sides — payload.py applies the identical bound
+    bad_header = ~(widths.abs() <= 1e12) | ~(heights.abs() <= 1e12)
     if bad_header.any():
         bad_rids = first.index[bad_header.to_numpy()]
         bad_rows = rows[rows["rid"].isin(bad_rids)]
@@ -265,7 +290,8 @@ def _tokenize_stage(rows: pd.DataFrame):
     vl = line[vline_mask].str.extract(_LINE_RE).astype(float)
     vl.columns = ["x1", "y1", "x2", "y2"]
     vl["rid"] = recs_df.loc[vline_mask, "rid"].to_numpy()
-    vl["pos"] = recs_df.loc[vline_mask, "pos"].to_numpy()
+    # row order (payload order) alone drives first-max tie-breaks; no
+    # position column is needed downstream
     vl = vl.dropna(subset=["x1", "y1", "x2", "y2"])
 
     # RECT records
@@ -422,35 +448,33 @@ def _classify_stage(state: dict, variant: str) -> pd.DataFrame:
     n_colored = state["n_colored"]
     footer_regions = state["footer_regions"]
 
-    has_footer = pd.Series(False, index=dims_idx.index)
-    if cfg.footer_mode == "semantic" and len(blocks):
-        bb = blocks.merge(dims, on="rid")
-        cy = (bb["y0"] + bb["y1"]) / 2.0
-        potential = bb[cy > bb["h"] * cfg.footer_frac]
-        if len(potential):
-            joined = (
-                potential.groupby("rid", sort=False)["text"].agg(" ".join).str.lower()
-            )
-            kw_re = "|".join(__import__("re").escape(k) for k in cfg.keywords)
-            kw_hit = joined.str.contains(kw_re, regex=True)
-            short_digit = (joined.str.strip().str.len() < 50) & joined.str.contains(r"\d")
-            hf = kw_hit | short_digit
-            has_footer.loc[hf.index[hf.to_numpy()]] = True
-
     # --- C1/C2/C4 classification -----------------------------------------
     region_text = pd.DataFrame({"rid": [], "region": [], "text": []})
     region_counts = {}
     if len(blocks):
-        bb = blocks.merge(dims, on="rid")
+        bb = blocks.merge(dims, on="rid")  # one merge, reused below
         bb["sep"] = bb["rid"].map(separators)
         bb_cy = ((bb["y0"] + bb["y1"]) / 2.0).to_numpy()
         bb_cx = ((bb["x0"] + bb["x1"]) / 2.0).to_numpy()
         h_arr = bb["h"].to_numpy()
+        in_band = bb_cy > h_arr * cfg.footer_frac
+
+        has_footer = pd.Series(False, index=dims_idx.index)
+        if cfg.footer_mode == "semantic" and in_band.any():
+            joined = (
+                bb.loc[in_band].groupby("rid", sort=False)["text"]
+                .agg(" ".join).str.lower()
+            )
+            kw_hit = _kw_hit(joined, cfg.keywords)
+            short_digit = (
+                (joined.str.strip().str.len() < 50) & _has_digit(joined))
+            hf = kw_hit | short_digit
+            has_footer.loc[hf.index[hf.to_numpy()]] = True
 
         is_header = bb_cy < h_arr * cfg.header_frac
 
         if cfg.footer_mode == "band":
-            is_footer = bb_cy > h_arr * cfg.footer_frac
+            is_footer = in_band
         elif cfg.footer_mode == "semantic":
             in_colored = np.zeros(len(bb), dtype=bool)
             if len(footer_regions):
@@ -465,16 +489,16 @@ def _classify_stage(state: dict, variant: str) -> pd.DataFrame:
                 hit_idx = j.loc[contained, "index"].unique()
                 in_colored[hit_idx] = True
             hf_arr = bb["rid"].map(has_footer).to_numpy()
-            is_footer = in_colored | (hf_arr & (bb_cy > h_arr * cfg.footer_frac))
-        else:  # "keyword" (A004): per-block test
-            low = bb["text"].str.lower()
-            kw_re = "|".join(__import__("re").escape(k) for k in cfg.keywords)
-            kw_hit = low.str.contains(kw_re, regex=True).to_numpy()
-            short_digit = (
-                (bb["text"].str.strip().str.len() < 50)
-                & bb["text"].str.contains(r"\d")
-            ).to_numpy()
-            is_footer = (bb_cy > h_arr * cfg.footer_frac) & (kw_hit | short_digit)
+            is_footer = in_colored | (hf_arr & in_band)
+        else:  # "keyword" (A004): per-block test, band candidates only
+            is_footer = np.zeros(len(bb), dtype=bool)
+            if in_band.any():
+                sub = bb.loc[in_band, "text"]
+                kw_hit = _kw_hit(sub.str.lower(), cfg.keywords).to_numpy()
+                short_digit = (
+                    (sub.str.strip().str.len() < 50).to_numpy()
+                    & _has_digit(sub).to_numpy())
+                is_footer[in_band] = kw_hit | short_digit
 
         region = np.where(
             is_header, "header",
@@ -564,7 +588,10 @@ def _reassemble_regions_a000(blocks: pd.DataFrame) -> pd.DataFrame:
     for i in range(n):
         if i == 0 or rid[i] != rid[i - 1] or reg[i] != reg[i - 1]:
             cur += 1
-            cur_max = y1a[i]
+            # oracle seeds cur_y_max = -1.0 then max()s the first block
+            # (A000:230-232), so a first block with y1 < -1 keeps the
+            # -1.0 floor; later line breaks reset to y1 exactly
+            cur_max = max(-1.0, y1a[i])
         elif y0a[i] < cur_max + 10:
             if y1a[i] > cur_max:
                 cur_max = y1a[i]
@@ -775,25 +802,44 @@ _META_PLAIN_EMPTY = {
     "has_footer": "false", "page_rect": _PAGE_RECT_JSON,
 }
 _META_NULL_PAYLOAD = {"error": json.dumps("null payload")}
+# A000's metadata keys for the same plain-fallback geometry (separator,
+# classification and text are identical — n=1 block can never satisfy the
+# 10%-each-side grid test, so the separator stays w/2 for both families)
+_META_PLAIN_BLOCK_A000 = {
+    "total_text_blocks_layoutlm": "1", "header_blocks": "0",
+    "footer_blocks": "0", "left_column_blocks": "0",
+    "right_column_blocks": "1", "vertical_lines_detected_count": "0",
+    "page_rect": _PAGE_RECT_JSON,
+    "header_y_boundary": "null", "footer_y_boundary": "null",
+}
+_META_PLAIN_EMPTY_A000 = {
+    "total_text_blocks_layoutlm": "0", "header_blocks": "0",
+    "footer_blocks": "0", "left_column_blocks": "0",
+    "right_column_blocks": "0", "vertical_lines_detected_count": "0",
+    "page_rect": _PAGE_RECT_JSON,
+    "header_y_boundary": "null", "footer_y_boundary": "null",
+}
 
 
-def _extract_plain_rows(rows: pd.DataFrame) -> pd.DataFrame:
+def _extract_plain_rows(rows: pd.DataFrame, variant: str = "a003") -> pd.DataFrame:
     """tool='plain' (and unknown tools): the reference's get_text() fallback
     semantics — one whole-page block on a default 612x792 page
     (A003:94-108). Note the faithful quirk: the block's center_x equals the
     default separator w/2, and the classifier's strict `<` routes the text
-    to right_column (A003:239-242). Fully vectorized; the three possible
-    metadata dicts are shared constants (read-only downstream)."""
+    to right_column (A003:239-242). Fully vectorized; the possible
+    metadata dicts are shared constants (read-only downstream) — the a000
+    variant differs ONLY in its metadata key set."""
     if rows.empty:
         return _empty_layout_frame()
+    a000 = VARIANTS[variant].footer_mode == "line_extent"
     n = len(rows)
     txt = rows["text"]
     is_null = txt.isna().to_numpy()
     stripped = txt.fillna("").str.strip()
     has_block = (~is_null) & (stripped != "").to_numpy()
     meta = np.empty(n, dtype=object)
-    meta[:] = _META_PLAIN_EMPTY
-    meta[has_block] = _META_PLAIN_BLOCK
+    meta[:] = _META_PLAIN_EMPTY_A000 if a000 else _META_PLAIN_EMPTY
+    meta[has_block] = _META_PLAIN_BLOCK_A000 if a000 else _META_PLAIN_BLOCK
     meta[is_null] = _META_NULL_PAYLOAD
     return pd.DataFrame(
         {
@@ -879,7 +925,9 @@ def extract_batch(pdf: pd.DataFrame, variant: str = "a003",
         parts = []
         parts.append(_extract_page_rows(pdf[tool == "page/v1"][["rid", "turn_idx", "text"]], variant))
         parts.append(_extract_html_rows(pdf[tool == "html/v1"][["rid", "turn_idx", "text"]]))
-        parts.append(_extract_plain_rows(pdf[~tool.isin(["page/v1", "html/v1"])][["rid", "turn_idx", "text"]]))
+        parts.append(_extract_plain_rows(
+            pdf[~tool.isin(["page/v1", "html/v1"])][["rid", "turn_idx", "text"]],
+            variant=variant))
         layouts = pd.concat(parts, ignore_index=True)
     except Exception:  # noqa: BLE001 — batch-level degrade: per-turn oracle
         pairs = [
@@ -922,6 +970,25 @@ _LAYOUT_FIELD_DDL = {
 }
 
 
+def _output_schema(df, columns: list | None) -> str:
+    """Output DDL adapted to the input: passthrough columns are
+    '[, ts]'-optional (extract_batch emits only those present), so the
+    declared schema must match or every task dies on a missing column.
+    An explicit ``columns`` list is validated against what exists."""
+    present = [c for c in PASSTHROUGH if c in df.columns]
+    available = present + LAYOUT_FIELDS
+    if columns is None:
+        fields = available
+    else:
+        missing = [c for c in columns if c not in available]
+        if missing:
+            raise ValueError(
+                f"extract_layouts: requested columns {missing} not "
+                f"available (input has {present} + layout fields)")
+        fields = columns
+    return ", ".join(f"{c} {_LAYOUT_FIELD_DDL[c]}" for c in fields)
+
+
 def extract_layouts(df, variant: str = "a003", columns: list | None = None):
     """Spark operator: transcripts DataFrame -> layouts DataFrame.
 
@@ -941,11 +1008,7 @@ def extract_layouts(df, variant: str = "a003", columns: list | None = None):
         for pdf in batches:
             yield extract_batch(pdf, variant, columns=columns)
 
-    if columns is None:
-        schema = LAYOUT_SCHEMA_DDL
-    else:
-        schema = ", ".join(f"{c} {_LAYOUT_FIELD_DDL[c]}" for c in columns)
-    return df.mapInPandas(run, schema=schema)
+    return df.mapInPandas(run, schema=_output_schema(df, columns))
 
 
 BLOCKS_SCHEMA_DDL = (
@@ -1017,14 +1080,15 @@ def extract_batch_multi(pdf: pd.DataFrame, variants) -> pd.DataFrame:
     try:
         per_variant = _extract_page_rows_multi(
             pdf[tool == "page/v1"][["rid", "turn_idx", "text"]], variants)
-        shared = [
-            _extract_html_rows(pdf[tool == "html/v1"][["rid", "turn_idx", "text"]]),
-            _extract_plain_rows(
-                pdf[~tool.isin(["page/v1", "html/v1"])][["rid", "turn_idx", "text"]]),
-        ]
+        html = _extract_html_rows(pdf[tool == "html/v1"][["rid", "turn_idx", "text"]])
+        plain_src = pdf[~tool.isin(["page/v1", "html/v1"])][["rid", "turn_idx", "text"]]
         frames = []
         for v in variants:
-            layouts = pd.concat([per_variant[v]] + shared, ignore_index=True)
+            # plain rows carry variant-keyed metadata (a000 differs), so
+            # they are per-variant; html rows are variant-independent
+            layouts = pd.concat(
+                [per_variant[v], html, _extract_plain_rows(plain_src, variant=v)],
+                ignore_index=True)
             merged = pdf.drop(columns=["text"]).merge(layouts, on="rid").sort_values("rid")
             cols = [c for c in PASSTHROUGH if c in merged.columns] + LAYOUT_FIELDS
             out = merged[cols].reset_index(drop=True)
@@ -1050,4 +1114,5 @@ def extract_layouts_multi(df, variants=("a002", "a003", "a004")):
         for pdf in batches:
             yield extract_batch_multi(pdf, variants)
 
-    return df.mapInPandas(run, schema=LAYOUT_SCHEMA_DDL + ", extractor_name string")
+    return df.mapInPandas(
+        run, schema=_output_schema(df, None) + ", extractor_name string")

@@ -196,6 +196,12 @@ def parse_payload(payload: str) -> ParsedPage:
         raise PayloadError(f"malformed PAGE header: {records[0]!r}")
     width = float(m.group(1))
     height = float(m.group(2))
+    # The grammar has no inf/nan literals, but '1e999' still overflows to
+    # float inf; reject it (and absurd magnitudes whose int() grid bounds
+    # would make the reference's range() loop astronomically long) as a
+    # malformed header — same message, so the vectorized twin matches.
+    if not (abs(width) <= 1e12 and abs(height) <= 1e12):  # NaN-safe
+        raise PayloadError(f"malformed PAGE header: {records[0]!r}")
 
     page = ParsedPage(width=width, height=height)
 

@@ -514,6 +514,39 @@ def _classify_stage(state: dict, variant: str) -> pd.DataFrame:
         )
 
     # --- assemble one output row per rid ---------------------------------
+    def build_metadata(aligned, total_blocks, reg_arrs):
+        vln_arr = aligned(n_vlines)
+        col_arr = aligned(n_colored)
+        # page_rect uses float repr — exactly json.dumps' float formatting
+        return [
+            {
+                "total_text_blocks": str(t),
+                "header_blocks": str(hh),
+                "footer_blocks": str(ff),
+                "left_column_blocks": str(ll),
+                "right_column_blocks": str(rr),
+                "vertical_lines_detected": str(v),
+                "colored_footer_regions": str(c),
+                "has_footer": "true" if ff > 0 else "false",
+                "page_rect": f"[0.0, 0.0, {float(w)!r}, {float(h)!r}]",
+            }
+            for t, hh, ff, ll, rr, v, c, w, h in zip(
+                total_blocks, reg_arrs[0], reg_arrs[1], reg_arrs[2], reg_arrs[3],
+                vln_arr, col_arr, dims["w"].to_numpy(), dims["h"].to_numpy())
+        ]
+
+    return _assemble_layout_rows(
+        rows, region_text, blocks, dims, dims_idx, dims_w, separators,
+        region_counts, build_metadata)
+
+
+def _assemble_layout_rows(rows, region_text, blocks, dims, dims_idx, dims_w,
+                          separators, region_counts, build_metadata) -> pd.DataFrame:
+    """Shared per-rid row assembly for both classifier families: region
+    text pivot, geometry columns, count alignment to the page set, and a
+    metadata map from the variant-specific builder
+    ``build_metadata(aligned, total_blocks, reg_arrs) -> list[dict]``
+    (the only part where the A003 family and A000 differ)."""
     base = rows[["rid", "turn_idx"]].copy()
     piv = (
         region_text.pivot(index="rid", columns="region", values="text")
@@ -535,8 +568,6 @@ def _classify_stage(state: dict, variant: str) -> pd.DataFrame:
 
     total_blocks = _aligned(
         blocks.groupby("rid", sort=False).size() if len(blocks) else pd.Series(dtype=np.int64))
-    vln_arr = _aligned(n_vlines)
-    col_arr = _aligned(n_colored)
     region_names = ("header", "footer", "left_column", "right_column")
     if len(region_counts):
         rc_full = region_counts.reindex(
@@ -544,23 +575,7 @@ def _classify_stage(state: dict, variant: str) -> pd.DataFrame:
         reg_arrs = [rc_full[c].astype(np.int64).to_numpy() for c in region_names]
     else:
         reg_arrs = [np.zeros(len(dims_w), dtype=np.int64)] * 4
-    # page_rect uses float repr — exactly json.dumps' float formatting
-    metadata = [
-        {
-            "total_text_blocks": str(t),
-            "header_blocks": str(hh),
-            "footer_blocks": str(ff),
-            "left_column_blocks": str(ll),
-            "right_column_blocks": str(rr),
-            "vertical_lines_detected": str(v),
-            "colored_footer_regions": str(c),
-            "has_footer": "true" if ff > 0 else "false",
-            "page_rect": f"[0.0, 0.0, {float(w)!r}, {float(h)!r}]",
-        }
-        for t, hh, ff, ll, rr, v, c, w, h in zip(
-            total_blocks, reg_arrs[0], reg_arrs[1], reg_arrs[2], reg_arrs[3],
-            vln_arr, col_arr, dims["w"].to_numpy(), dims["h"].to_numpy())
-    ]
+    metadata = build_metadata(_aligned, total_blocks, reg_arrs)
     meta_by_rid = pd.Series(metadata, index=dims["rid"].to_numpy())
     base["metadata"] = base["rid"].map(meta_by_rid)
 
@@ -701,58 +716,31 @@ def _classify_stage_a000(state: dict) -> pd.DataFrame:
         )
 
     # --- assemble rows with A000's metadata keys (A000:270-281) ----------
-    base = rows[["rid", "turn_idx"]].copy()
-    piv = (
-        region_text.pivot(index="rid", columns="region", values="text")
-        if len(region_text)
-        else pd.DataFrame()
-    )
-    for col in ("header", "footer", "left_column", "right_column"):
-        vals = piv[col] if col in piv.columns else pd.Series(dtype=object)
-        base[col] = base["rid"].map(vals).fillna("")
-    base["page_width"] = base["rid"].map(dims_idx["w"])
-    base["page_height"] = base["rid"].map(dims_idx["h"])
-    base["column_separator_position"] = base["rid"].map(separators)
-    base["page_number"] = base["turn_idx"].to_numpy() + 1
+    def build_metadata(aligned, total_blocks, reg_arrs):
+        vln_arr = aligned(n_vlines)
+        hy_vals = [hy_line.get(r) for r in dims_w.index]
+        fy_vals = [fy_line.get(r) for r in dims_w.index]
+        return [
+            {
+                "total_text_blocks_layoutlm": str(t),
+                "header_blocks": str(hh),
+                "footer_blocks": str(ff),
+                "left_column_blocks": str(ll),
+                "right_column_blocks": str(rr),
+                "vertical_lines_detected_count": str(v),
+                "page_rect": f"[0.0, 0.0, {float(w)!r}, {float(h)!r}]",
+                "header_y_boundary": json.dumps(hy),
+                "footer_y_boundary": json.dumps(fy),
+            }
+            for t, hh, ff, ll, rr, v, w, h, hy, fy in zip(
+                total_blocks, reg_arrs[0], reg_arrs[1], reg_arrs[2], reg_arrs[3],
+                vln_arr, dims["w"].to_numpy(), dims["h"].to_numpy(),
+                hy_vals, fy_vals)
+        ]
 
-    def _aligned(series) -> np.ndarray:
-        if len(series):
-            return series.reindex(dims_w.index).fillna(0).astype(np.int64).to_numpy()
-        return np.zeros(len(dims_w), dtype=np.int64)
-
-    total_blocks = _aligned(
-        blocks.groupby("rid", sort=False).size() if len(blocks) else pd.Series(dtype=np.int64))
-    vln_arr = _aligned(n_vlines)
-    region_names = ("header", "footer", "left_column", "right_column")
-    if len(region_counts):
-        rc_full = region_counts.reindex(
-            index=dims_w.index, columns=region_names, fill_value=0).fillna(0)
-        reg_arrs = [rc_full[c].astype(np.int64).to_numpy() for c in region_names]
-    else:
-        reg_arrs = [np.zeros(len(dims_w), dtype=np.int64)] * 4
-    hy_vals = [hy_line.get(r) for r in dims_w.index]
-    fy_vals = [fy_line.get(r) for r in dims_w.index]
-    metadata = [
-        {
-            "total_text_blocks_layoutlm": str(t),
-            "header_blocks": str(hh),
-            "footer_blocks": str(ff),
-            "left_column_blocks": str(ll),
-            "right_column_blocks": str(rr),
-            "vertical_lines_detected_count": str(v),
-            "page_rect": f"[0.0, 0.0, {float(w)!r}, {float(h)!r}]",
-            "header_y_boundary": json.dumps(hy),
-            "footer_y_boundary": json.dumps(fy),
-        }
-        for t, hh, ff, ll, rr, v, w, h, hy, fy in zip(
-            total_blocks, reg_arrs[0], reg_arrs[1], reg_arrs[2], reg_arrs[3],
-            vln_arr, dims["w"].to_numpy(), dims["h"].to_numpy(),
-            hy_vals, fy_vals)
-    ]
-    meta_by_rid = pd.Series(metadata, index=dims["rid"].to_numpy())
-    base["metadata"] = base["rid"].map(meta_by_rid)
-
-    return base[["rid"] + LAYOUT_FIELDS]
+    return _assemble_layout_rows(
+        rows, region_text, blocks, dims, dims_idx, dims_w, separators,
+        region_counts, build_metadata)
 
 
 def _extract_page_rows(rows: pd.DataFrame, variant: str) -> pd.DataFrame:

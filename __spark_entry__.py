@@ -84,6 +84,26 @@ _LAYOUT_SELECT = [
 ]
 
 
+def _drain_or_die(query, name: str, timeout: int = 600) -> None:
+    """availableNow drain with a hard failure on timeout — reading the
+    memory sink mid-stream would hash-compare a partial table and leave
+    an active query squatting on the sink name."""
+    if not query.awaitTermination(timeout):
+        query.stop()
+        raise RuntimeError(
+            f"{name}: streaming drain exceeded {timeout}s; aborting "
+            "instead of comparing a partial memory-sink table")
+
+
+def _question_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared prelude of the three question-path gates: page/v1 turns
+    through the a004 extractor, pruned to the columns the span UDF
+    consumes."""
+    src = _transcripts(spark, sf_dir).filter(F.col("tool") == "page/v1")
+    return extract_layouts(src, variant="a004", columns=[
+        "conv_id", "turn_idx", "page_number", "left_column", "right_column"])
+
+
 def _layout_query(variant: str, page_only: bool):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = _transcripts(spark, sf_dir)
@@ -261,30 +281,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["region_text_clip"] = q_region_clip
 
     def q_questions(spark, sf_dir):
-        src = _transcripts(spark, sf_dir).filter(F.col("tool") == "page/v1")
-        layouts = extract_layouts(src, variant="a004", columns=[
-            "conv_id", "turn_idx", "page_number", "left_column", "right_column"])
-        return _longify(extract_questions(layouts))
+        return _longify(extract_questions(_question_layouts(spark, sf_dir)))
 
     q["question_spans"] = q_questions
 
     def q_questions_per_page(spark, sf_dir):
         from pdf_parser_spark.operators.questions import questions_per_page
 
-        src = _transcripts(spark, sf_dir).filter(F.col("tool") == "page/v1")
-        layouts = extract_layouts(src, variant="a004", columns=[
-            "conv_id", "turn_idx", "page_number", "left_column", "right_column"])
-        return _longify(questions_per_page(extract_questions(layouts)))
+        return _longify(questions_per_page(
+            extract_questions(_question_layouts(spark, sf_dir))))
 
     q["questions_per_page"] = q_questions_per_page
 
     def q_question_md(spark, sf_dir):
         from pdf_parser_spark.operators.questions import questions_to_markdown
 
-        src = _transcripts(spark, sf_dir).filter(F.col("tool") == "page/v1")
-        layouts = extract_layouts(src, variant="a004", columns=[
-            "conv_id", "turn_idx", "page_number", "left_column", "right_column"])
-        return _longify(questions_to_markdown(extract_questions(layouts)))
+        return _longify(questions_to_markdown(
+            extract_questions(_question_layouts(spark, sf_dir))))
 
     q["question_sinks_md"] = q_question_md
 
@@ -477,10 +490,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tumbling_window_counts"] = q_window_counts
 
     def q_stream_dedup(spark, sf_dir):
-        # a REAL streaming query (memory sink, availableNow): the
-        # surviving rows of the watermarked streaming dedup carry exactly
-        # one row per distinct canonical fingerprint — that set is
-        # deterministic even though which arrival survives is not
+        # a REAL streaming query (memory sink, availableNow): with the
+        # dedup horizon wider than the fixture's timestamp span (file
+        # order is not ts order, so a short horizon would drop old rows
+        # of later micro-batches as late data), the survivors carry
+        # exactly one row per distinct canonical fingerprint — that set
+        # is deterministic even though which arrival survives is not
         from pdf_parser_spark.streaming.pipeline import (
             read_transcript_stream,
             stream_dedup_turns,
@@ -489,10 +504,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name = "gate_stream_dedup"
         spark.catalog.dropTempView(name)
         qy = (stream_dedup_turns(
-                read_transcript_stream(spark, transcripts_path(sf_from_dir(sf_dir))))
+                read_transcript_stream(spark, transcripts_path(sf_from_dir(sf_dir))),
+                watermark="3650 days")
               .writeStream.format("memory").queryName(name)
               .outputMode("append").trigger(availableNow=True).start())
-        qy.awaitTermination(600)
+        _drain_or_die(qy, "stream_dedup_fps")
         return (spark.table(name)
                 .select(F.md5(D.canonical_text("text")).alias("fp"))
                 .distinct())
@@ -512,7 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 read_transcript_stream(spark, transcripts_path(sf_from_dir(sf_dir))))
               .writeStream.format("memory").queryName(name)
               .outputMode("update").trigger(availableNow=True).start())
-        qy.awaitTermination(600)
+        _drain_or_die(qy, "stream_conv_progress")
         return (
             spark.table(name)
             .groupBy("conv_id")
@@ -894,8 +910,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "stream_dedup_fps": f"""
-            SELECT DISTINCT
-                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            SELECT DISTINCT md5({_CANON}) AS fp
             FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet')
         """,
         "stream_conv_progress": f"""

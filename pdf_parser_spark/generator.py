@@ -314,11 +314,17 @@ def transcripts_path(sf: float, base_dir: str = "/root/repo/data/transcripts") -
 
 
 def sf_from_dir(sf_dir: str) -> float:
-    """Map a driver sf dir (/root/testdata/sf0.01) to a scale factor."""
+    """Map a driver sf dir (/root/testdata/sf0.01) to a scale factor.
+
+    Unparseable names raise instead of silently falling back to a tiny
+    dataset — a wrong-dataset run would fail every gate with misleading
+    row-count mismatches rather than a clear bad-argument error."""
     base = os.path.basename(sf_dir.rstrip("/"))
     if base.startswith("sf"):
         try:
             return float(base[2:])
         except ValueError:
             pass
-    return 0.001
+    raise ValueError(
+        f"cannot derive a scale factor from {sf_dir!r}: expected a "
+        "directory named sf<float> (e.g. .../sf0.01)")

@@ -31,14 +31,14 @@ def _span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for conv_id, turn_idx, text in pdf[["conv_id", "turn_idx", "text"]].itertuples(index=False):
             try:
                 res = strip_boilerplate(text)
-            except Exception:  # noqa: BLE001 — degrade per turn (D1 semantics)
-                continue
-            main = res["left_column"]
-            for i, (start, end) in enumerate(res["spans"]):
-                recs.append(
-                    (conv_id, int(turn_idx), i, start, end,
-                     hashlib.md5(main[start:end].encode("utf-8")).hexdigest())
-                )
+                main = res["left_column"]
+                for i, (start, end) in enumerate(res["spans"]):
+                    recs.append(
+                        (conv_id, int(turn_idx), i, start, end,
+                         hashlib.md5(main[start:end].encode("utf-8")).hexdigest())
+                    )
+            except Exception:  # noqa: BLE001 — degrade per turn (D1
+                continue       # semantics): the int() cast included
         yield pd.DataFrame(
             recs,
             columns=["conv_id", "turn_idx", "span_idx", "start_offset",

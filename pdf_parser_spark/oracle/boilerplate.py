@@ -29,6 +29,9 @@ from __future__ import annotations
 import re
 
 TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>'\"]|'[^']*'|\"[^\"]*\")*?)(/?)>")
+# comments / CDATA / doctype+declarations are stripped before tokenizing —
+# commented-out markup must not corrupt the tag stack
+_STRIP_RE = re.compile(r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<![^>]*>", re.S)
 
 BLOCK_TAGS = frozenset(
     "p div h1 h2 h3 h4 h5 h6 li ul ol td th tr table section article "
@@ -36,8 +39,14 @@ BLOCK_TAGS = frozenset(
 )
 VOID_TAGS = frozenset("br img hr input meta link area base col embed source wbr".split())
 SKIP_CONTENT_TAGS = frozenset(("script", "style"))
+# HTML5 implied end tags: a same-tag sibling reopen closes the previous
+# instance (the common unclosed <li>/<p>/<td> chains) so depth does not
+# inflate monotonically through valid HTML5
+IMPLIED_CLOSE_TAGS = frozenset("li p td th tr option dd dt".split())
 
-_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'", "&nbsp;": " "}
+# &amp; decodes LAST: decoding it first double-unescapes '&amp;lt;' to '<'
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
 
 MIN_CONTENT_CHARS = 25
 MAX_LINK_DENSITY = 1.0 / 3.0
@@ -51,7 +60,7 @@ _WS_RE = re.compile(r"\s+")
 def _unescape(text: str) -> str:
     if "&" not in text:
         return text
-    for k, v in _ENTITIES.items():
+    for k, v in _ENTITIES:
         text = text.replace(k, v)
     return text
 
@@ -105,26 +114,55 @@ def tokenize_html(payload: str) -> list:
         cur_link_chars = 0
         cur_depth = None
 
+    def in_skip() -> bool:
+        # counter-based (not stack-top): tag-like text inside a script
+        # string ('var h = "<p>"') must not end the skip context
+        return counts.get("script", 0) > 0 or counts.get("style", 0) > 0
+
+    def add_text(raw_text: str) -> None:
+        nonlocal cur_depth, cur_flags, cur_link_chars
+        text = _unescape(raw_text)
+        if text.strip():
+            in_h, in_f, in_n, in_a = context_flags()
+            if cur_depth is None:
+                cur_depth = len(stack)
+                cur_flags = [in_h, in_f, in_n]
+            else:
+                cur_flags = [cur_flags[0] or in_h, cur_flags[1] or in_f,
+                             cur_flags[2] or in_n]
+            norm_len = len(_WS_RE.sub(" ", text).strip())
+            if in_a:
+                cur_link_chars += norm_len
+        cur_parts.append(text)
+
+    payload = _STRIP_RE.sub(" ", payload)
+
     for m in TAG_RE.finditer(payload):
         raw_text = payload[pos : m.start()]
         pos = m.end()
-        if raw_text and not (stack and stack[-1] in SKIP_CONTENT_TAGS):
-            text = _unescape(raw_text)
-            if text.strip():
-                in_h, in_f, in_n, in_a = context_flags()
-                if cur_depth is None:
-                    cur_depth = len(stack)
-                    cur_flags = [in_h, in_f, in_n]
-                else:
-                    cur_flags = [cur_flags[0] or in_h, cur_flags[1] or in_f, cur_flags[2] or in_n]
-                norm_len = len(_WS_RE.sub(" ", text).strip())
-                if in_a:
-                    cur_link_chars += norm_len
-            cur_parts.append(text)
+        if raw_text and not in_skip():
+            add_text(raw_text)
 
-        closing, tag, _attrs, selfclose = m.groups()
+        closing, tag, attrs, selfclose = m.groups()
         tag = tag.lower()
-        if tag in VOID_TAGS or selfclose:
+        if in_skip():
+            # raw-text element content: only the matching close tag ends
+            # it; every other tag-like sequence is inert text
+            if closing and tag in SKIP_CONTENT_TAGS and counts.get(tag, 0) > 0:
+                while stack and stack[-1] != tag:
+                    counts[stack.pop()] -= 1
+                if stack:
+                    counts[stack.pop()] -= 1
+            continue
+        # a '/' glued to an unquoted attribute value ('<a href=foo/>')
+        # belongs to the value, not a self-close
+        is_selfclose = bool(selfclose) and (
+            not attrs or attrs[-1] in " \t\r\n'\"")
+        if tag in VOID_TAGS or is_selfclose:
+            if tag in BLOCK_TAGS:
+                flush()  # a self-closed block tag is still a boundary
+            elif cur_parts:
+                cur_parts.append(" ")  # <br>/<img> separate words
             continue
         if closing:
             if tag in BLOCK_TAGS:
@@ -139,16 +177,14 @@ def tokenize_html(payload: str) -> list:
         else:
             if tag in BLOCK_TAGS:
                 flush()
+            if tag in IMPLIED_CLOSE_TAGS and stack and stack[-1] == tag:
+                counts[stack.pop()] -= 1  # sibling reopen implies close
             stack.append(tag)
             counts[tag] = counts.get(tag, 0) + 1
 
     tail = payload[pos:]
-    if tail and not (stack and stack[-1] in SKIP_CONTENT_TAGS):
-        cur_parts.append(_unescape(tail))
-        if cur_depth is None:
-            cur_depth = len(stack)
-            in_h, in_f, in_n, _ = context_flags()
-            cur_flags = [in_h, in_f, in_n]
+    if tail and not in_skip():
+        add_text(tail)
     flush()
     return blocks
 

@@ -193,3 +193,60 @@ class TestVariants:
         a004 = extract_turn(payload, "page/v1", 0, variant="a004")
         assert a003["header"] == "subtitle"
         assert a004["header"] == ""
+
+
+class TestBoilerplateTokenizer:
+    """Real-world-HTML hardening of the DOM stripper (round-2 review):
+    each case was a confirmed mis-extraction before the fix."""
+
+    def _strip(self, payload):
+        from pdf_parser_spark.oracle.boilerplate import strip_boilerplate
+
+        return strip_boilerplate(payload)
+
+    def test_script_content_with_tag_like_strings_is_skipped(self):
+        res = self._strip(
+            '<script>var h = "<p>"; var leakedCodeThatIsQuiteLong = 12345;'
+            '</script><p>Real content paragraph long enough to keep.</p>')
+        assert "leakedCode" not in res["left_column"]
+        assert res["left_column"] == "Real content paragraph long enough to keep."
+
+    def test_comments_doctype_cdata_stripped(self):
+        res = self._strip(
+            "<!DOCTYPE html><!-- a fairly long html comment with words -->"
+            "<div>First real block of content here padded out.</div>"
+            "<!-- <div><div><div><div> --><![CDATA[junk <div> junk]]>"
+            "<div>Second real block of content here padded out.</div>")
+        assert "comment" not in res["left_column"]
+        assert "junk" not in res["left_column"]
+        assert len(res["spans"]) == 2  # commented tags did not inflate depth
+
+    def test_implied_end_tags_do_not_inflate_depth(self):
+        items = "".join(
+            f"<li>list item number {i} padded to content length.." for i in range(12))
+        res = self._strip(f"<ul>{items}</ul>")
+        assert len(res["spans"]) == 12  # every item kept, none depth-stripped
+
+    def test_double_escaped_entities(self):
+        res = self._strip(
+            "<p>showing markup a &amp;lt; b plus padding words here okay</p>")
+        assert "a &lt; b" in res["left_column"]
+
+    def test_br_separates_words_and_selfclosed_div_is_boundary(self):
+        res = self._strip(
+            "<p>alpha<br>beta gamma delta epsilon zeta eta theta iota</p>")
+        assert res["left_column"].startswith("alpha beta")
+        res2 = self._strip(
+            "<div>first block of content padded to length okay<div/>"
+            "second block of content padded to length okay</div>")
+        assert len(res2["spans"]) == 2
+
+    def test_unclosed_tail_anchor_counts_link_chars(self):
+        res = self._strip(
+            "<div><a href=x>Click here for more information about products")
+        assert res["left_column"] == ""  # link-only block stripped
+
+    def test_unquoted_attr_trailing_slash_not_selfclose(self):
+        res = self._strip(
+            "<p><a href=foo/>all of this text is one link body padding</a></p>")
+        assert res["left_column"] == ""  # anchor really opened -> link-stripped

@@ -34,7 +34,7 @@ RESIZE_SCHEMA = (
 FRAMES_SCHEMA = (
     "doc_id long, frame_idx long, frame_offset long, frame_md5 string")
 FEATURE_DIM = 16
-FEATURES_SCHEMA = f"doc_id long, feature array<float>"
+FEATURES_SCHEMA = "doc_id long, feature array<float>"
 
 
 def attach_binary(df: DataFrame, text_col: str = "text",

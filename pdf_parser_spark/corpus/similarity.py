@@ -88,9 +88,11 @@ def lsh_buckets(df: DataFrame, planes: int = 8, dims: int = 64,
     pure-SQL higher-order fold is interpreted per element and ~2× slower
     than this matmul). ``dims`` only sizes the initial sign matrix —
     vectors wider than it get lazily extended signs (same md5 derivation),
-    ragged batches fall back to per-row products, and null embeddings are
-    excluded up front (matching the exploded form, which emitted no rows
-    for them)."""
+    ragged batches fall back to per-row products, and null or EMPTY
+    embeddings are excluded up front (matching the exploded form, which
+    emitted no rows for either — a zero-length array has no dims to unnest,
+    and letting it through would mint a bucket-0 row the oracle lacks and
+    a NaN-score candidate downstream)."""
     signs_cache = {dims: np.array(_plane_signs(planes, dims), dtype=np.float64).T}
     weights = (1 << np.arange(planes)).astype(np.int64)
 
@@ -117,7 +119,7 @@ def lsh_buckets(df: DataFrame, planes: int = 8, dims: int = 64,
         ], dtype="int64")
 
     return (
-        df.filter(F.col(vec_col).isNotNull())
+        df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
         .select(F.col(id_col), bucket_udf(F.col(vec_col)).alias("bucket"))
     )
 

@@ -47,6 +47,7 @@ bucket group; buckets stay O(thousands) so the manifest table is tiny.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -98,6 +99,20 @@ def _validate_resume(done: dict, run_config: dict) -> None:
                 + " — rerun with matching parameters or pass no_resume/"
                 "delete the _manifests directory to recompute"
             )
+
+
+def _write_schema_sidecar(manifest_dir: str, schema_json: str) -> None:
+    """Record the run's written schema (job plan sans the bucket column) so
+    ``read_output``'s empty branch surfaces the SAME relation shape as a
+    non-empty run — whose schema comes from the files actually written and
+    therefore depends on the input's columns (e.g. ``ts`` present or not).
+    Same tmp+os.replace atomic-commit idiom as the bucket manifests."""
+    os.makedirs(manifest_dir, exist_ok=True)
+    path = os.path.join(manifest_dir, "_schema.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(schema_json)
+    os.replace(tmp, path)
 
 
 def bucket_job_plan(
@@ -215,6 +230,11 @@ def run_with_manifest(
     pending = [k for k in range(n_buckets) if k not in done]
     skipped = sorted(done)
     src = transcripts.withColumn("bucket", bucket_expr(n_buckets))
+    # schema analysis only (no job): the empty-output read path must
+    # return exactly the schema this run would have written
+    _write_schema_sidecar(
+        manifest_dir,
+        bucket_job_plan(src, [0], n_buckets, variant).drop("bucket").schema.json())
 
     processed: list = []
     job_plan = [pending[:fail_after]] if fail_after is not None else [pending]
@@ -259,10 +279,22 @@ def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     """
     from pdf_parser_spark.operators.extract import LAYOUT_SCHEMA_DDL
 
-    done = committed_buckets(os.path.join(out_dir, "_manifests"))
+    manifest_dir = os.path.join(out_dir, "_manifests")
+    done = committed_buckets(manifest_dir)
     if not done or all(m.get("rows_out", 0) == 0 for m in done.values()):
         # an all-empty run writes no data files (dynamic overwrite emits
-        # nothing) — surface the stable empty relation, not a scan error
+        # nothing) — surface the stable empty relation, not a scan error.
+        # The schema comes from the run's recorded plan schema so empty and
+        # non-empty paths of the same pipeline agree column-for-column
+        # (LAYOUT_SCHEMA_DDL is only the legacy fallback for pre-sidecar
+        # output dirs).
+        schema_path = os.path.join(manifest_dir, "_schema.json")
+        if os.path.exists(schema_path):
+            from pyspark.sql.types import StructType
+
+            with open(schema_path, encoding="utf-8") as f:
+                return spark.createDataFrame(
+                    [], StructType.fromJson(json.load(f)))
         return spark.createDataFrame([], LAYOUT_SCHEMA_DDL)
     return (
         get_table_io().read(spark, out_dir)

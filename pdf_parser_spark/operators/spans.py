@@ -32,13 +32,18 @@ def _span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             try:
                 res = strip_boilerplate(text)
                 main = res["left_column"]
-                for i, (start, end) in enumerate(res["spans"]):
-                    recs.append(
-                        (conv_id, int(turn_idx), i, start, end,
-                         hashlib.md5(main[start:end].encode("utf-8")).hexdigest())
-                    )
-            except Exception:  # noqa: BLE001 — degrade per turn (D1
-                continue       # semantics): the int() cast included
+                # accumulate locally and extend() only after the whole
+                # turn succeeds — a failure mid-span-list (encode error,
+                # int cast) must not leave the turn partially emitted
+                # (all-or-nothing per-turn degrade, D1 semantics)
+                turn_recs = [
+                    (conv_id, int(turn_idx), i, start, end,
+                     hashlib.md5(main[start:end].encode("utf-8")).hexdigest())
+                    for i, (start, end) in enumerate(res["spans"])
+                ]
+                recs.extend(turn_recs)
+            except Exception:  # noqa: BLE001 — degrade per turn (D1)
+                continue
         yield pd.DataFrame(
             recs,
             columns=["conv_id", "turn_idx", "span_idx", "start_offset",

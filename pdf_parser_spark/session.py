@@ -52,6 +52,9 @@ def ensure_min_partitions(df, min_parts: int):
     No-op when the scan already yields enough splits (the normal case on a
     cluster, and locally now that fixtures are sharded datasets); only a
     tiny single-file input pays the round-robin shuffle."""
+    # df.rdd creates (cheap, lazy) RDD lineage just to probe the split
+    # count; acceptable here because callers invoke this once per job on
+    # the scan relation, never per-row/per-batch.
     if df.rdd.getNumPartitions() >= min_parts:
         return df
     return df.repartition(min_parts)

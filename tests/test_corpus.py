@@ -127,6 +127,17 @@ def test_lsh_buckets_deterministic_and_partitioning(vecs):
     assert b1[0] ^ b1[3] == 255
 
 
+def test_lsh_buckets_null_and_empty_excluded(spark):
+    """Null AND zero-length embeddings emit no bucket row — matching the
+    exploded form (nothing to unnest) and the DuckDB oracle; an empty
+    vector must not mint a bucket-0 row or a NaN-score ANN candidate."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, None), (2, [])],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id for r in S.lsh_buckets(df, dims=4).collect()}
+    assert got == {0}
+
+
 def test_lang_id_and_stats(spark, docs):
     langs = {r.doc_id: r.pred_lang for r in TS.lang_id(docs).collect()}
     assert langs[0] == "en" and langs[5] == "es"

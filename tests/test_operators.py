@@ -171,6 +171,50 @@ def test_manifest_empty_input(spark, transcripts_sf0001, tmp_path):
     assert "left_column" in out.columns
 
 
+def test_manifest_empty_schema_matches_nonempty(spark, transcripts_sf0001, tmp_path):
+    """The empty-output read path surfaces the SAME schema a non-empty run
+    of the same pipeline would write — including dropping passthrough
+    columns the input lacks (ts here), via the _schema.json sidecar."""
+    src = spark.read.parquet(transcripts_sf0001).drop("ts")
+
+    empty_dir = str(tmp_path / "no_ts_empty")
+    run_with_manifest(
+        spark, src.filter(F.col("turn_idx") > 10**6), empty_dir, n_buckets=2)
+    empty_schema = read_output(spark, empty_dir).schema
+
+    full_dir = str(tmp_path / "no_ts_full")
+    run_with_manifest(spark, src, full_dir, n_buckets=2)
+    full_schema = read_output(spark, full_dir).schema
+
+    assert [f.name for f in empty_schema] == [f.name for f in full_schema]
+    assert "ts" not in [f.name for f in empty_schema]
+    assert [f.dataType for f in empty_schema] == [f.dataType for f in full_schema]
+
+
+def test_span_batches_all_or_nothing(monkeypatch):
+    """A failure on a later span of a turn must not leave the turn
+    partially emitted (per-turn all-or-nothing degrade, D1 semantics)."""
+    import pdf_parser_spark.operators.spans as spans_mod
+
+    def fake_strip(text):
+        if text == "bad":
+            # second span is malformed -> unpack raises mid-turn
+            return {"left_column": "abcdef", "spans": [(0, 3), (3,)]}
+        return {"left_column": "abcdef", "spans": [(0, 3), (3, 6)]}
+
+    monkeypatch.setattr(spans_mod, "strip_boilerplate", fake_strip)
+    pdf = pd.DataFrame({
+        "conv_id": ["c1", "c2"],
+        "turn_idx": [0, 1],
+        "text": ["good", "bad"],
+    })
+    out = pd.concat(list(spans_mod._span_batches(iter([pdf]))))
+    # the failing turn emits NOTHING (not just its first span); the good
+    # turn emits both spans
+    assert list(out["conv_id"]) == ["c1", "c1"]
+    assert list(out["span_idx"]) == [0, 1]
+
+
 def test_lineage_error_rows_accounted(spark, transcripts_sf0001, tmp_path):
     out_dir = str(tmp_path / "lin_out")
     src = spark.read.parquet(transcripts_sf0001)

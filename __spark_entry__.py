@@ -151,6 +151,8 @@ _MARKER_SQL = {
 _STOP_SQL = ", ".join(f"'{w}'" for w in TS.STOPWORDS)
 
 _CANON = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# winnowing polynomial base powers mod 2^32 (shared with the engine)
+_WPOW = TS.winnow_base_powers(5)
 _SHINGLE_CTES = f"""
     canon AS (
         SELECT doc_id, string_split({_CANON}, ' ') AS toks FROM documents),
@@ -958,6 +960,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_CANON}) AS fp FROM documents
         """,
+        # gram hash = degree-4 polynomial over codepoints mod 2^32 (the
+        # engine's vectorized rolling hash, textstats.WINNOW_BASE); every
+        # per-char product stays < 2^53 so BIGINT arithmetic is exact
         "winnow_fingerprints": f"""
             WITH c AS (
                 SELECT doc_id, {_CANON} AS t FROM documents
@@ -967,16 +972,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM c),
             h AS (
                 SELECT doc_id, i,
-                       substr(md5(substr(t, i + 1, 5)), 1, 8) AS hh,
+                       (ord(substr(t, i + 1, 1))::BIGINT * {_WPOW[4]}
+                        + ord(substr(t, i + 2, 1))::BIGINT * {_WPOW[3]}
+                        + ord(substr(t, i + 3, 1))::BIGINT * {_WPOW[2]}
+                        + ord(substr(t, i + 4, 1))::BIGINT * {_WPOW[1]}
+                        + ord(substr(t, i + 5, 1))::BIGINT) % 4294967296 AS hv,
                        length(t) - 4 AS n_grams
                 FROM g),
             wmin AS (
                 SELECT doc_id, i, n_grams,
-                       min(hh) OVER (PARTITION BY doc_id ORDER BY i
+                       min(hv) OVER (PARTITION BY doc_id ORDER BY i
                                      ROWS BETWEEN CURRENT ROW
-                                     AND 3 FOLLOWING) AS fp
+                                     AND 3 FOLLOWING) AS fpv
                 FROM h)
-            SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= n_grams - 4
+            SELECT DISTINCT doc_id, printf('%08x', fpv) AS fp
+            FROM wmin WHERE i <= n_grams - 4
         """,
         "dedup_exact": f"""
             SELECT md5({_CANON}) AS fp,

@@ -12,8 +12,6 @@ path — and each has an exact ANSI-SQL twin for the DuckDB oracle
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 
@@ -36,6 +34,21 @@ STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
 # BPE-ish token classes: letter runs, digit runs, single other-glyphs.
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+# Winnowing gram-hash parameters: polynomial rolling hash over Unicode
+# codepoints mod 2^32. The base is a prime; powers are precomputed mod
+# 2^32 so every per-character product stays < 2^53 (exact in BIGINT and
+# in float64, so NumPy, DuckDB and any ANSI engine agree bit-for-bit).
+WINNOW_BASE = 1000003
+WINNOW_MOD = 1 << 32
+
+
+def winnow_base_powers(k: int) -> list:
+    """[BASE^0 mod 2^32, ..., BASE^(k-1) mod 2^32]."""
+    pows = [1]
+    for _ in range(k - 1):
+        pows.append((pows[-1] * WINNOW_BASE) % WINNOW_MOD)
+    return pows
 
 
 def _marker_count(col, words) -> F.Column:
@@ -127,16 +140,24 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     containment detection, complementary to MinHash (which sketches
     global set similarity).
 
-    Hashes are the first 8 hex chars of md5 (string min is lexicographic,
-    identical across engines). Canonicalization stays JVM-side (so
-    lower/whitespace semantics match every other operator exactly); the
-    per-document gram-hash + rolling min runs row-local in an Arrow
-    pandas UDF with a NumPy shifted-minimum (w-1 vector mins) — no gram
-    explode, no per-gram shuffle (the explode + window-function form
-    pushed ~50 grams per char through an exchange and was ~10× slower).
-    Only the per-doc distinct fingerprints are emitted; the final
-    distinct is the one shuffle."""
+    Gram hashes are a degree-(k-1) polynomial over Unicode codepoints mod
+    2^32 (base WINNOW_BASE = 1000003) — chosen over per-gram md5 because every
+    gram of a document hashes in ONE NumPy pass over its codepoint array
+    (k shifted multiply-adds), where md5 cost one interpreter-loop digest
+    per gram (O(chars) Python calls per doc: the repo's heaviest per-char
+    Python, ~10x slower at sf0.1). The same polynomial is exactly
+    expressible in ANSI SQL (ord + integer arithmetic), so the DuckDB
+    oracle twin stays bit-identical. Fingerprints are formatted %08x.
+
+    Canonicalization stays JVM-side (so lower/whitespace semantics match
+    every other operator exactly); the per-document gram-hash + rolling
+    min runs row-local in an Arrow pandas UDF with a NumPy
+    shifted-minimum (w-1 vector mins) — no gram explode, no per-gram
+    shuffle (the explode + window-function form pushed ~50 grams per char
+    through an exchange and was ~10× slower). Only the per-doc distinct
+    fingerprints are emitted; the final distinct is the one shuffle."""
     canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    bpows = winnow_base_powers(k)
 
     @pandas_udf("array<string>")
     def winnow_udf(texts: pd.Series) -> pd.Series:
@@ -146,12 +167,14 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
             if n < w:
                 out.append([])
                 continue
-            # first 8 hex chars of md5 == first 4 digest bytes big-endian,
-            # so the lexicographic string min equals the uint32 min
-            hs = np.array(
-                [int.from_bytes(
-                    hashlib.md5(t[i:i + k].encode("utf-8")).digest()[:4], "big")
-                 for i in range(n)], dtype=np.uint32)
+            # one vectorized polynomial-hash pass over the codepoints:
+            # utf-32-le bytes ARE the codepoint array
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32
+                                  ).astype(np.uint64)
+            hs = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                hs += codes[j:j + n] * bpows[k - 1 - j]
+            hs &= 0xFFFFFFFF
             m = hs[: n - w + 1].copy()
             for s in range(1, w):
                 np.minimum(m, hs[s: s + n - w + 1], out=m)

@@ -295,8 +295,11 @@ def test_near_dedup_keep_docs_scratch_lifecycle(docs, tmp_path):
 
 
 def test_winnow_fingerprints_match_python(spark):
-    """Winnowing sketch equals an independent Python implementation."""
-    texts = [(0, "the quick brown fox"), (1, "tiny"), (2, "abcdefgh")]
+    """Winnowing sketch equals an independent (scalar, non-NumPy) Python
+    implementation of the polynomial gram hash — including a non-ASCII
+    text (codepoint semantics, not byte semantics)."""
+    texts = [(0, "the quick brown fox"), (1, "tiny"), (2, "abcdefgh"),
+             (3, "héllo wörld — déjà vu naïveté")]
     df = spark.createDataFrame(texts, "doc_id long, text string")
     got = {}
     for r in TS.winnow_fingerprints(df, k=5, w=4).collect():
@@ -304,13 +307,20 @@ def test_winnow_fingerprints_match_python(spark):
 
     def py_winnow(t, k=5, w=4):
         t = " ".join(t.lower().split())
-        hs = [hashlib.md5(t[i:i + k].encode()).hexdigest()[:8]
-              for i in range(len(t) - k + 1)]
+
+        def gram_hash(g):
+            h = 0
+            for ch in g:
+                h = (h * TS.WINNOW_BASE + ord(ch)) % TS.WINNOW_MOD
+            return f"{h:08x}"
+
+        hs = [gram_hash(t[i:i + k]) for i in range(len(t) - k + 1)]
         return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
 
     assert got.get(0, set()) == py_winnow(texts[0][1])
     assert 1 not in got  # shorter than k -> no grams
     assert got.get(2, set()) == py_winnow("abcdefgh")  # exactly one window
+    assert got.get(3, set()) == py_winnow(texts[3][1])
 
 
 def test_token_df_stats(spark, docs):

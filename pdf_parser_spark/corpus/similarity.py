@@ -204,25 +204,76 @@ def ivf_topk(df: DataFrame, query_id: int = 0, k: int = 10,
     return brute_topk(cand, query_id=query_id, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def _blocked_self_join_sides(base: DataFrame, id_col: str,
+                             bucket_cap: int) -> tuple:
+    """Skew-guarded sides for a within-bucket self-join.
+
+    Each row gets a block id ``g = pmod(xxhash64(id), nsplit)`` where
+    ``nsplit = ceil(bucket_size / bucket_cap)``; the left side replicates
+    every row over partner-block ``j``, the right over ``i``, and the
+    equi-join key becomes (bucket, i=g_left, j=g_right) — so pair (x, y)
+    matches on exactly one key, and a degenerate bucket of size B (e.g. a
+    corpus where most embeddings are near-identical) fans its B² pair
+    work across nsplit² join keys instead of one task. Healthy buckets
+    (size <= cap) have nsplit=1, g=i=j=0: byte-identical to the plain
+    bucket join with zero replication."""
+    sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+    keyed = (
+        base.join(sizes, "bucket")
+        .withColumn("_nsplit",
+                    F.ceil(F.col("_bsz") / F.lit(bucket_cap)).cast("int"))
+        .withColumn("_g", F.pmod(F.xxhash64(F.col(id_col)),
+                                 F.col("_nsplit")).cast("int"))
+        .drop("_bsz")
+    )
+    rep = F.explode(F.sequence(F.lit(0), F.col("_nsplit") - 1))
+    left = keyed.withColumn("_j", rep).drop("_nsplit")
+    right = keyed.withColumn("_i", rep).drop("_nsplit")
+    return left, right
+
+
 def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     use_lsh: bool = False, planes: int = 8) -> DataFrame:
+                     use_lsh: bool = False, planes: int = 8,
+                     bucket_cap: int = 4096,
+                     skew_stats: dict | None = None) -> DataFrame:
     """Embedding near-duplicate pairs (a < b) with cosine >= threshold.
 
     `use_lsh=True` joins on LSH bucket first (the 100 TB path — candidate
     recall is tunable via `planes`); the default exact form is the
-    small-scale oracle twin."""
+    small-scale oracle twin.
+
+    The bucket self-join is skew-guarded: buckets larger than
+    ``bucket_cap`` are block-split (see ``_blocked_self_join_sides``) so
+    one near-degenerate bucket cannot hand a single task the quadratic
+    pair load. The produced pair set is IDENTICAL for any cap — only the
+    task decomposition changes — so oracle hashes are cap-independent.
+    ``skew_stats``, if given, receives ``{"oversized_buckets": n,
+    "max_bucket": m}`` (one tiny aggregate action over bucket sizes)."""
     base = with_norm(df, vec_col).select(
         F.col(id_col), F.col(vec_col), F.col("norm"))
     if use_lsh:
-        base = base.join(lsh_buckets(df, planes=planes, id_col=id_col, vec_col=vec_col), id_col)
-    a = base.alias("a")
-    b = base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if use_lsh:
-        join_df = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & cond)
+        base = base.join(
+            lsh_buckets(df, planes=planes, id_col=id_col, vec_col=vec_col),
+            id_col)
+        if skew_stats is not None:
+            row = (base.groupBy("bucket")
+                   .agg(F.count(F.lit(1)).alias("n"))
+                   .agg(F.sum((F.col("n") > bucket_cap).cast("long")).alias("o"),
+                        F.max("n").alias("m")).first())
+            skew_stats.update({"oversized_buckets": int(row["o"] or 0),
+                               "max_bucket": int(row["m"] or 0)})
+        left, right = _blocked_self_join_sides(base, id_col, bucket_cap)
+        a, b = left.alias("a"), right.alias("b")
+        join_df = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._g") == F.col("b._i"))
+            & (F.col("a._j") == F.col("b._g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
     else:
-        join_df = a.join(b, cond)
+        a, b = base.alias("a"), base.alias("b")
+        join_df = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     return (
         join_df.select(
             F.col(f"a.{id_col}").alias("id_a"),

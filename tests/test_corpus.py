@@ -138,6 +138,39 @@ def test_lsh_buckets_null_and_empty_excluded(spark):
     assert got == {0}
 
 
+def test_cosine_dup_pairs_skew_guard(spark):
+    """A degenerate corpus (80% near-identical embeddings -> one LSH
+    bucket) must not hand one task the quadratic pair load: the blocked
+    self-join splits the hot bucket across nsplit^2 join keys while
+    producing the IDENTICAL pair set for any cap."""
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(40)]  # hot bucket
+    rows += [(100 + i, [float(i % 2), 1.0, 0.5 * i, 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    unguarded = {(r.id_a, r.id_b, r.score) for r in S.cosine_dup_pairs(
+        df, threshold=0.99, use_lsh=True, bucket_cap=10**9).collect()}
+    stats = {}
+    guarded = {(r.id_a, r.id_b, r.score) for r in S.cosine_dup_pairs(
+        df, threshold=0.99, use_lsh=True, bucket_cap=8,
+        skew_stats=stats).collect()}
+    assert guarded == unguarded and len(guarded) > 100
+    assert stats["oversized_buckets"] >= 1 and stats["max_bucket"] >= 40
+
+    # no join key carries the whole hot bucket: per-(bucket, g, j) group
+    # sizes on the replicated left side stay O(cap), not O(bucket)
+    base = S.with_norm(df).select("vec_id", "embedding", "norm").join(
+        S.lsh_buckets(df), "vec_id")
+    left, _right = S._blocked_self_join_sides(base, "vec_id", 8)
+    per_key = (left.groupBy("bucket", "_g", "_j")
+               .agg(F.count(F.lit(1)).alias("n")).collect())
+    assert max(r.n for r in per_key) <= 3 * 8  # hash-imbalance slack
+    # healthy buckets are not replicated at all
+    hot = max(per_key, key=lambda r: r.n).bucket
+    small = [r for r in per_key if r.bucket != hot]
+    for r in small:
+        assert r._j == 0 and r._g == 0
+
+
 def test_lang_id_and_stats(spark, docs):
     langs = {r.doc_id: r.pred_lang for r in TS.lang_id(docs).collect()}
     assert langs[0] == "en" and langs[5] == "es"

@@ -120,7 +120,7 @@ def _oracle_blocks(text) -> list:
 def ensure_goldens(sf: float) -> str:
     """Generate (once) every golden table for a scale factor; returns dir."""
     gdir = golden_dir(sf)
-    stamp = os.path.join(gdir, "_COMPLETE_v5")
+    stamp = os.path.join(gdir, "_COMPLETE_v6")  # v6: a000 P8 stub types
     if os.path.exists(stamp):
         return gdir
     os.makedirs(gdir, exist_ok=True)

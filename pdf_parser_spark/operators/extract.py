@@ -622,9 +622,17 @@ def _classify_stage_a000(state: dict) -> pd.DataFrame:
     """A000's variant-dependent half (C3 line-extent classifier), on the
     deterministically stub-detected blocks — see the oracle twin's module
     comment (oracle/extractor.py) for the stub rationale and the exact
-    A000 file:line ports."""
+    A000 file:line ports. The P8 type filter (A000:80-82) runs first on
+    the stub-assigned types: Table/Figure blocks never reach separator
+    search, classification or the block counts (a local filtered copy —
+    ``state`` is shared with the other variants in the fused fan-out)."""
+    from pdf_parser_spark.payload import A000_KEEP_TYPES, stub_block_type
+
     rows = state["rows"]
     blocks = state["blocks"]
+    if len(blocks):
+        blocks = blocks[
+            blocks["text"].map(stub_block_type).isin(A000_KEEP_TYPES)]
     dims = state["dims"]
     dims_idx = state["dims_idx"]
     dims_w = state["dims_w"]

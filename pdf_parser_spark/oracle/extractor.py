@@ -32,11 +32,13 @@ import json
 from dataclasses import dataclass
 
 from pdf_parser_spark.payload import (
+    A000_KEEP_TYPES,
     Block,
     ParsedPage,
     PayloadError,
     TokenizeError,
     parse_payload,
+    stub_block_type,
 )
 
 # Keyword lists verbatim from the reference.
@@ -223,7 +225,13 @@ def _extract_turn_a000(page: ParsedPage, blocks: list, turn_idx: int) -> dict:
     """A000's extract_page_layout on stub-detected blocks (A000:250-293).
     Unlike A003's, the reference A000 has NO per-page error wrapper; our
     engine still degrades per turn (the caller's try/except) because a
-    failing Spark task would violate resume accounting (D1 rationale)."""
+    failing Spark task would violate resume accounting (D1 rationale).
+
+    Detection assigns each block a deterministic stub type and the P8
+    filter (A000:80-82) rejects non-Text/Title/List blocks BEFORE
+    separator search / classification / counts — matching the reference,
+    where get_text_blocks returns only the filtered model regions."""
+    blocks = [b for b in blocks if stub_block_type(b.text) in A000_KEEP_TYPES]
     separator_x, line_y0, line_y1 = find_column_separator_a000(page, blocks)
     regions = classify_regions_a000(
         blocks, page.height, separator_x, line_y0, line_y1)

@@ -39,8 +39,28 @@ Error semantics mirror the reference's two failure levels:
 
 from __future__ import annotations
 
+import hashlib
 import re
 from dataclasses import dataclass, field
+
+# --- A000 stub layout-detection types (the S6 stand-in) -------------------
+# The reference's A000 sources block TYPES from a detectron2 PubLayNet
+# model (/root/reference/A000_layoutlm_extractor.py:49-55,74) and keeps
+# only type in ("Text","Title","List") — the P8 filter (A000:80-82). The
+# container ships no torch, so detection is stubbed deterministically: a
+# block's type derives from the md5 of its text, weighted so most blocks
+# are body text but Table/Figure blocks EXIST and must be rejected by P8
+# (an all-'Text' stub made the filter vacuous — a user porting a real
+# model would have found it untested). Shared by the oracle extractor and
+# the vectorized Spark core so both classify identically.
+STUB_BLOCK_TYPES = ("Text",) * 8 + ("Title", "List", "Table", "Figure")
+A000_KEEP_TYPES = frozenset(("Text", "Title", "List"))
+
+
+def stub_block_type(text: str) -> str:
+    """Deterministic S6 stand-in: md5-weighted type per block text."""
+    h = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:8], 16)
+    return STUB_BLOCK_TYPES[h % len(STUB_BLOCK_TYPES)]
 
 # Strict record grammar, shared verbatim with the vectorized Spark
 # tokenizer (operators/extract.py) so both parsers accept exactly the same

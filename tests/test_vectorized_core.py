@@ -129,6 +129,40 @@ def test_blocks_batch_matches_oracle_parse():
                 b.text, b.x0, b.y0, b.x1, b.y1, b.font_size, b.font_name), (conv, i)
 
 
+def test_a000_p8_type_filter_rejects_blocks():
+    """P8 is non-vacuous: the deterministic stub detector assigns mixed
+    block types and the isin(Text/Title/List) filter DROPS Table/Figure
+    blocks from the a000 output (they stay in a003, which has no P8) —
+    identically in the oracle and the vectorized core."""
+    from pdf_parser_spark.payload import A000_KEEP_TYPES, render_page, stub_block_type
+
+    def s(x0, y0, x1, y1, text):
+        return {"x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                "size": 10.0, "font": "F1", "text": text}
+
+    kept_text = "block text 0"      # stub type Text
+    dropped_text = "block text 30"  # stub type Table
+    assert stub_block_type(kept_text) in A000_KEEP_TYPES
+    assert stub_block_type(dropped_text) not in A000_KEEP_TYPES
+    payload = render_page(612.0, 792.0, [
+        [s(50, 300, 200, 312, kept_text)],
+        [s(50, 400, 200, 412, dropped_text)],
+    ])
+
+    want = extract_turn(payload, "page/v1", 0, variant="a000")
+    body_a000 = want["left_column"] + want["right_column"]
+    assert kept_text in body_a000 and dropped_text not in body_a000
+    assert want["metadata"]["total_text_blocks_layoutlm"] == "1"
+
+    a003 = extract_turn(payload, "page/v1", 0, variant="a003")
+    body_a003 = a003["left_column"] + a003["right_column"]
+    assert kept_text in body_a003 and dropped_text in body_a003
+
+    batch = _batch_frame([("p8", 0, "user", payload, "page/v1")])
+    out = extract_batch(batch, variant="a000")
+    _assert_layout_equal(out.iloc[0], want, "a000 p8")
+
+
 @pytest.mark.parametrize("archetype", PAGE_ARCHETYPES)
 def test_a000_vectorized_matches_oracle_per_archetype(archetype):
     """The A000 line-extent classifier (C3) — proportional P1, extent

@@ -343,6 +343,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["layout_error_lineage"] = q_lineage
 
+    def q_layout_json_errors(spark, sf_dir):
+        # S8 gate for the D1 error-row JSON shape: the full to_json string
+        # (incl. the NaN->null separator normalization) crosses the oracle
+        from pdf_parser_spark.operators.jsonsink import layout_json_col
+
+        layouts = extract_layouts(_transcripts(spark, sf_dir))
+        return _longify(
+            layouts.filter(F.map_contains_key("metadata", "error"))
+            .select("conv_id", "turn_idx",
+                    layout_json_col().alias("layout_json")))
+
+    q["layout_json_errors"] = q_layout_json_errors
+
     def q_page_select(spark, sf_dir):
         from pdf_parser_spark.plans.pages import select_turns
 
@@ -842,6 +855,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT is_error::BIGINT AS is_error, count(*)::BIGINT AS n_turns
             FROM read_parquet('{g("layouts")}')
             GROUP BY is_error
+        """,
+        # error rows have the fixed D1 degrade shape, so the expected JSON
+        # is a printf over (page_number, re-escaped error message); Spark's
+        # to_json double-escapes the already-JSON-encoded metadata value
+        # exactly like DuckDB's to_json(varchar)
+        "layout_json_errors": f"""
+            SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+                   '{{"page_number":' || page_number ||
+                   ',"header":"","footer":"","left_column":"",' ||
+                   '"right_column":"","page_width":0.0,"page_height":0.0,' ||
+                   '"column_separator_position":null,"metadata":{{"error":' ||
+                   to_json(error_raw)::VARCHAR || '}}}}' AS layout_json
+            FROM read_parquet('{g("layout_errors")}')
         """,
         "region_classify_case": """
             SELECT CASE WHEN (event_id * 37) % 792 < 792 * 0.15 THEN 'header'

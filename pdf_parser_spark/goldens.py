@@ -120,7 +120,8 @@ def _oracle_blocks(text) -> list:
 def ensure_goldens(sf: float) -> str:
     """Generate (once) every golden table for a scale factor; returns dir."""
     gdir = golden_dir(sf)
-    stamp = os.path.join(gdir, "_COMPLETE_v6")  # v6: a000 P8 stub types
+    # v6: a000 P8 stub types; v7: layout_errors golden (S8 error JSON)
+    stamp = os.path.join(gdir, "_COMPLETE_v7")
     if os.path.exists(stamp):
         return gdir
     os.makedirs(gdir, exist_ok=True)
@@ -131,6 +132,7 @@ def ensure_goldens(sf: float) -> str:
     layouts, layouts_a002, layouts_a004, layouts_a000 = [], [], [], []
     block_rows = []
     meta_rows = []
+    error_rows = []
     questions, spans, markdown = [], [], []
     for conv_id, turn_idx, text, tool in src[
         ["conv_id", "turn_idx", "text", "tool"]
@@ -138,6 +140,14 @@ def ensure_goldens(sf: float) -> str:
         t = int(turn_idx)
         lay = _oracle_layout(text, tool, t, "a003")
         layouts.append(_layout_row(conv_id, t, lay))
+        if "error" in lay["metadata"]:
+            # golden for the S8 error-row JSON shape: the raw metadata
+            # value (itself a JSON-encoded message) per D1 error rows
+            error_rows.append({
+                "conv_id": conv_id, "turn_idx": t,
+                "page_number": int(lay["page_number"]),
+                "error_raw": lay["metadata"]["error"],
+            })
         markdown.append(
             {
                 "conv_id": conv_id,
@@ -248,6 +258,10 @@ def ensure_goldens(sf: float) -> str:
     pd.DataFrame(
         markdown, columns=["conv_id", "turn_idx", "md_c001", "md_c002"]
     ).to_parquet(os.path.join(gdir, "markdown.parquet"), index=False)
+    pd.DataFrame(
+        error_rows,
+        columns=["conv_id", "turn_idx", "page_number", "error_raw"],
+    ).to_parquet(os.path.join(gdir, "layout_errors.parquet"), index=False)
 
     with open(stamp, "w", encoding="utf-8") as f:
         f.write("ok\n")

@@ -700,6 +700,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk_probe2"] = q_ivf_topk_probe2
 
+    # k-means-codebook IVF: deterministic but iterative (Lloyd rounds on a
+    # driver-side sample), so float-mean arithmetic is not reproducible in
+    # one ANSI-SQL pass — no oracle twin; the driver records the weaker
+    # rows-only check (the sanctioned path for iterative algorithms) and
+    # recall quality is evidenced separately in tools/ann_recall.py.
+    def q_ivf_kmeans_assign(spark, sf_dir):
+        embs = _tbl(spark, sf_dir, "embeddings")
+        cb = S.kmeans_codebook(embs)
+        return _longify(S.ivf_assign(embs, codebook=cb))
+
+    q["ann_ivf_kmeans_assign"] = q_ivf_kmeans_assign
+
+    def q_ivf_kmeans_topk(spark, sf_dir):
+        embs = _tbl(spark, sf_dir, "embeddings")
+        cb = S.kmeans_codebook(embs)
+        return _longify(S.ivf_topk(embs, k=10, n_probe=2, codebook=cb))
+
+    q["ann_ivf_kmeans_topk"] = q_ivf_kmeans_topk
+
     # --- multimodal plumbing ----------------------------------------------
     def q_multimodal(spark, sf_dir):
         from pdf_parser_spark.corpus import multimodal as M

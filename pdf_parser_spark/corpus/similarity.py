@@ -136,17 +136,72 @@ def lsh_topk(df: DataFrame, query_id: int = 0, k: int = 10, planes: int = 8,
     return brute_topk(candidates, query_id=query_id, k=k, id_col=id_col, vec_col=vec_col)
 
 
-def _ivf_parts(df: DataFrame, n_centroids: int, id_col: str, vec_col: str):
+def kmeans_codebook(df: DataFrame, n_centroids: int = 16, iters: int = 10,
+                    sample_cap: int = 4096, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list:
+    """Driver-side spherical k-means codebook over a deterministic sample.
+
+    The production IVF recipe: sample a bounded, hash-ordered subset
+    (``orderBy(xxhash64(id)).limit(cap)`` compiles to TakeOrdered — a
+    per-partition heap + driver merge, no full sort, and the collect is
+    bounded by ``sample_cap`` regardless of corpus size), run Lloyd
+    iterations in NumPy on the driver (k x dims x cap flops — trivial),
+    and broadcast the k x dims codebook back for map-side assignment.
+    Deterministic end to end: hash-ordered sample, first-k init, argmax
+    ties toward the lower centroid index, empty clusters keep their
+    previous centroid. Returns a list of unit-norm centroid vectors."""
+    rows = (
+        df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+    k = min(n_centroids, len(x))
+    cents = x[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)  # ties -> lower index
+        moved = False
+        for c in range(k):
+            members = x[assign == c]
+            if not len(members):
+                continue  # empty cluster keeps its previous centroid
+            m = members.mean(axis=0)
+            n = np.linalg.norm(m)
+            if n > 0:
+                newc = m / n
+                if not np.allclose(newc, cents[c]):
+                    cents[c] = newc
+                    moved = True
+        if not moved:
+            break
+    return [[float(v) for v in c] for c in cents]
+
+
+def _ivf_parts(df: DataFrame, n_centroids: int, id_col: str, vec_col: str,
+               codebook: list | None = None):
     """Shared IVF building blocks: (normed base, centroid set, assignment)
     — computed once so ivf_assign/ivf_topk don't replan the norms or the
-    centroid orderBy twice."""
+    centroid orderBy twice. ``codebook``, if given, replaces the
+    lowest-id stand-in with an explicit (e.g. k-means) centroid list."""
     base = with_norm(df, vec_col)
-    cents = (
-        base.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"),
-                F.col(vec_col).alias("cvec"), F.col("norm").alias("cnorm"))
-    )
+    if codebook is not None:
+        cents = with_norm(
+            df.sparkSession.createDataFrame(
+                [(i, c) for i, c in enumerate(codebook)],
+                "centroid_id long, cvec array<double>"),
+            "cvec").select("centroid_id", "cvec",
+                           F.col("norm").alias("cnorm"))
+    else:
+        cents = (
+            base.orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"),
+                    F.col(vec_col).alias("cvec"), F.col("norm").alias("cnorm"))
+        )
     scored = (
         base.crossJoin(F.broadcast(cents))
         .select(
@@ -164,30 +219,35 @@ def _ivf_parts(df: DataFrame, n_centroids: int, id_col: str, vec_col: str):
 
 
 def ivf_assign(df: DataFrame, n_centroids: int = 16,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               codebook: list | None = None) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid by cosine.
 
-    Centroids are the `n_centroids` lowest-id vectors — a deterministic
-    stand-in for a k-means codebook (at production scale the codebook
-    comes from a sampled k-means job; assignment below is unchanged).
-    The centroid set is broadcast, so assignment is a map-side broadcast
-    nested-loop over C candidates per vector — no shuffle of the big side.
-    Ties break toward the lower centroid id.
+    Default centroids are the `n_centroids` lowest-id vectors — a
+    deterministic, oracle-expressible stand-in; pass
+    ``codebook=kmeans_codebook(df)`` for the production sampled-k-means
+    codebook (recall measured in tools/ann_recall.py / BASELINE.md).
+    Either way the centroid set is broadcast, so assignment is a map-side
+    broadcast nested-loop over C candidates per vector — no shuffle of
+    the big side. Ties break toward the lower centroid id.
     """
-    _base, _cents, assign = _ivf_parts(df, n_centroids, id_col, vec_col)
+    _base, _cents, assign = _ivf_parts(df, n_centroids, id_col, vec_col,
+                                       codebook=codebook)
     return assign
 
 
 def ivf_topk(df: DataFrame, query_id: int = 0, k: int = 10,
              n_centroids: int = 16, n_probe: int = 1, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             codebook: list | None = None) -> DataFrame:
     """IVF probe-N ANN: search the ``n_probe`` cells whose centroids are
     closest to the query (scans ~n_probe*N/C vectors; recall/latency knob
     at scale). Probe cells are ranked by (cosine desc, centroid_id asc)
     with the same 6dp rounding as assignment, so probe-1 is exactly the
-    query's own cell."""
-    base, cents, assign = _ivf_parts(df, n_centroids, id_col, vec_col)
+    query's own cell. ``codebook`` as in ``ivf_assign``."""
+    base, cents, assign = _ivf_parts(df, n_centroids, id_col, vec_col,
+                                     codebook=codebook)
     with_c = df.join(assign, id_col)
     q = (base.filter(F.col(id_col) == query_id)
          .select(F.col(vec_col).alias("qvec"), F.col("norm").alias("qnorm")))

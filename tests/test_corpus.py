@@ -200,6 +200,34 @@ def test_ivf_assign_and_topk(vecs):
     assert [(r.vec_id, r.score) for r in top] == want_rank
 
 
+def test_kmeans_codebook_deterministic_and_separating(spark):
+    """Driver-side spherical k-means: deterministic across calls,
+    unit-norm centroids, and an obviously 2-clustered fixture separates
+    with each vector assigned to its own cluster's centroid."""
+    import math
+
+    rows = ([(i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(20)]
+            + [(100 + i, [0.0, 0.01 * i, 0.0, 1.0]) for i in range(20)])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb1 = S.kmeans_codebook(df, n_centroids=2, iters=10)
+    cb2 = S.kmeans_codebook(df, n_centroids=2, iters=10)
+    assert cb1 == cb2
+    for c in cb1:
+        assert abs(math.sqrt(sum(v * v for v in c)) - 1.0) < 1e-9
+    assign = {r.vec_id: r.centroid_id
+              for r in S.ivf_assign(df, codebook=cb1).collect()}
+    groups = {}
+    for vid, cid in assign.items():
+        groups.setdefault(vid < 100, set()).add(cid)
+    # the two geometric clusters map to two distinct centroids
+    assert groups[True] != groups[False]
+    assert len(groups[True]) == 1 and len(groups[False]) == 1
+    # topk with the codebook returns same-cluster neighbors
+    top = [r.vec_id for r in
+           S.ivf_topk(df, query_id=0, k=5, codebook=cb1).collect()]
+    assert all(v < 100 for v in top) and len(top) == 5
+
+
 def test_multimodal_plumbing(spark, docs):
     import pytest as _pytest
 

@@ -34,8 +34,13 @@ def main() -> None:
     spark = get_spark("ann-recall", cpus="8")
     embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
     n_vecs = embs.count()
+    # query from the HIGH end of the id space: the lowest-id vectors ARE
+    # the lowid codebook's centroids, so low-id queries would sit at the
+    # center of their own cells and inflate that method's recall by
+    # construction
     query_ids = [r.vec_id for r in
-                 embs.select("vec_id").orderBy("vec_id").limit(n_queries).collect()]
+                 embs.select("vec_id").orderBy(F.col("vec_id").desc())
+                 .limit(n_queries).collect()]
 
     lsh_planes = (2, 4, 8)
     bucket_sizes, bucket_of = {}, {}
@@ -46,10 +51,18 @@ def main() -> None:
             b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
         bucket_of[p] = {r.vec_id: r.bucket for r in b.collect()}
 
-    assign = S.ivf_assign(embs).cache()
-    cell_sizes = {r.centroid_id: r.n for r in
-                  assign.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()}
-    cell_of = {r.vec_id: r.centroid_id for r in assign.collect()}
+    kmeans_cb = S.kmeans_codebook(embs)
+
+    def cell_maps(codebook=None):
+        assign = S.ivf_assign(embs, codebook=codebook).cache()
+        sizes = {r.centroid_id: r.n for r in
+                 assign.groupBy("centroid_id")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+        of = {r.vec_id: r.centroid_id for r in assign.collect()}
+        return sizes, of
+
+    cell_sizes, cell_of = cell_maps()
+    km_sizes, km_of = cell_maps(kmeans_cb)
 
     # true probe-2 cells per query (same ranking as ivf_topk: cosine
     # desc, centroid_id asc, 6dp rounding), computed driver-side in NumPy
@@ -57,26 +70,39 @@ def main() -> None:
 
     vec_rows = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
                 for r in embs.collect()}
-    cent_ids = sorted(vec_rows)[:16]
-    cmat = np.stack([vec_rows[c] for c in cent_ids])
-    cnorm = np.linalg.norm(cmat, axis=1)
+    lowid_ids = sorted(vec_rows)[:16]
+    lowid_mat = np.stack([vec_rows[c] for c in lowid_ids])
+    km_mat = np.asarray(kmeans_cb, dtype=np.float64)
+    km_ids = list(range(len(km_mat)))
 
-    def probe2_cells(qid):
-        qv = vec_rows[qid]
-        raw = cmat @ qv / (cnorm * np.linalg.norm(qv))
-        # round half AWAY from zero to mirror Spark's F.round (np.round is
-        # banker's round-half-to-even; a 6dp tie would attribute the wrong
-        # probe cell's scanned fraction)
-        scores = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
-        order = sorted(range(len(cent_ids)),
-                       key=lambda i: (-scores[i], cent_ids[i]))
-        return [cent_ids[i] for i in order[:2]]
+    def make_probe2(cmat, cent_ids):
+        cnorm = np.linalg.norm(cmat, axis=1)
+
+        def probe2_cells(qid):
+            qv = vec_rows[qid]
+            raw = cmat @ qv / (cnorm * np.linalg.norm(qv))
+            # round half AWAY from zero to mirror Spark's F.round
+            # (np.round is banker's round-half-to-even; a 6dp tie would
+            # attribute the wrong probe cell's scanned fraction)
+            scores = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+            order = sorted(range(len(cent_ids)),
+                           key=lambda i: (-scores[i], cent_ids[i]))
+            return [cent_ids[i] for i in order[:2]]
+
+        return probe2_cells
+
+    probe2_cells = make_probe2(lowid_mat, lowid_ids)
+    km_probe2_cells = make_probe2(km_mat, km_ids)
 
     methods = {
         **{f"lsh_p{p}": (lambda q, p=p: S.lsh_topk(embs, query_id=q, k=k, planes=p))
            for p in lsh_planes},
         "ivf_probe1": lambda q: S.ivf_topk(embs, query_id=q, k=k, n_probe=1),
         "ivf_probe2": lambda q: S.ivf_topk(embs, query_id=q, k=k, n_probe=2),
+        "ivf_km_probe1": lambda q: S.ivf_topk(
+            embs, query_id=q, k=k, n_probe=1, codebook=kmeans_cb),
+        "ivf_km_probe2": lambda q: S.ivf_topk(
+            embs, query_id=q, k=k, n_probe=2, codebook=kmeans_cb),
     }
     recalls = {m: [] for m in methods}
     scanned = {m: [] for m in methods}
@@ -91,6 +117,9 @@ def main() -> None:
         scanned["ivf_probe1"].append(cell_sizes.get(cell_of[q], 0) / n_vecs)
         scanned["ivf_probe2"].append(
             sum(cell_sizes.get(c, 0) for c in probe2_cells(q)) / n_vecs)
+        scanned["ivf_km_probe1"].append(km_sizes.get(km_of[q], 0) / n_vecs)
+        scanned["ivf_km_probe2"].append(
+            sum(km_sizes.get(c, 0) for c in km_probe2_cells(q)) / n_vecs)
 
     out = {"sf_dir": sf_dir, "n_vecs": n_vecs, "k": k, "n_queries": n_queries}
     for m in methods:

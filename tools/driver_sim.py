@@ -49,6 +49,11 @@ def main() -> int:
     for name, fn in qs.items():
         try:
             got = fn(spark, sf_dir).toPandas()
+            if name not in oracles:
+                # oracle-less query (iterative algorithm): the driver
+                # records the weaker rows-only check — mirror that here
+                print(f"weak   {name}: rows={len(got)} (no oracle)")
+                continue
             want = con.sql(oracles[name]).df()
             ok = (len(got) == len(want)
                   and sorted(got.columns) == sorted(want.columns)

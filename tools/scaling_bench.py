@@ -6,7 +6,11 @@ for N vs 4N executors), reporting throughput at both plus efficiency
 Writes one JSON line per level plus a summary; results are recorded in
 BASELINE.md. Usage:
 
-    python tools/scaling_bench.py [sf_dir] [N]
+    python tools/scaling_bench.py [sf_dir] [N] [inflate] [repeats]
+
+``N`` runs just that one pair (N -> 4N); ``inflate`` unions k scans of the
+input to amortize fixed per-job overhead (default 4 — use 1 at sf1 where
+the input is already an order of magnitude larger); ``repeats`` best-of.
 """
 
 from __future__ import annotations
@@ -45,11 +49,12 @@ def run_level(tpath: str, cpus: int, repeats: int = 4, inflate: int = 4) -> dict
             "turns_per_sec": round(n / best, 1)}
 
 
-def pair(tpath: str, sf_dir: str, n_small: int) -> dict:
-    small = run_level(tpath, n_small)
+def pair(tpath: str, sf_dir: str, n_small: int, inflate: int = 4,
+         repeats: int = 4) -> dict:
+    small = run_level(tpath, n_small, repeats=repeats, inflate=inflate)
     print(json.dumps(small))
     time.sleep(15)  # let the previous JVM + python workers fully drain
-    big = run_level(tpath, n_small * 4)
+    big = run_level(tpath, n_small * 4, repeats=repeats, inflate=inflate)
     print(json.dumps(big))
     eff = (big["turns_per_sec"] / small["turns_per_sec"]) / 4.0
     out = {
@@ -69,18 +74,25 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     tpath = transcripts_path(sf_from_dir(sf_dir))
+    n_only = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    inflate = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+
+    if n_only is not None:
+        pair(tpath, sf_dir, n_only, inflate=inflate, repeats=repeats)
+        return
 
     # Primary gate pair: 2 -> 8 cores. Both levels leave the JVM side of
     # the Arrow boundary un-starved (task threads + python workers < 32
     # physical cores), which matches a real cluster where executors do not
     # share cores with each other.
-    pair(tpath, sf_dir, 2)
+    pair(tpath, sf_dir, 2, inflate=inflate, repeats=repeats)
     # Secondary pair: 8 -> 32. local[32] oversubscribes the box (32 JVM
     # task threads + 32 python workers on 32 cores) and all-core turbo
     # drops the clock ~1.2x, so this pair under-reads true distributed
     # scaling; reported for transparency.
     time.sleep(15)
-    pair(tpath, sf_dir, 8)
+    pair(tpath, sf_dir, 8, inflate=inflate, repeats=repeats)
 
 
 if __name__ == "__main__":

@@ -153,6 +153,35 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in TS.STOPWORDS)
 _CANON = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 # winnowing polynomial base powers mod 2^32 (shared with the engine)
 _WPOW = TS.winnow_base_powers(5)
+# shared winnowing CTE chain -> wfp(doc_id, fp): the engine's exact
+# polynomial gram hash + w=4 rolling min (see textstats.winnow_fingerprints)
+_WINNOW_CTES = f"""
+    wc AS (
+        SELECT doc_id, {_CANON} AS t FROM documents
+        WHERE length({_CANON}) >= 5),
+    wg AS (
+        SELECT doc_id, t, unnest(range(0, length(t) - 4)) AS i
+        FROM wc),
+    wh AS (
+        SELECT doc_id, i,
+               (ord(substr(t, i + 1, 1))::BIGINT * {_WPOW[4]}
+                + ord(substr(t, i + 2, 1))::BIGINT * {_WPOW[3]}
+                + ord(substr(t, i + 3, 1))::BIGINT * {_WPOW[2]}
+                + ord(substr(t, i + 4, 1))::BIGINT * {_WPOW[1]}
+                + ord(substr(t, i + 5, 1))::BIGINT) % 4294967296 AS hv,
+               length(t) - 4 AS n_grams
+        FROM wg),
+    wmin AS (
+        SELECT doc_id, i, n_grams,
+               min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW
+                             AND 3 FOLLOWING) AS fpv
+        FROM wh),
+    wfp AS (
+        SELECT DISTINCT doc_id, printf('%08x', fpv) AS fp
+        FROM wmin WHERE i <= n_grams - 4)
+"""
+
 _SHINGLE_CTES = f"""
     canon AS (
         SELECT doc_id, string_split({_CANON}, ' ') AS toks FROM documents),
@@ -583,6 +612,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winnow_fingerprints"] = q_winnow
 
+    def q_winnow_containment(spark, sf_dir):
+        return _longify(
+            TS.winnow_containment_pairs(_tbl(spark, sf_dir, "documents")))
+
+    q["winnow_containment"] = q_winnow_containment
+
+    def q_repetition(spark, sf_dir):
+        return _longify(TS.repetition_stats(_tbl(spark, sf_dir, "documents")))
+
+    q["repetition_stats"] = q_repetition
+
+    def q_quality_keep(spark, sf_dir):
+        return _longify(
+            TS.quality_filter_keep(_tbl(spark, sf_dir, "documents")))
+
+    q["quality_filter_keep"] = q_quality_keep
+
+    def q_topk_terms(spark, sf_dir):
+        return _longify(TS.topk_terms(_tbl(spark, sf_dir, "documents")))
+
+    q["topk_terms"] = q_topk_terms
+
     # --- corpus: dedup -----------------------------------------------------
     def q_dedup_exact(spark, sf_dir):
         return _longify(D.exact_dedup(_tbl(spark, sf_dir, "documents")))
@@ -1009,29 +1060,149 @@ def oracle_sql() -> dict[str, str]:
         # engine's vectorized rolling hash, textstats.WINNOW_BASE); every
         # per-char product stays < 2^53 so BIGINT arithmetic is exact
         "winnow_fingerprints": f"""
+            WITH {_WINNOW_CTES}
+            SELECT doc_id, fp FROM wfp
+        """,
+        "winnow_containment": f"""
+            WITH {_WINNOW_CTES},
+            rare AS (
+                SELECT doc_id, fp FROM wfp
+                WHERE fp IN (SELECT fp FROM wfp GROUP BY fp
+                             HAVING count(*) <= 50)),
+            sizes AS (SELECT doc_id, count(*) AS n_fps FROM rare
+                      GROUP BY doc_id),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS shared_fps
+                FROM rare a JOIN rare b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+                HAVING count(*) >= 8)
+            SELECT p.id_a, p.id_b, p.shared_fps::BIGINT AS shared_fps,
+                   round(p.shared_fps / least(sa.n_fps, sb.n_fps), 4)
+                       AS containment
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
+        """,
+        "repetition_stats": f"""
             WITH c AS (
-                SELECT doc_id, {_CANON} AS t FROM documents
-                WHERE length({_CANON}) >= 5),
-            g AS (
-                SELECT doc_id, t, unnest(range(0, length(t) - 4)) AS i
-                FROM c),
-            h AS (
-                SELECT doc_id, i,
-                       (ord(substr(t, i + 1, 1))::BIGINT * {_WPOW[4]}
-                        + ord(substr(t, i + 2, 1))::BIGINT * {_WPOW[3]}
-                        + ord(substr(t, i + 3, 1))::BIGINT * {_WPOW[2]}
-                        + ord(substr(t, i + 4, 1))::BIGINT * {_WPOW[1]}
-                        + ord(substr(t, i + 5, 1))::BIGINT) % 4294967296 AS hv,
-                       length(t) - 4 AS n_grams
-                FROM g),
-            wmin AS (
-                SELECT doc_id, i, n_grams,
-                       min(hv) OVER (PARTITION BY doc_id ORDER BY i
-                                     ROWS BETWEEN CURRENT ROW
-                                     AND 3 FOLLOWING) AS fpv
-                FROM h)
-            SELECT DISTINCT doc_id, printf('%08x', fpv) AS fp
-            FROM wmin WHERE i <= n_grams - 4
+                SELECT doc_id, {_CANON} AS t,
+                       length({_CANON}) AS nc,
+                       string_split({_CANON}, ' ') AS w
+                FROM documents),
+            e2 AS (
+                SELECT doc_id,
+                       unnest([w[i] || ' ' || w[i + 1]
+                               FOR i IN range(1, len(w))]) AS gram
+                FROM c WHERE len(w) >= 2),
+            c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM e2
+                   GROUP BY 1, 2),
+            t2 AS (
+                SELECT doc_id, gram, cnt,
+                       sum(cnt) OVER (PARTITION BY doc_id) AS n2,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY cnt DESC, gram DESC) AS rn
+                FROM c2),
+            e3 AS (
+                SELECT doc_id,
+                       unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                               FOR i IN range(1, len(w) - 1)]) AS gram
+                FROM c WHERE len(w) >= 3),
+            c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM e3
+                   GROUP BY 1, 2),
+            a3 AS (
+                SELECT doc_id, sum(cnt) AS n3,
+                       sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup
+                FROM c3 GROUP BY doc_id)
+            SELECT c.doc_id,
+                   coalesce(t2.n2, 0)::BIGINT AS n_2grams,
+                   coalesce(t2.cnt, 0)::BIGINT AS top2_cnt,
+                   coalesce(t2.gram, '') AS top2_gram,
+                   round(coalesce(t2.cnt * length(t2.gram), 0)
+                         / greatest(c.nc, 1), 4) AS top2_char_frac,
+                   coalesce(a3.n3, 0)::BIGINT AS n_3grams,
+                   coalesce(a3.dup, 0)::BIGINT AS dup3_occ,
+                   round(coalesce(a3.dup, 0)
+                         / greatest(coalesce(a3.n3, 0), 1), 4) AS dup3_frac
+            FROM c
+            LEFT JOIN t2 ON t2.doc_id = c.doc_id AND t2.rn = 1
+            LEFT JOIN a3 ON a3.doc_id = c.doc_id
+        """,
+        "quality_filter_keep": f"""
+            WITH c AS (
+                SELECT doc_id, {_CANON} AS t,
+                       length({_CANON}) AS nc,
+                       string_split({_CANON}, ' ') AS w
+                FROM documents),
+            qs AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       round(len(list_filter(string_split(lower(text), ' '),
+                                             x -> x IN ({_STOP_SQL})))::DOUBLE
+                             / greatest(len(string_split(text, ' ')), 1), 4)
+                           AS stopword_ratio
+                FROM documents),
+            e2 AS (
+                SELECT doc_id,
+                       unnest([w[i] || ' ' || w[i + 1]
+                               FOR i IN range(1, len(w))]) AS gram
+                FROM c WHERE len(w) >= 2),
+            c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM e2
+                   GROUP BY 1, 2),
+            t2 AS (
+                SELECT doc_id, gram, cnt,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY cnt DESC, gram DESC) AS rn
+                FROM c2),
+            e3 AS (
+                SELECT doc_id,
+                       unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                               FOR i IN range(1, len(w) - 1)]) AS gram
+                FROM c WHERE len(w) >= 3),
+            c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM e3
+                   GROUP BY 1, 2),
+            a3 AS (
+                SELECT doc_id, sum(cnt) AS n3,
+                       sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup
+                FROM c3 GROUP BY doc_id),
+            feats AS (
+                SELECT c.doc_id,
+                       qs.n_tokens, qs.stopword_ratio,
+                       round(coalesce(t2.cnt * length(t2.gram), 0)
+                             / greatest(c.nc, 1), 4) AS top2_char_frac,
+                       round(coalesce(a3.dup, 0)
+                             / greatest(coalesce(a3.n3, 0), 1), 4)
+                           AS dup3_frac
+                FROM c
+                JOIN qs ON qs.doc_id = c.doc_id
+                LEFT JOIN t2 ON t2.doc_id = c.doc_id AND t2.rn = 1
+                LEFT JOIN a3 ON a3.doc_id = c.doc_id)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d JOIN feats f ON f.doc_id = d.doc_id
+            WHERE f.n_tokens >= 10
+              AND f.stopword_ratio >= 0.0001
+              AND f.top2_char_frac <= 0.20
+              AND f.dup3_frac <= 0.55
+        """,
+        "topk_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            ranked AS (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                       row_number() OVER (
+                           PARTITION BY t.doc_id
+                           ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rank
+                FROM tf t JOIN dfreq d ON d.term = t.term)
+            SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df,
+                   rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "dedup_exact": f"""
             SELECT md5({_CANON}) AS fp,

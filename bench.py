@@ -79,6 +79,12 @@ def main() -> None:
         "near_dedup_keep": lambda: force_count(
             D.near_dedup_keep_docs(docs, threshold=0.3)),
         "winnow_fingerprints": lambda: force_count(TS.winnow_fingerprints(docs)),
+        # new in round 3: training-pipeline text filters
+        "repetition_stats": lambda: force_count(TS.repetition_stats(docs)),
+        "quality_filter_keep": lambda: force_count(TS.quality_filter_keep(docs)),
+        "winnow_containment": lambda: force_count(
+            TS.winnow_containment_pairs(docs)),
+        "topk_terms": lambda: force_count(TS.topk_terms(docs)),
     }
 
     # Warm the JVM + python workers outside the timed region.

@@ -189,6 +189,182 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition features (Rae et al. 2021
+    §A1.1 — the "repetitive text" quality signals used to filter web
+    corpora before LM training):
+
+    - ``top2_char_frac``: fraction of canonical characters covered by the
+      most frequent word 2-gram (count × gram length / n_chars).
+    - ``dup3_frac``: fraction of word-3-gram occurrences whose gram
+      occurs more than once in the document.
+
+    Repetition is a PER-DOCUMENT property, so it is computed row-local in
+    one Arrow pandas UDF pass (a ``collections.Counter`` over the token
+    array) — ZERO shuffle, where the explode + groupBy(doc, gram) form
+    would push every gram occurrence of the corpus through an exchange
+    just to aggregate it straight back per document. The UDF emits only
+    exact integers (counts, lengths); ratios + rounding stay JVM-side so
+    the DuckDB twin (which unnests, being per-doc-small there) hashes
+    identically. Tie-break for the top 2-gram: highest count, then
+    lexicographically greatest gram (UTF-8 byte order == codepoint
+    order, so Python/Spark/DuckDB agree)."""
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+    @pandas_udf("struct<n_2grams:long, top2_cnt:long, top2_gram:string,"
+                " n_3grams:long, dup3_occ:long>")
+    def rep_udf(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        rows = []
+        for t in texts:
+            w = t.split(" ") if t else []
+            g2 = Counter(
+                " ".join(w[i:i + 2]) for i in range(len(w) - 1))
+            g3 = Counter(
+                " ".join(w[i:i + 3]) for i in range(len(w) - 2))
+            if g2:
+                top_cnt, top_gram = max(
+                    (c, g) for g, c in g2.items())
+            else:
+                top_cnt, top_gram = 0, ""
+            rows.append((sum(g2.values()), top_cnt, top_gram,
+                         sum(g3.values()),
+                         sum(c for c in g3.values() if c >= 2)))
+        return pd.DataFrame(
+            rows, columns=["n_2grams", "top2_cnt", "top2_gram",
+                           "n_3grams", "dup3_occ"])
+
+    return (
+        df.select("doc_id", canon.alias("t"))
+        .select("doc_id", F.length("t").alias("nc"),
+                rep_udf(F.col("t")).alias("r"))
+        .select(
+            "doc_id",
+            F.col("r.n_2grams").alias("n_2grams"),
+            F.col("r.top2_cnt").alias("top2_cnt"),
+            F.col("r.top2_gram").alias("top2_gram"),
+            F.round(F.col("r.top2_cnt") * F.length("r.top2_gram")
+                    / F.greatest("nc", F.lit(1)), 4).alias("top2_char_frac"),
+            F.col("r.n_3grams").alias("n_3grams"),
+            F.col("r.dup3_occ").alias("dup3_occ"),
+            F.round(F.col("r.dup3_occ")
+                    / F.greatest("r.n_3grams", F.lit(1)), 4).alias("dup3_frac"),
+        )
+    )
+
+
+def quality_filter_keep(df: DataFrame, text_col: str = "text",
+                        min_tokens: int = 10,
+                        min_stopword_ratio: float = 0.0001,
+                        max_top2_char_frac: float = 0.20,
+                        max_dup3_frac: float = 0.55) -> DataFrame:
+    """The composed corpus quality filter — the C4/Gopher-style keep rule
+    a training-data pipeline runs before tokenization: a document
+    survives iff it has enough tokens, shows any stopword signal, and is
+    not dominated by repeated 2-/3-grams.
+
+    Composition of ``quality_scores`` × ``repetition_stats`` joined on
+    doc_id, thresholds applied to the 4dp-rounded features (so the
+    boundary is engine-stable), then a semi-join back to the corpus.
+    Both feature passes are shuffle-free per-doc maps; the only exchanges
+    are the doc_id equi-joins, which AQE broadcasts when the surviving
+    feature frames are small. Returns the surviving document rows
+    (text omitted — the caller re-joins it; at 100 TB you don't want the
+    payload column flowing through the filter plumbing)."""
+    qs = quality_scores(df, text_col=text_col).select(
+        "doc_id", "n_tokens", "stopword_ratio")
+    rep = repetition_stats(df, text_col=text_col).select(
+        "doc_id", "top2_char_frac", "dup3_frac")
+    keep = (
+        qs.join(rep, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("stopword_ratio") >= min_stopword_ratio)
+            & (F.col("top2_char_frac") <= max_top2_char_frac)
+            & (F.col("dup3_frac") <= max_dup3_frac))
+        .select("doc_id")
+    )
+    return df.drop(text_col).join(keep, "doc_id", "left_semi")
+
+
+def winnow_containment_pairs(df: DataFrame, k: int = 5, w: int = 4,
+                             min_shared: int = 8, max_fp_df: int = 50,
+                             text_col: str = "text") -> DataFrame:
+    """Document containment candidates from shared winnowing fingerprints
+    (the MOSS match step, SIGMOD'03 §5): documents sharing >= min_shared
+    selected k-gram hashes overlap locally even when globally dissimilar
+    — the signal MinHash misses.
+
+    Fingerprints occurring in more than ``max_fp_df`` documents are
+    dropped BEFORE pairing (MOSS's "too common to be interesting" rule —
+    boilerplate hits). That filter is also the skew guard: it bounds every
+    fingerprint's bucket at max_fp_df docs, so the fp self-join fans out
+    at most max_fp_df² pairs per bucket and no degenerate fingerprint
+    can hand one task quadratic work. ``n_fps`` sizes (and the
+    containment score shared/min(n_a, n_b), 4dp) are computed over the
+    same rare-fp set so the score is self-consistent with the pairing.
+    Shape: sketch → bounded bucket join → pair count — all shuffles keyed
+    on fp or (id_a, id_b), no all-pairs anywhere."""
+    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col)
+    rare = (
+        fps.join(
+            fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_fp_df).select("fp"),
+            "fp")
+    )
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    a = rare.select(F.col("doc_id").alias("id_a"), "fp")
+    b = rare.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+        .join(sizes.select(F.col("doc_id").alias("id_a"),
+                           F.col("n_fps").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("n_fps").alias("n_b")), "id_b")
+        .select(
+            "id_a", "id_b", "shared_fps",
+            F.round(F.col("shared_fps")
+                    / F.least("n_a", "n_b"), 4).alias("containment"))
+    )
+
+
+def topk_terms(df: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document, TF-IDF-style but
+    integer-stable: rank by (term frequency DESC, document frequency ASC,
+    term ASC) — frequent-here, rare-elsewhere. The lexicographic integer
+    ranking replaces the float tf·ln(N/df) product deliberately: every
+    key is an exact integer, so the ranking (and the oracle hash) is
+    bit-identical across engines, where cross-engine ``ln`` parity is
+    not guaranteed at the ulp.
+
+    Two shuffles, both with map-side partial aggregation: (doc, term) tf
+    counts, then term document frequencies (distinct-doc counts fall out
+    of the tf frame for free — one row per (doc, term) already); the
+    top-k window repartitions by doc_id only. The corpus text column
+    never moves — only (doc_id, term, counts) rows."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    win = (Window.partitionBy("doc_id")
+           .orderBy(F.col("tf").desc(), F.col("df").asc(),
+                    F.col("term").asc()))
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 of the lowercased,
     whitespace-collapsed text (the document-granularity analog of the

@@ -391,3 +391,91 @@ def test_token_df_stats(spark, docs):
     assert s0.n_distinct_tokens == 8  # 'the' deduped
     assert s0.max_df == 4  # the/quick/brown/... appear in docs 0,1,2(,3)
     assert stats[4].max_df == 1 and stats[4].min_df == 1
+
+
+def test_repetition_stats(spark):
+    """Gopher-style repetition features vs hand-computed values."""
+    df = spark.createDataFrame(
+        [(0, "a b a b a b"),       # heavy 2-/3-gram repetition
+         (1, "x y z"),            # no repetition
+         (2, "q")],               # single token: no grams at all
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in TS.repetition_stats(df).collect()}
+    # doc 0: 2-grams 'a b'x3, 'b a'x2; 3-grams 'a b a'x2, 'b a b'x2
+    r0 = got[0]
+    assert (r0.n_2grams, r0.top2_cnt, r0.top2_gram) == (5, 3, "a b")
+    assert r0.top2_char_frac == round(3 * 3 / 11, 4)
+    assert (r0.n_3grams, r0.dup3_occ, r0.dup3_frac) == (4, 4, 1.0)
+    # doc 1: both 2-grams unique; tie broken toward the GREATER gram
+    r1 = got[1]
+    assert (r1.n_2grams, r1.top2_cnt, r1.top2_gram) == (2, 1, "y z")
+    assert r1.top2_char_frac == round(1 * 3 / 5, 4)
+    assert (r1.n_3grams, r1.dup3_occ, r1.dup3_frac) == (1, 0, 0.0)
+    # doc 2: no grams -> all-zero row still emitted
+    r2 = got[2]
+    assert (r2.n_2grams, r2.top2_cnt, r2.top2_gram) == (0, 0, "")
+    assert (r2.n_3grams, r2.dup3_occ, r2.dup3_frac) == (0, 0, 0.0)
+
+
+def test_quality_filter_keep(spark):
+    """Each threshold of the composed keep rule rejects its own doc."""
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over a lazy dog in the warm sun"),
+         (1, "too short to keep"),                          # < 10 tokens
+         (2, "zzz qqq www rrr ttt yyy uuu iii ooo ppp aaa"),  # no stopwords
+         (3, " ".join(["the cat"] * 12))],                  # repetition-heavy
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in TS.quality_filter_keep(df).collect())
+    assert kept == [0]
+    out_cols = TS.quality_filter_keep(df).columns
+    assert "text" not in out_cols  # payload column stays out of the filter
+
+
+def test_winnow_containment_pairs(spark):
+    """Pair counts equal an independent recomputation from the (already
+    python-verified) fingerprint sets, including the max_fp_df drop."""
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight"),
+         (1, "yesterday the quick brown fox jumps over the lazy dog again"),
+         (2, "an utterly unrelated sentence concerning spark executors"),
+         (3, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string")
+    fps = {}
+    for r in TS.winnow_fingerprints(df).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    max_fp_df, min_shared = 3, 2
+    from collections import Counter
+
+    freq = Counter(fp for s in fps.values() for fp in s)
+    rare = {d: {fp for fp in s if freq[fp] <= max_fp_df}
+            for d, s in fps.items()}
+    want = {}
+    ids = sorted(rare)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = len(rare[a] & rare[b])
+            if shared >= min_shared:
+                want[(a, b)] = (shared, round(
+                    shared / min(len(rare[a]), len(rare[b])), 4))
+    got = {(r.id_a, r.id_b): (r.shared_fps, r.containment)
+           for r in TS.winnow_containment_pairs(
+               df, min_shared=min_shared, max_fp_df=max_fp_df).collect()}
+    assert got == want
+    assert (0, 3) in got and got[(0, 3)][1] == 1.0  # exact dup: containment 1
+    assert not any(2 in p for p in got)             # unrelated doc pairs with nobody
+
+
+def test_topk_terms(spark, docs):
+    """(tf DESC, df ASC, term ASC) ranking vs hand-derived expectations."""
+    got = {}
+    for r in TS.topk_terms(docs, k=5).collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf, r.df))
+    top0 = [t[1] for t in sorted(got[0])]
+    # doc 0: 'the' tf=2 first; 'lazy' df=3 (doc 3 says 'sleepy') beats the
+    # df=4 rest; then alphabetical among (brown, dog, fox, jumps, over, quick)
+    assert top0 == ["the", "lazy", "brown", "dog", "fox"]
+    assert sorted(got[0])[0] == (1, "the", 2, 4)
+    # doc 4 shares no tokens: all tf=1 df=1, purely alphabetical
+    top4 = [t[1] for t in sorted(got[4])]
+    assert top4 == sorted(
+        "completely different text about spark dataframes here".split())[:5]

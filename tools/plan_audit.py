@@ -180,6 +180,36 @@ def main() -> None:
               "md5 key halves the shuffle volume before the exchange."),
     )
 
+    from pdf_parser_spark.corpus import textstats as TS
+
+    audit(
+        "Repetition stats (Gopher quality signals)",
+        TS.repetition_stats(docs),
+        requires=[r"ArrowEvalPython"],
+        forbids=[r"Exchange"],
+        note=("Within-document repetition is a per-row property, so the "
+              "whole operator is scan -> one Arrow-batched pandas UDF -> "
+              "project, with ZERO Exchange (asserted) — the explode + "
+              "groupBy(doc, gram) formulation would shuffle every gram "
+              "occurrence of the corpus just to aggregate it straight back "
+              "per document. Only integer counts leave the UDF; ratios and "
+              "rounding stay JVM-side."),
+    )
+
+    wc_plan_df = TS.winnow_containment_pairs(docs, min_shared=2)
+    wc_plan = formatted(wc_plan_df)
+    assert not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", wc_plan), \
+        "winnow containment: cross join crept in"
+    sections.append((
+        "Winnow containment pairs (MOSS match step)",
+        ("Sketch -> bounded bucket join: the fp self-join only sees "
+         "fingerprints whose document frequency is <= max_fp_df (the "
+         "common-fp drop is also the skew guard — no fingerprint bucket "
+         "can exceed max_fp_df docs, so no task inherits quadratic pair "
+         "work), pair counting is a partial->final aggregate on "
+         "(id_a, id_b), and NO cross join appears anywhere (asserted)."),
+        compact(wc_plan)))
+
     with open("/root/repo/PLANS.md", "w", encoding="utf-8") as f:
         f.write(
             "# PLANS — physical-plan audit of the headline operators\n\n"

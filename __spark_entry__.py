@@ -770,6 +770,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_kmeans_topk"] = q_ivf_kmeans_topk
 
+    # product quantization: same iterative-k-means rationale as above —
+    # rows-only check; compression accuracy is evidenced in
+    # tools/ann_recall.py (ADC recall vs exact top-k at m bytes/vector)
+    def q_pq_encode(spark, sf_dir):
+        embs = _tbl(spark, sf_dir, "embeddings")
+        cb = S.pq_codebooks(embs)
+        return _longify(S.pq_encode(embs, cb))
+
+    q["ann_pq_encode"] = q_pq_encode
+
+    def q_pq_adc_topk(spark, sf_dir):
+        embs = _tbl(spark, sf_dir, "embeddings")
+        cb = S.pq_codebooks(embs)
+        return _longify(S.pq_adc_topk(embs, k=10, codebooks=cb))
+
+    q["ann_pq_adc_topk"] = q_pq_adc_topk
+
     # --- multimodal plumbing ----------------------------------------------
     def q_multimodal(spark, sf_dir):
         from pdf_parser_spark.corpus import multimodal as M

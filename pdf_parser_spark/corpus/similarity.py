@@ -264,6 +264,134 @@ def ivf_topk(df: DataFrame, query_id: int = 0, k: int = 10,
     return brute_topk(cand, query_id=query_id, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 256, iters: int = 10,
+                 sample_cap: int = 4096, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> list:
+    """Driver-side product-quantization codebooks (Jégou et al., TPAMI'11):
+    split every (unit-normalized) vector into ``m`` equal subvectors and
+    run an L2 Lloyd k-means with ``ksub`` centroids per subspace over the
+    same bounded, hash-ordered sample ``kmeans_codebook`` uses.
+
+    Deterministic end to end (hash-ordered sample, first-k init, argmin
+    ties toward the lower code, empty cells keep their centroid). Returns
+    ``m`` lists of ``ksub`` sub-centroids; total size m*ksub*(d/m) floats
+    — a broadcast-trivial object even for 1024-dim embeddings."""
+    rows = (
+        df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"pq_codebooks: dims {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        k = min(ksub, len(xs))
+        cents = xs[:k].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> lower code
+            moved = False
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    nc = members.mean(axis=0)
+                    if not np.allclose(nc, cents[c]):
+                        cents[c] = nc
+                        moved = True
+            if not moved:
+                break
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: list, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """PQ-encode every vector: (id, codes array<int> of length m).
+
+    Map-side only — the codebooks ride into the Arrow-batched pandas UDF
+    as a closure (broadcast by task serialization); per batch the
+    distance to all sub-centroids is one vectorized NumPy pass per
+    subspace. At 100 TB this is the compression step that turns a
+    4 KB float vector into m bytes of codes resident in memory."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    cents = [np.array(b, dtype=np.float64) for b in codebooks]
+
+    @pandas_udf("array<int>")
+    def encode_udf(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(x, axis=1)
+        n[n == 0] = 1.0
+        x = x / n[:, None]
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * subdim:(j + 1) * subdim]
+            # ||xs - c||^2 = ||xs||^2 - 2 xs.c + ||c||^2; argmin drops ||xs||^2
+            d2 = -2.0 * (xs @ cents[j].T) + (cents[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return (
+        df.filter(F.col(vec_col).isNotNull()
+                  & (F.size(F.col(vec_col)) == m * subdim))
+        .select(F.col(id_col), encode_udf(F.col(vec_col)).alias("codes"))
+    )
+
+
+def pq_adc_topk(df: DataFrame, query_id: int = 0, k: int = 10,
+                codebooks: list | None = None, m: int = 8, ksub: int = 256,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays a full
+    vector; every candidate's (approximate, unit-normalized) cosine is a
+    sum of ``m`` lookup-table entries LUT[j, code_j] where
+    LUT[j] = q_j · codebook_j — built once on the driver (m × ksub dots)
+    from the single collected query row.
+
+    The scan side only ever touches the m-byte codes (the full embedding
+    column never moves after encoding), scoring is a NumPy take+sum per
+    Arrow batch, and the global top-k compiles to TakeOrdered. Ranking is
+    deterministic: 6dp-rounded score desc, id asc."""
+    if codebooks is None:
+        codebooks = pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
+                                 vec_col=vec_col)
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).first()
+    q = np.asarray(qrow[vec_col], dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    subdim = len(codebooks[0][0])
+    lut = np.stack([
+        np.asarray(b, dtype=np.float64) @ q[j * subdim:(j + 1) * subdim]
+        for j, b in enumerate(codebooks)
+    ])  # m x ksub
+
+    @pandas_udf("double")
+    def adc_udf(codes: pd.Series) -> pd.Series:
+        if not len(codes):
+            return pd.Series([], dtype="float64")
+        c = np.stack(codes.to_numpy()).astype(np.int64)
+        return pd.Series(
+            np.take_along_axis(lut, c.T, axis=1).sum(axis=0))
+
+    return (
+        pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(adc_udf(F.col("codes")), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def _blocked_self_join_sides(base: DataFrame, id_col: str,
                              bucket_cap: int) -> tuple:
     """Skew-guarded sides for a within-bucket self-join.

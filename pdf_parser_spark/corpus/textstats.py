@@ -189,6 +189,24 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     )
 
 
+def repetition_counts(t: str) -> tuple:
+    """Per-document repetition counters over an already-canonical text:
+    (n_2grams, top2_cnt, top2_gram, n_3grams, dup3_occ). The row-local
+    core of ``repetition_stats`` — module-level so the fuzz tests can
+    exercise it directly against a brute-force reference."""
+    from collections import Counter
+
+    w = t.split(" ") if t else []
+    g2 = Counter(" ".join(w[i:i + 2]) for i in range(len(w) - 1))
+    g3 = Counter(" ".join(w[i:i + 3]) for i in range(len(w) - 2))
+    if g2:
+        top_cnt, top_gram = max((c, g) for g, c in g2.items())
+    else:
+        top_cnt, top_gram = 0, ""
+    return (sum(g2.values()), top_cnt, top_gram,
+            sum(g3.values()), sum(c for c in g3.values() if c >= 2))
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style within-document repetition features (Rae et al. 2021
     §A1.1 — the "repetitive text" quality signals used to filter web
@@ -214,26 +232,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     @pandas_udf("struct<n_2grams:long, top2_cnt:long, top2_gram:string,"
                 " n_3grams:long, dup3_occ:long>")
     def rep_udf(texts: pd.Series) -> pd.DataFrame:
-        from collections import Counter
-
-        rows = []
-        for t in texts:
-            w = t.split(" ") if t else []
-            g2 = Counter(
-                " ".join(w[i:i + 2]) for i in range(len(w) - 1))
-            g3 = Counter(
-                " ".join(w[i:i + 3]) for i in range(len(w) - 2))
-            if g2:
-                top_cnt, top_gram = max(
-                    (c, g) for g, c in g2.items())
-            else:
-                top_cnt, top_gram = 0, ""
-            rows.append((sum(g2.values()), top_cnt, top_gram,
-                         sum(g3.values()),
-                         sum(c for c in g3.values() if c >= 2)))
         return pd.DataFrame(
-            rows, columns=["n_2grams", "top2_cnt", "top2_gram",
-                           "n_3grams", "dup3_occ"])
+            [repetition_counts(t) for t in texts],
+            columns=["n_2grams", "top2_cnt", "top2_gram",
+                     "n_3grams", "dup3_occ"])
 
     return (
         df.select("doc_id", canon.alias("t"))

@@ -479,3 +479,44 @@ def test_topk_terms(spark, docs):
     top4 = [t[1] for t in sorted(got[4])]
     assert top4 == sorted(
         "completely different text about spark dataframes here".split())[:5]
+
+
+def test_pq_encode_and_adc_topk(spark):
+    """PQ: deterministic codebooks, valid code ranges, ADC ranking finds
+    the true cluster, and exact-duplicate vectors share identical codes."""
+    rows = ([(i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(20)]
+            + [(100 + i, [0.0, 0.01 * i, 0.0, 1.0]) for i in range(20)])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb1 = S.pq_codebooks(df, m=2, ksub=4)
+    cb2 = S.pq_codebooks(df, m=2, ksub=4)
+    assert cb1 == cb2  # deterministic
+    assert len(cb1) == 2 and all(len(b) <= 4 for b in cb1)
+    assert all(len(c) == 2 for b in cb1 for c in b)  # subdim = 4/2
+
+    codes = {r.vec_id: list(r.codes) for r in S.pq_encode(df, cb1).collect()}
+    assert set(codes) == {vid for vid, _ in rows}
+    assert all(len(c) == 2 and all(0 <= v < 4 for v in c)
+               for c in codes.values())
+    # vectors of the same geometric cluster agree on subspace 2 (the
+    # (0,0)/(0,1) halves differ only in the shared y coordinate)
+    assert len({tuple(codes[i]) for i in (0, 1, 2)}) <= 2
+
+    top = [r.vec_id for r in S.pq_adc_topk(df, query_id=0, k=5, codebooks=cb1).collect()]
+    assert len(top) == 5 and all(v < 100 for v in top)  # stays in-cluster
+    # exact duplicate of the query scores max possible
+    df2 = spark.createDataFrame(
+        rows + [(999, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    cb = S.pq_codebooks(df2, m=2, ksub=4)
+    top2 = S.pq_adc_topk(df2, query_id=0, k=40, codebooks=cb).collect()
+    scores = {r.vec_id: r.score for r in top2}
+    assert 999 in scores
+    assert scores[999] == max(scores.values())
+
+
+def test_pq_wrong_dim_and_null_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, None), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    cb = [[[1.0, 0.0]], [[0.0, 0.0]]]  # m=2, subdim=2 -> expects dim 4
+    out = {r.vec_id for r in S.pq_encode(df, cb).collect()}
+    assert out == {0}

@@ -154,3 +154,32 @@ def test_vectorized_equals_oracle_on_fuzz(rows):
         for k in ("page_width", "page_height", "column_separator_position"):
             assert _norm_float(g[k]) == _norm_float(want[k]), (k, text, tool)
         assert dict(g["metadata"]) == want["metadata"], (text, tool)
+
+
+# --- repetition counters (corpus/textstats.py) ---------------------------
+
+_word = st.text(alphabet=st.sampled_from(list("abcxyz")), min_size=1, max_size=3)
+_tokens = st.lists(_word, max_size=20)
+
+
+@given(_tokens)
+@settings(max_examples=200, deadline=None)
+def test_repetition_counts_equal_bruteforce(tokens):
+    """repetition_counts (the rep_udf core) equals an O(n^2) brute-force
+    recount on arbitrary token lists, including the tie-break rule."""
+    from pdf_parser_spark.corpus.textstats import repetition_counts
+
+    t = " ".join(tokens)
+    n2, top_cnt, top_gram, n3, dup3 = repetition_counts(t)
+    w = t.split(" ") if t else []
+    grams2 = [" ".join(w[i:i + 2]) for i in range(len(w) - 1)]
+    grams3 = [" ".join(w[i:i + 3]) for i in range(len(w) - 2)]
+    assert n2 == len(grams2) and n3 == len(grams3)
+    if grams2:
+        counts = {g: grams2.count(g) for g in grams2}
+        best = max(counts.values())
+        assert top_cnt == best
+        assert top_gram == max(g for g, c in counts.items() if c == best)
+    else:
+        assert (top_cnt, top_gram) == (0, "")
+    assert dup3 == sum(1 for g in grams3 if grams3.count(g) >= 2)

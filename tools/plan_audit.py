@@ -196,6 +196,21 @@ def main() -> None:
               "rounding stay JVM-side."),
     )
 
+    audit(
+        "PQ asymmetric-distance top-k (ANN compression path)",
+        S.pq_adc_topk(embs, k=10,
+                      codebooks=S.pq_codebooks(embs, m=8, ksub=16)),
+        requires=[r"TakeOrderedAndProject", r"ArrowEvalPython"],
+        forbids=[r"^\(\d+\) Sort\b"],
+        note=("Encode + ADC scoring are two Arrow-batched map stages (one "
+              "NumPy argmin / take+sum per batch) with the m x ksub lookup "
+              "table a closure constant; the global top-k compiles to "
+              "TakeOrderedAndProject (per-partition heap + driver merge) — "
+              "no full Sort (asserted), no shuffle of the codes. At scale "
+              "the scan side touches m ints per vector, never the float "
+              "embedding column."),
+    )
+
     wc_plan_df = TS.winnow_containment_pairs(docs, min_shared=2)
     wc_plan = formatted(wc_plan_df)
     assert not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", wc_plan), \

@@ -787,6 +787,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_pq_adc_topk"] = q_pq_adc_topk
 
+    def q_ivf_pq_topk(spark, sf_dir):
+        embs = _tbl(spark, sf_dir, "embeddings")
+        return _longify(S.ivf_pq_topk(
+            embs, k=10, n_probe=2, codebook=S.kmeans_codebook(embs),
+            pq_cb=S.pq_codebooks(embs)))
+
+    q["ann_ivf_pq_topk"] = q_ivf_pq_topk
+
     # --- multimodal plumbing ----------------------------------------------
     def q_multimodal(spark, sf_dir):
         from pdf_parser_spark.corpus import multimodal as M

@@ -237,18 +237,15 @@ def ivf_assign(df: DataFrame, n_centroids: int = 16,
     return assign
 
 
-def ivf_topk(df: DataFrame, query_id: int = 0, k: int = 10,
-             n_centroids: int = 16, n_probe: int = 1, id_col: str = "vec_id",
-             vec_col: str = "embedding",
-             codebook: list | None = None) -> DataFrame:
-    """IVF probe-N ANN: search the ``n_probe`` cells whose centroids are
-    closest to the query (scans ~n_probe*N/C vectors; recall/latency knob
-    at scale). Probe cells are ranked by (cosine desc, centroid_id asc)
-    with the same 6dp rounding as assignment, so probe-1 is exactly the
-    query's own cell. ``codebook`` as in ``ivf_assign``."""
+def _ivf_probe_candidates(df: DataFrame, query_id: int, n_centroids: int,
+                          n_probe: int, id_col: str, vec_col: str,
+                          codebook: list | None) -> DataFrame:
+    """Rows of ``df`` inside the ``n_probe`` IVF cells closest to the
+    query. Probe cells are ranked by (cosine desc, centroid_id asc) with
+    the same 6dp rounding as assignment, so probe-1 is exactly the
+    query's own cell (the query row itself always survives)."""
     base, cents, assign = _ivf_parts(df, n_centroids, id_col, vec_col,
                                      codebook=codebook)
-    with_c = df.join(assign, id_col)
     q = (base.filter(F.col(id_col) == query_id)
          .select(F.col(vec_col).alias("qvec"), F.col("norm").alias("qnorm")))
     probe = (
@@ -260,8 +257,38 @@ def ivf_topk(df: DataFrame, query_id: int = 0, k: int = 10,
         .limit(n_probe)
         .select("centroid_id")
     )
-    cand = with_c.join(F.broadcast(probe), "centroid_id").drop("centroid_id")
+    return (df.join(assign, id_col)
+            .join(F.broadcast(probe), "centroid_id").drop("centroid_id"))
+
+
+def ivf_topk(df: DataFrame, query_id: int = 0, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 1, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             codebook: list | None = None) -> DataFrame:
+    """IVF probe-N ANN: search the ``n_probe`` cells whose centroids are
+    closest to the query (scans ~n_probe*N/C vectors; recall/latency knob
+    at scale). ``codebook`` as in ``ivf_assign``."""
+    cand = _ivf_probe_candidates(df, query_id, n_centroids, n_probe,
+                                 id_col, vec_col, codebook)
     return brute_topk(cand, query_id=query_id, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_pq_topk(df: DataFrame, query_id: int = 0, k: int = 10,
+                n_centroids: int = 16, n_probe: int = 2,
+                codebook: list | None = None, pq_cb: list | None = None,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVFADC (Jégou et al., TPAMI'11): IVF cell restriction, then PQ
+    asymmetric-distance scoring WITHIN the probed cells — the composition
+    run at cluster scale, where neither a full scan (pq_adc_topk) nor
+    exact re-scoring of a whole cell (ivf_topk) is affordable: the probe
+    join prunes to ~n_probe*N/C rows and ADC touches only their m-byte
+    codes. Both codebooks default to their sampled-k-means builders."""
+    cand = _ivf_probe_candidates(df, query_id, n_centroids, n_probe,
+                                 id_col, vec_col, codebook)
+    if pq_cb is None:
+        pq_cb = pq_codebooks(df, id_col=id_col, vec_col=vec_col)
+    return pq_adc_topk(cand, query_id=query_id, k=k, codebooks=pq_cb,
+                       id_col=id_col, vec_col=vec_col)
 
 
 def pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 256, iters: int = 10,

@@ -520,3 +520,19 @@ def test_pq_wrong_dim_and_null_excluded(spark):
     cb = [[[1.0, 0.0]], [[0.0, 0.0]]]  # m=2, subdim=2 -> expects dim 4
     out = {r.vec_id for r in S.pq_encode(df, cb).collect()}
     assert out == {0}
+
+
+def test_ivf_pq_topk_composition(spark):
+    """IVFADC: probe restriction + ADC scoring stays in the query's
+    geometric cluster and never returns the query itself."""
+    rows = ([(i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(20)]
+            + [(100 + i, [0.0, 0.01 * i, 0.0, 1.0]) for i in range(20)])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = S.kmeans_codebook(df, n_centroids=2)
+    pq_cb = S.pq_codebooks(df, m=2, ksub=8)
+    top = [r.vec_id for r in
+           S.ivf_pq_topk(df, query_id=0, k=5, n_probe=1,
+                         codebook=cb, pq_cb=pq_cb).collect()]
+    assert len(top) == 5
+    assert 0 not in top
+    assert all(v < 100 for v in top)  # probe-1 keeps the query's own cell

@@ -342,3 +342,59 @@ def test_mega_conversation_skew(spark):
     assert parts[0] == "turn text 0"
     assert parts[12345] == "turn text 12345"
     assert parts[-1] == f"turn text {n - 1}"
+
+
+def test_corpus_filter_job_cli(spark, tmp_path):
+    """The quality-filter funnel CLI: quality gate drops the degenerate
+    docs, --near-dedup then removes near-duplicates of the survivors."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    from corpus_filter_job import main as job_main
+
+    from pdf_parser_spark.io import read_table, write_table
+
+    rows = [
+        (0, "the quick brown fox jumps over a lazy dog in the warm sun"),
+        (1, "the quick brown fox jumps over a lazy dog in the warm fog"),
+        (2, "too short"),                                    # < 10 tokens
+        (3, " ".join(["the cat"] * 12)),                     # repetitive
+        (4, "another keeper the wind and rain is mild today here now"),
+    ]
+    src = str(tmp_path / "docs_in")
+    write_table(spark.createDataFrame(rows, "doc_id long, text string"), src)
+
+    out1 = str(tmp_path / "kept_q")
+    assert job_main(["--input", src, "--output", out1]) == 0
+    kept_q = sorted(r.doc_id for r in read_table(spark, out1).collect())
+    assert kept_q == [0, 1, 4]  # quality only: near-dups both survive
+
+    out2 = str(tmp_path / "kept_qd")
+    assert job_main(["--input", src, "--output", out2,
+                     "--near-dedup", "--threshold", "0.5"]) == 0
+    kept_qd = sorted(r.doc_id for r in read_table(spark, out2).collect())
+    assert kept_qd == [0, 4]  # doc 1 deduped against doc 0
+
+
+def test_dedup_job_cli(spark, tmp_path):
+    """dedup_job CLI: minhash method keeps the min-id doc of each
+    near-duplicate cluster and leaves singletons untouched."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    from dedup_job import main as job_main
+
+    from pdf_parser_spark.io import read_table, write_table
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a completely different corpus document about engines"),
+    ]
+    src = str(tmp_path / "docs_in")
+    write_table(spark.createDataFrame(rows, "doc_id long, text string"), src)
+    out = str(tmp_path / "kept")
+    assert job_main(["--input", src, "--output", out,
+                     "--method", "minhash", "--threshold", "0.5"]) == 0
+    kept = sorted(r.doc_id for r in read_table(spark, out).collect())
+    assert kept == [0, 2]

@@ -108,6 +108,10 @@ def main() -> None:
         # is recall at that compression, recorded alongside
         "pq_adc": lambda q: S.pq_adc_topk(embs, query_id=q, k=k,
                                           codebooks=pq_cb),
+        # IVFADC: km-probe-2 cell restriction + ADC within the cells
+        "ivfpq_km_probe2": lambda q: S.ivf_pq_topk(
+            embs, query_id=q, k=k, n_probe=2, codebook=kmeans_cb,
+            pq_cb=pq_cb),
     }
     pq_cb = S.pq_codebooks(embs)
     recalls = {m: [] for m in methods}
@@ -127,6 +131,8 @@ def main() -> None:
         scanned["ivf_km_probe2"].append(
             sum(km_sizes.get(c, 0) for c in km_probe2_cells(q)) / n_vecs)
         scanned["pq_adc"].append(1.0)  # full scan of m-byte codes
+        scanned["ivfpq_km_probe2"].append(
+            sum(km_sizes.get(c, 0) for c in km_probe2_cells(q)) / n_vecs)
 
     out = {"sf_dir": sf_dir, "n_vecs": n_vecs, "k": k, "n_queries": n_queries}
     for m in methods:

@@ -291,7 +291,9 @@ def quality_filter_keep(df: DataFrame, text_col: str = "text",
 
 
 def winnow_containment_pairs(df: DataFrame, k: int = 5, w: int = 4,
-                             min_shared: int = 8, max_fp_df: int = 50,
+                             min_shared: int = 8,
+                             max_fp_df: int | None = None,
+                             max_fp_frac: float = 0.01,
                              text_col: str = "text") -> DataFrame:
     """Document containment candidates from shared winnowing fingerprints
     (the MOSS match step, SIGMOD'03 §5): documents sharing >= min_shared
@@ -300,14 +302,27 @@ def winnow_containment_pairs(df: DataFrame, k: int = 5, w: int = 4,
 
     Fingerprints occurring in more than ``max_fp_df`` documents are
     dropped BEFORE pairing (MOSS's "too common to be interesting" rule —
-    boilerplate hits). That filter is also the skew guard: it bounds every
-    fingerprint's bucket at max_fp_df docs, so the fp self-join fans out
-    at most max_fp_df² pairs per bucket and no degenerate fingerprint
-    can hand one task quadratic work. ``n_fps`` sizes (and the
-    containment score shared/min(n_a, n_b), 4dp) are computed over the
-    same rare-fp set so the score is self-consistent with the pairing.
-    Shape: sketch → bounded bucket join → pair count — all shuffles keyed
-    on fp or (id_a, id_b), no all-pairs anywhere."""
+    boilerplate hits). The threshold defaults to SCALE-RELATIVE
+    ``max(50, ceil(max_fp_frac * n_docs))`` — MOSS's own convention —
+    because any absolute cutoff degenerates as the corpus grows: a fp
+    common to 1% of a 50k-doc corpus is boilerplate, but a fixed cutoff
+    of 50 would also drop every REAL containment group once near-dup
+    families exceed it (measured: an absolute 50 yields zero pairs at
+    sf1 where the fraction rule recovers the 10-replica groups; the
+    floor of 50 protects tiny corpora where 1% rounds to nothing). The
+    one ``df.count()`` action is metadata-cheap on columnar sources. That filter is also
+    the skew guard: it bounds every fingerprint's bucket at max_fp_df
+    docs, so the fp self-join fans out at most max_fp_df² pairs per
+    bucket and no degenerate fingerprint can hand one task quadratic
+    work. ``n_fps`` sizes (and the containment score
+    shared/min(n_a, n_b), 4dp) are computed over the same rare-fp set so
+    the score is self-consistent with the pairing. Shape: sketch →
+    bounded bucket join → pair count — all shuffles keyed on fp or
+    (id_a, id_b), no all-pairs anywhere."""
+    import math
+
+    if max_fp_df is None:
+        max_fp_df = max(50, math.ceil(max_fp_frac * df.count()))
     fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col)
     rare = (
         fps.join(

@@ -266,28 +266,55 @@ def quality_filter_keep(df: DataFrame, text_col: str = "text",
     survives iff it has enough tokens, shows any stopword signal, and is
     not dominated by repeated 2-/3-grams.
 
-    Composition of ``quality_scores`` × ``repetition_stats`` joined on
-    doc_id, thresholds applied to the 4dp-rounded features (so the
-    boundary is engine-stable), then a semi-join back to the corpus.
-    Both feature passes are shuffle-free per-doc maps; the only exchanges
-    are the doc_id equi-joins, which AQE broadcasts when the surviving
-    feature frames are small. Returns the surviving document rows
-    (text omitted — the caller re-joins it; at 100 TB you don't want the
-    payload column flowing through the filter plumbing)."""
-    qs = quality_scores(df, text_col=text_col).select(
-        "doc_id", "n_tokens", "stopword_ratio")
-    rep = repetition_stats(df, text_col=text_col).select(
-        "doc_id", "top2_char_frac", "dup3_frac")
-    keep = (
-        qs.join(rep, "doc_id")
-        .filter(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("stopword_ratio") >= min_stopword_ratio)
-            & (F.col("top2_char_frac") <= max_top2_char_frac)
-            & (F.col("dup3_frac") <= max_dup3_frac))
-        .select("doc_id")
+    Every feature in the rule is a PER-ROW property, so the whole filter
+    is one projection (built-in token/stopword expressions + the
+    repetition struct UDF over the canonical text) followed by one
+    filter: scan → map → filter, ZERO Exchange (plan-asserted in
+    PLANS.md) — the obvious quality_scores ⋈ repetition_stats
+    composition would shuffle two feature frames just to reunite rows
+    that never left their partition. Thresholds compare the same
+    4dp-rounded features the standalone operators emit, so the kept set
+    is identical to the join form. Stateless map ⇒ also directly usable
+    under Structured Streaming. Returns the surviving document rows with
+    the payload column dropped (at 100 TB you don't want the text column
+    flowing through downstream filter plumbing)."""
+    tokens = F.split(F.col(text_col), " ")
+    n_tokens = F.size(tokens)
+    n_stop = _marker_count(text_col, STOPWORDS)
+    stopword_ratio = F.round(
+        n_stop / F.greatest(n_tokens, F.lit(1)), 4)
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+    # the UDF emits only exact integers; divisions + 4dp rounding stay
+    # JVM-side (F.round, HALF_UP) so boundary comparisons are identical
+    # to repetition_stats and to the DuckDB oracle (python round() is
+    # half-to-even and could flip a doc sitting exactly on a threshold)
+    @pandas_udf("struct<top2_chars:long, n3:long, dup3:long>")
+    def rep_ints_udf(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            _n2, top_cnt, top_gram, n3, dup3 = repetition_counts(t)
+            rows.append((top_cnt * len(top_gram), n3, dup3))
+        return pd.DataFrame(rows, columns=["top2_chars", "n3", "dup3"])
+
+    feats = (
+        df.withColumn("_q", F.struct(
+            n_tokens.alias("n_tokens"), stopword_ratio.alias("stop_r")))
+        .withColumn("_nc", F.length(canon))
+        .withColumn("_r", rep_ints_udf(canon))
     )
-    return df.drop(text_col).join(keep, "doc_id", "left_semi")
+    top2_cf = F.round(
+        F.col("_r.top2_chars") / F.greatest("_nc", F.lit(1)), 4)
+    dup3_f = F.round(
+        F.col("_r.dup3") / F.greatest("_r.n3", F.lit(1)), 4)
+    return (
+        feats.filter(
+            (F.col("_q.n_tokens") >= min_tokens)
+            & (F.col("_q.stop_r") >= min_stopword_ratio)
+            & (top2_cf <= max_top2_char_frac)
+            & (dup3_f <= max_dup3_frac))
+        .drop("_q", "_nc", "_r", text_col)
+    )
 
 
 def winnow_containment_pairs(df: DataFrame, k: int = 5, w: int = 4,

@@ -197,6 +197,22 @@ def main() -> None:
     )
 
     audit(
+        "Quality filter keep rule (composed C4/Gopher filter)",
+        TS.quality_filter_keep(docs),
+        requires=[r"ArrowEvalPython"],
+        forbids=[r"Exchange", r"Join"],
+        note=("Every feature in the keep rule (token count, stopword "
+              "ratio, repetition fractions) is a per-row property, so the "
+              "composed filter is ONE projection + filter over the scan "
+              "with ZERO Exchange and ZERO Join (both asserted) — the "
+              "quality_scores x repetition_stats join composition it "
+              "replaced shuffled two feature frames just to reunite rows "
+              "that never left their partition. Stateless map => the same "
+              "operator drops into a Structured Streaming pipeline "
+              "unchanged."),
+    )
+
+    audit(
         "PQ asymmetric-distance top-k (ANN compression path)",
         S.pq_adc_topk(embs, k=10,
                       codebooks=S.pq_codebooks(embs, m=8, ksub=16)),

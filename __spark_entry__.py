@@ -623,6 +623,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_stats"] = q_repetition
 
+    def q_dup_passages(spark, sf_dir):
+        return _longify(
+            TS.dup_passage_stats(_tbl(spark, sf_dir, "documents"), win=20))
+
+    q["dup_passage_stats"] = q_dup_passages
+
     def q_quality_keep(spark, sf_dir):
         return _longify(
             TS.quality_filter_keep(_tbl(spark, sf_dir, "documents")))
@@ -1154,6 +1160,29 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             LEFT JOIN t2 ON t2.doc_id = c.doc_id AND t2.rn = 1
             LEFT JOIN a3 ON a3.doc_id = c.doc_id
+        """,
+        "dup_passage_stats": f"""
+            WITH c AS (
+                SELECT doc_id, string_split({_CANON}, ' ') AS w
+                FROM documents),
+            wins AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 20
+                            THEN [md5(array_to_string(w, ' '))]
+                            ELSE [md5(array_to_string(w[i : i + 19], ' '))
+                                  FOR i IN range(1, len(w) - 18)]
+                       END AS hs
+                FROM c),
+            e AS (SELECT doc_id, unnest(hs) AS wh FROM wins),
+            f AS (SELECT wh, count(*) AS cnt FROM e GROUP BY 1)
+            SELECT e.doc_id,
+                   count(*)::BIGINT AS n_windows,
+                   sum(CASE WHEN f.cnt >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_dup_windows,
+                   round(sum(CASE WHEN f.cnt >= 2 THEN 1 ELSE 0 END)
+                         / count(*), 4) AS dup_frac
+            FROM e JOIN f USING (wh)
+            GROUP BY 1
         """,
         "quality_filter_keep": f"""
             WITH c AS (

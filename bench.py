@@ -85,6 +85,8 @@ def main() -> None:
         "winnow_containment": lambda: force_count(
             TS.winnow_containment_pairs(docs)),
         "topk_terms": lambda: force_count(TS.topk_terms(docs)),
+        "dup_passage_stats": lambda: force_count(
+            TS.dup_passage_stats(docs, win=20)),
     }
 
     # Warm the JVM + python workers outside the timed region.

@@ -377,6 +377,63 @@ def winnow_containment_pairs(df: DataFrame, k: int = 5, w: int = 4,
     )
 
 
+def dup_passage_stats(df: DataFrame, win: int = 20, stride: int = 1,
+                      min_count: int = 2,
+                      text_col: str = "text") -> DataFrame:
+    """Exact duplicated-passage statistics (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    exact-substring dedup signal, expressed at token-window granularity):
+    hash every window of ``win`` consecutive tokens (positions 1,
+    1+stride, ...); a window is DUPLICATED when its hash occurs at least
+    ``min_count`` times corpus-wide — within- OR cross-document, exactly
+    the repeated-span definition of the paper. Documents shorter than
+    ``win`` tokens contribute their whole text as one window (the
+    shingles convention), so every document gets a row. Output per
+    document: ``n_windows``, ``n_dup_windows``, ``dup_frac`` (4dp) — the
+    per-doc score a pipeline thresholds to drop memorization-heavy
+    documents, complementary to the document-level near-dup family
+    (MinHash/SimHash see global similarity; winnowing samples local
+    overlap; this counts EVERY exact repeated span).
+
+    Plan shape: tokenize + window-hash are per-row built-ins (one
+    transform over the token array — the paper's suffix array is the
+    single-machine form; window hashing is its scalable map-side
+    equivalent), then two uniform-key shuffles with map-side partial
+    aggregation: occurrence counts on the md5 window hash (no skew — the
+    keys are hashes), and the per-doc rollup after the frequency join.
+    One explode row per window position — at 100 TB set ``stride > 1``
+    (windows still overlap content when stride < win) to subsample
+    positions and cut the exchange volume by that factor; md5 keys keep
+    the DuckDB oracle bit-identical."""
+    toks = df.select(
+        "doc_id", F.split(F.trim(F.regexp_replace(
+            F.lower(F.col(text_col)), r"\s+", " ")), " ").alias("toks"))
+    wins_expr = F.expr(
+        f"""
+        case when size(toks) < {win} then array(md5(array_join(toks, ' ')))
+             else transform(sequence(1, size(toks) - {win - 1}, {stride}),
+                            i -> md5(concat_ws(' ', slice(toks, i, {win}))))
+        end
+        """
+    )
+    wins = toks.select("doc_id", F.explode(wins_expr).alias("wh"))
+    freq = wins.groupBy("wh").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        wins.join(freq, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("cnt") >= min_count, 1).otherwise(0))
+            .alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id", "n_windows", "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4)
+            .alias("dup_frac"),
+        )
+    )
+
+
 def topk_terms(df: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
     """Top-k characteristic terms per document, TF-IDF-style but
     integer-stable: rank by (term frequency DESC, document frequency ASC,

@@ -536,3 +536,52 @@ def test_ivf_pq_topk_composition(spark):
     assert len(top) == 5
     assert 0 not in top
     assert all(v < 100 for v in top)  # probe-1 keeps the query's own cell
+
+
+def test_dup_passage_stats(spark):
+    """Window dup counts equal a brute-force recomputation, including
+    within-doc repeats and the short-doc whole-text window."""
+    from collections import Counter
+
+    rows = [
+        (0, "a b c d e f"),                  # shares the 4-window "a b c d" w/ 1
+        (1, "a b c d x y"),
+        (2, "p q r p q r p q"),              # within-doc repeated windows
+        (3, "unique words only here now"),
+        (4, "tiny"),                          # < win -> whole-text window
+        (5, "tiny"),                          # dup of 4 at whole-text level
+    ]
+    win = 4
+    # brute force
+    wins = {}
+    for did, t in rows:
+        w = t.split(" ")
+        if len(w) < win:
+            hs = [" ".join(w)]
+        else:
+            hs = [" ".join(w[i:i + win]) for i in range(len(w) - win + 1)]
+        wins[did] = hs
+    freq = Counter(h for hs in wins.values() for h in hs)
+    exp = {did: (len(hs), sum(1 for h in hs if freq[h] >= 2))
+           for did, hs in wins.items()}
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           TS.dup_passage_stats(df, win=win).collect()}
+    assert set(got) == set(exp)
+    for did, (nw, nd) in exp.items():
+        r = got[did]
+        assert (r.n_windows, r.n_dup_windows) == (nw, nd), did
+        assert r.dup_frac == round(nd / nw, 4)
+    # sanity on the fixture: doc 2 has an internal repeat, 4/5 dup as wholes
+    assert exp[2][1] > 0 and exp[4] == (1, 1) and exp[5] == (1, 1)
+
+
+def test_dup_passage_stride(spark):
+    """stride subsamples window positions: n_windows = ceil(P / stride)."""
+    t = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame([(0, t)], "doc_id long, text string")
+    full = TS.dup_passage_stats(df, win=5).collect()[0]
+    sub = TS.dup_passage_stats(df, win=5, stride=3).collect()[0]
+    assert full.n_windows == 26 and sub.n_windows == 9
+    assert sub.n_dup_windows == 0

@@ -197,6 +197,22 @@ def main() -> None:
     )
 
     audit(
+        "Duplicated-passage stats (exact-substring dedup signal)",
+        TS.dup_passage_stats(docs, win=20),
+        requires=[r"HashAggregate.*Exchange.*HashAggregate"],
+        forbids=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                 r"ArrowEvalPython", r"BatchEvalPython"],
+        note=("Window hashing is a pure built-in transform over the token "
+              "array (zero Python, asserted); the corpus-wide occurrence "
+              "count and the per-doc rollup are the only two shuffles, "
+              "both partial->final aggregates (asserted) on uniform md5 / "
+              "doc_id keys. No join blowup path exists — the frequency "
+              "join is 1:1 on the hash. At 100 TB the stride parameter "
+              "subsamples window positions to cut exchange volume "
+              "linearly."),
+    )
+
+    audit(
         "Quality filter keep rule (composed C4/Gopher filter)",
         TS.quality_filter_keep(docs),
         requires=[r"ArrowEvalPython"],

@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pdf_parser_spark.corpus import dedup as D  # noqa: E402
+from pdf_parser_spark.corpus import scrub as SC  # noqa: E402
 from pdf_parser_spark.corpus import similarity as S  # noqa: E402
 from pdf_parser_spark.corpus import textstats as TS  # noqa: E402
 from pdf_parser_spark.generator import sf_from_dir, transcripts_path  # noqa: E402
@@ -623,6 +624,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_stats"] = q_repetition
 
+    def q_pii_scrub(spark, sf_dir):
+        # The synthetic corpus carries no PII, so the gate plants a
+        # deterministic email/IP/phone per doc (identically in the SQL
+        # twin) — otherwise the scrubber would be tested only on its
+        # no-op path.
+        aug = _tbl(spark, sf_dir, "documents").withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 tel +12 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")))
+        return _longify(SC.pii_scrub(aug).select(
+            "doc_id", "text", "n_emails", "n_ips", "n_phones"))
+
+    q["pii_scrub"] = q_pii_scrub
+
+    def q_stratified_sample(spark, sf_dir):
+        return _longify(SC.stratified_sample(
+            _tbl(spark, sf_dir, "documents"),
+            {"en": 0.5, "de": 0.25, "fr": 0.1},
+            default_fraction=0.05).select("doc_id", "lang", "source"))
+
+    q["stratified_sample"] = q_stratified_sample
+
     def q_dup_passages(spark, sf_dir):
         return _longify(
             TS.dup_passage_stats(_tbl(spark, sf_dir, "documents"), win=20))
@@ -1160,6 +1188,47 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             LEFT JOIN t2 ON t2.doc_id = c.doc_id AND t2.rn = 1
             LEFT JOIN a3 ON a3.doc_id = c.doc_id
+        """,
+        "pii_scrub": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' reach user' || doc_id
+                            || '@example.com at 10.0.' || (doc_id % 256)
+                            || '.7 tel +12 555-01'
+                            || lpad((doc_id % 100)::VARCHAR, 2, '0') AS t
+                FROM documents),
+            s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t, '{SC.EMAIL_RE}'))::BIGINT
+                           AS n_emails,
+                       regexp_replace(t, '{SC.EMAIL_RE}',
+                                      '{SC.EMAIL_TOKEN}', 'g') AS t1
+                FROM aug),
+            s2 AS (
+                SELECT doc_id, n_emails,
+                       len(regexp_extract_all(t1, '{SC.IPV4_RE}'))::BIGINT
+                           AS n_ips,
+                       regexp_replace(t1, '{SC.IPV4_RE}',
+                                      '{SC.IPV4_TOKEN}', 'g') AS t2
+                FROM s1)
+            SELECT doc_id,
+                   regexp_replace(t2, '{SC.PHONE_RE}',
+                                  '{SC.PHONE_TOKEN}', 'g') AS text,
+                   n_emails, n_ips,
+                   len(regexp_extract_all(t2, '{SC.PHONE_RE}'))::BIGINT
+                       AS n_phones
+            FROM s2
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE ('0x' || substr(md5(doc_id || ':'), 1, 8))::UBIGINT
+                  < CASE lang
+                        WHEN 'en' THEN {int(0.5 * 2 ** 32)}
+                        WHEN 'de' THEN {int(0.25 * 2 ** 32)}
+                        WHEN 'fr' THEN {int(0.1 * 2 ** 32)}
+                        ELSE {int(0.05 * 2 ** 32)}
+                    END
         """,
         "dup_passage_stats": f"""
             WITH c AS (

@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from pdf_parser_spark.corpus import dedup as D  # noqa: E402
+from pdf_parser_spark.corpus import scrub as SC  # noqa: E402
 from pdf_parser_spark.corpus import similarity as S  # noqa: E402
 from pdf_parser_spark.corpus import textstats as TS  # noqa: E402
 from pdf_parser_spark.generator import sf_from_dir, transcripts_path  # noqa: E402
@@ -87,6 +88,11 @@ def main() -> None:
         "topk_terms": lambda: force_count(TS.topk_terms(docs)),
         "dup_passage_stats": lambda: force_count(
             TS.dup_passage_stats(docs, win=20)),
+        "pii_scrub": lambda: SC.pii_scrub(docs)
+        .agg(F.sum("n_emails")).first()[0],
+        "stratified_sample": lambda: force_count(SC.stratified_sample(
+            docs, {"en": 0.5, "de": 0.25, "fr": 0.1},
+            default_fraction=0.05)),
     }
 
     # Warm the JVM + python workers outside the timed region.

@@ -1,0 +1,103 @@
+"""Corpus scrubbing + deterministic sampling operators.
+
+Training-data pipelines run these between quality filtering and
+tokenization: PII redaction (emails / IPv4s / phone-shaped numbers →
+typed placeholder tokens) and reproducible hash-based sampling (exact
+re-runnable subsets — `rand()`-based sampling cannot be resumed or
+audited, a hash rule can). Document-granularity siblings of the
+reference's per-block text predicates (keyword scan
+/root/reference/A003_colored_footer.py:199-210); the reference has no
+cross-corpus ops (SURVEY.md §2.8), so these are north-rule additions.
+
+Everything is built-in `pyspark.sql.functions` expressions — JVM-side,
+whole-stage-codegen, zero Python, zero shuffle (both operators are pure
+per-row maps/filters; plan-asserted in PLANS.md). Patterns deliberately
+use only constructs where Java regex (Spark) and RE2 (DuckDB oracle)
+agree: character classes, bounded/greedy quantifiers, `\b` — no
+alternation or nested optionals whose leftmost-first vs leftmost-longest
+semantics could diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d{2,3}[- ]\d{3}[- ]\d{4}"
+
+EMAIL_TOKEN = "<EMAIL>"
+IPV4_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+# Hash-sampling keyspace: first 8 md5 hex digits as a uint32.
+_KEYSPACE = 1 << 32
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII-shaped spans to typed placeholder tokens and count them.
+
+    Order matters and is part of the contract: emails first (their
+    domains contain dot-separated runs an IP pattern could nibble), then
+    IPv4s, then phone-shaped numbers — each count is taken on the text
+    as it stands at that stage, so the three counts partition the
+    redacted spans (no span is counted twice). Output: the input row
+    with ``text`` replaced by the scrubbed text plus
+    ``n_emails / n_ips / n_phones``.
+
+    Pure per-row regexp built-ins — zero Python, zero shuffle; at 100 TB
+    this fuses into whatever scan→filter stage precedes tokenization."""
+    t0 = F.col(text_col)
+    n_emails = F.regexp_count(t0, F.lit(EMAIL_RE))
+    t1 = F.regexp_replace(t0, EMAIL_RE, EMAIL_TOKEN)
+    n_ips = F.regexp_count(t1, F.lit(IPV4_RE))
+    t2 = F.regexp_replace(t1, IPV4_RE, IPV4_TOKEN)
+    n_phones = F.regexp_count(t2, F.lit(PHONE_RE))
+    t3 = F.regexp_replace(t2, PHONE_RE, PHONE_TOKEN)
+    return df.withColumns({
+        text_col: t3,
+        "n_emails": n_emails,
+        "n_ips": n_ips,
+        "n_phones": n_phones,
+    })
+
+
+def sample_key(key_col: str = "doc_id", salt: str = "") -> F.Column:
+    """Deterministic uniform key in [0, 2^32): first 8 md5 hex digits of
+    ``key:salt``. The same expression exists verbatim in ANSI SQL, so
+    sampling decisions are auditable and reproducible across engines."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         key_col: str = "doc_id",
+                         salt: str = "") -> DataFrame:
+    """Keep rows whose hash key falls below ``fraction`` of the keyspace.
+
+    Unlike ``df.sample()`` (seeded per-partition RNG — resplitting the
+    input changes the sample), the kept set is a pure function of the
+    row key: stable under repartitioning, resumable, and exactly
+    reproducible by any engine. Zero shuffle — a codegen filter fused
+    into the scan. Change ``salt`` to draw an independent sample."""
+    thr = int(fraction * _KEYSPACE)
+    return df.filter(sample_key(key_col, salt) < F.lit(thr))
+
+
+def stratified_sample(df: DataFrame, fractions: dict,
+                      strata_col: str = "lang",
+                      key_col: str = "doc_id",
+                      default_fraction: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixture primitive:
+    ``fractions`` maps stratum value → keep fraction (strata absent from
+    the map get ``default_fraction``). Same hash rule as
+    ``deterministic_sample``, so mixtures are exactly re-drawable; the
+    per-stratum threshold compiles to one CASE expression, still zero
+    shuffle, still fused into the scan (no per-stratum passes)."""
+    thr = F.lit(int(default_fraction * _KEYSPACE))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value,
+                     F.lit(int(frac * _KEYSPACE))).otherwise(thr)
+    return df.filter(sample_key(key_col, salt) < thr)

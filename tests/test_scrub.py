@@ -1,0 +1,78 @@
+"""PII scrub + deterministic sampling tests against brute-force
+recomputation."""
+
+import hashlib
+
+from pdf_parser_spark.corpus import scrub as SC
+
+
+def _key(v, salt=""):
+    return int(hashlib.md5(f"{v}:{salt}".encode()).hexdigest()[:8], 16)
+
+
+def test_pii_scrub_counts_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, "mail a@b.co and c.d-e@sub.example.org here"),
+         (1, "server 10.0.255.7 and 192.168.1.1 up"),
+         (2, "call +12 555-0199 or 044 123-4567 now"),
+         (3, "clean text with no pii at all"),
+         (4, "mix x@y.io on 8.8.8.8 tel +123 456-7890 end")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in SC.pii_scrub(df).collect()}
+    assert (got[0].n_emails, got[0].n_ips, got[0].n_phones) == (2, 0, 0)
+    assert got[0].text == "mail <EMAIL> and <EMAIL> here"
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (0, 2, 0)
+    assert got[1].text == "server <IP> and <IP> up"
+    assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 0, 2)
+    assert got[2].text == "call <PHONE> or <PHONE> now"
+    assert (got[3].n_emails, got[3].n_ips, got[3].n_phones) == (0, 0, 0)
+    assert got[3].text == "clean text with no pii at all"
+    assert (got[4].n_emails, got[4].n_ips, got[4].n_phones) == (1, 1, 1)
+    assert got[4].text == "mix <EMAIL> on <IP> tel <PHONE> end"
+
+
+def test_pii_scrub_email_shields_domain_from_ip_pass(spark):
+    """Order contract: the dotted-digit domain of an email is redacted in
+    the email pass, so the IP pass never double-counts it."""
+    df = spark.createDataFrame(
+        [(0, "odd address user@10.0.0.1.example.net stays one email")],
+        "doc_id long, text string")
+    r = SC.pii_scrub(df).collect()[0]
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 0, 0)
+    assert "<IP>" not in r.text
+
+
+def test_deterministic_sample_matches_hash_rule(spark):
+    rows = [(i, f"t{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    frac = 0.3
+    exp = sorted(i for i, _ in rows if _key(i) < int(frac * 2 ** 32))
+    got = sorted(r.doc_id for r in
+                 SC.deterministic_sample(df, frac).collect())
+    assert got == exp
+    # stable under repartitioning (the df.sample() failure mode)
+    got2 = sorted(r.doc_id for r in
+                  SC.deterministic_sample(df.repartition(13), frac).collect())
+    assert got2 == exp
+    # a different salt draws an independent sample
+    got3 = sorted(r.doc_id for r in
+                  SC.deterministic_sample(df, frac, salt="x").collect())
+    assert got3 != exp
+    assert abs(len(got3) - 150) < 60
+
+
+def test_stratified_sample_per_stratum_rule(spark):
+    rows = [(i, ["en", "de", "zz"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {"en": 0.8, "de": 0.2}
+    thr = {"en": int(0.8 * 2 ** 32), "de": int(0.2 * 2 ** 32)}
+    exp = sorted(i for i, lang in rows
+                 if _key(i) < thr.get(lang, int(0.1 * 2 ** 32)))
+    got = sorted(r.doc_id for r in
+                 SC.stratified_sample(df, fr, default_fraction=0.1).collect())
+    assert got == exp
+    # strata landed: en (0.8) > de (0.2) > zz (default 0.1) > none
+    kept_by = {}
+    for i in got:
+        kept_by.setdefault(rows[i][1], []).append(i)
+    assert len(kept_by["en"]) > len(kept_by["de"]) > len(kept_by["zz"]) > 0

@@ -196,6 +196,32 @@ def main() -> None:
               "rounding stay JVM-side."),
     )
 
+    from pdf_parser_spark.corpus import scrub as SC
+
+    audit(
+        "PII scrub (typed redaction + counts)",
+        SC.pii_scrub(docs),
+        forbids=[r"Exchange", r"ArrowEvalPython", r"BatchEvalPython"],
+        note=("Three ordered regexp_replace/regexp_count stages compile "
+              "into one codegen projection over the scan: zero Exchange, "
+              "zero Python (both asserted). At 100 TB this fuses into "
+              "whatever scan->filter stage precedes tokenization — "
+              "redaction costs no extra pass."),
+    )
+
+    audit(
+        "Stratified hash sampling (data-mixture primitive)",
+        SC.stratified_sample(docs, {"en": 0.5, "de": 0.25},
+                             default_fraction=0.05),
+        forbids=[r"Exchange", r"ArrowEvalPython", r"BatchEvalPython"],
+        note=("The per-stratum keep rule (md5-keyspace threshold via one "
+              "CASE expression) is a pure codegen filter fused into the "
+              "scan: zero Exchange, zero Python (asserted). Unlike "
+              "rand()-based sample(), the kept set is a pure function of "
+              "the row key — stable under repartitioning, resumable, "
+              "re-drawable by any engine."),
+    )
+
     audit(
         "Duplicated-passage stats (exact-substring dedup signal)",
         TS.dup_passage_stats(docs, win=20),

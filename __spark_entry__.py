@@ -33,7 +33,9 @@ from pyspark.sql import types as T
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pdf_parser_spark.corpus import decontam as DC  # noqa: E402
 from pdf_parser_spark.corpus import dedup as D  # noqa: E402
+from pdf_parser_spark.corpus import packing as PK  # noqa: E402
 from pdf_parser_spark.corpus import scrub as SC  # noqa: E402
 from pdf_parser_spark.corpus import similarity as S  # noqa: E402
 from pdf_parser_spark.corpus import textstats as TS  # noqa: E402
@@ -651,6 +653,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_sample"] = q_stratified_sample
 
+    def q_decontaminate(spark, sf_dir):
+        # Eval set = every 37th document — drawn from the corpus itself,
+        # so contamination is guaranteed (those docs plus their
+        # near-duplicate cluster mates share 13-grams).
+        docs = _tbl(spark, sf_dir, "documents")
+        ev = docs.filter(F.col("doc_id") % 37 == 0)
+        return _longify(
+            DC.decontaminate(docs, ev, n=13)
+            .withColumn("contaminated", F.col("contaminated").cast("long")))
+
+    q["decontaminate"] = q_decontaminate
+
+    def q_pack_sequences(spark, sf_dir):
+        return _longify(PK.pack_sequences(
+            _tbl(spark, sf_dir, "documents"), budget=256, n_buckets=8))
+
+    q["pack_sequences"] = q_pack_sequences
+
     def q_dup_passages(spark, sf_dir):
         return _longify(
             TS.dup_passage_stats(_tbl(spark, sf_dir, "documents"), win=20))
@@ -1229,6 +1249,48 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'fr' THEN {int(0.1 * 2 ** 32)}
                         ELSE {int(0.05 * 2 ** 32)}
                     END
+        """,
+        "decontaminate": f"""
+            WITH c AS (
+                SELECT doc_id, string_split({_CANON}, ' ') AS w
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 13
+                            THEN [md5(array_to_string(w, ' '))]
+                            ELSE [md5(array_to_string(w[i : i + 12], ' '))
+                                  FOR i IN range(1, len(w) - 11)]
+                       END AS hs
+                FROM c),
+            ev AS (SELECT DISTINCT unnest(hs) AS gh FROM g
+                   WHERE doc_id % 37 = 0),
+            e AS (SELECT doc_id, unnest(hs) AS gh FROM g),
+            h AS (SELECT e.doc_id, count(*) AS n_hits
+                  FROM e JOIN ev USING (gh) GROUP BY 1)
+            SELECT g.doc_id, len(g.hs)::BIGINT AS n_grams,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   (coalesce(h.n_hits, 0) > 0)::BIGINT AS contaminated
+            FROM g LEFT JOIN h USING (doc_id)
+        """,
+        "pack_sequences": f"""
+            WITH c AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(doc_id || ':pack'), 1, 8))::UBIGINT
+                           AS k,
+                       len(string_split({_CANON}, ' '))::BIGINT AS n_tokens
+                FROM documents),
+            s AS (
+                SELECT doc_id, (k % 8)::BIGINT AS bucket, n_tokens,
+                       (sum(n_tokens) OVER (
+                            PARTITION BY k % 8 ORDER BY k, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT
+                           AS tok_start
+                FROM c)
+            SELECT doc_id, bucket, n_tokens, tok_start,
+                   (tok_start // 256)::BIGINT AS seq_id,
+                   ((tok_start + n_tokens - 1) // 256
+                    - tok_start // 256 + 1)::BIGINT AS n_seqs
+            FROM s
         """,
         "dup_passage_stats": f"""
             WITH c AS (

@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from pdf_parser_spark.corpus import decontam as DC  # noqa: E402
 from pdf_parser_spark.corpus import dedup as D  # noqa: E402
+from pdf_parser_spark.corpus import packing as PK  # noqa: E402
 from pdf_parser_spark.corpus import scrub as SC  # noqa: E402
 from pdf_parser_spark.corpus import similarity as S  # noqa: E402
 from pdf_parser_spark.corpus import textstats as TS  # noqa: E402
@@ -88,6 +90,10 @@ def main() -> None:
         "topk_terms": lambda: force_count(TS.topk_terms(docs)),
         "dup_passage_stats": lambda: force_count(
             TS.dup_passage_stats(docs, win=20)),
+        "decontaminate": lambda: force_count(DC.decontaminate(
+            docs, docs.filter(F.col("doc_id") % 37 == 0), n=13)),
+        "pack_sequences": lambda: force_count(PK.pack_sequences(
+            docs, budget=2048, n_buckets=64)),
         "pii_scrub": lambda: SC.pii_scrub(docs)
         .agg(F.sum("n_emails")).first()[0],
         "stratified_sample": lambda: force_count(SC.stratified_sample(

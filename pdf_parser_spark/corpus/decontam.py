@@ -1,0 +1,105 @@
+"""Benchmark decontamination: flag corpus documents that share an exact
+n-token-gram with a held-out evaluation set.
+
+The standard pre-training hygiene step (GPT-3, Brown et al. 2020,
+appendix C: 13-gram overlap; likewise Llama / PaLM eval decontamination):
+any training document containing an exact n-gram from a benchmark is
+flagged (to be dropped or masked) so downstream eval numbers are not
+inflated by memorization. Document-granularity sibling of the
+reference's per-block keyword predicates
+(/root/reference/A003_colored_footer.py:199-210); the reference has no
+cross-corpus ops (SURVEY.md §2.8), so this is a north-rule addition.
+
+Scale shape (the whole point at 100 TB): the eval side is SMALL — a few
+thousand benchmark documents — so its distinct gram-hash set broadcasts.
+The corpus side never shuffles its text: gram hashing is a per-row
+projection, the overlap test is a broadcast hash join of exploded
+position grams against the eval set, and only the HIT rows (volume
+proportional to contamination, not corpus size) enter an aggregation
+exchange. Per-doc totals come from `size()` on the gram array — no
+corpus-wide explode+groupBy round trip for the denominator.
+
+Tokens are the canonical whitespace tokens (lowercased,
+whitespace-collapsed — normalization F2), and windows follow the
+`dup_passage_stats` convention: positions 1..len-n+1; documents shorter
+than n tokens contribute their whole text as one gram, so every document
+is testable. md5 gram keys keep the DuckDB oracle bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_toks(df: DataFrame, text_col: str) -> DataFrame:
+    return df.select(
+        "doc_id",
+        F.split(F.trim(F.regexp_replace(
+            F.lower(F.col(text_col)), r"\s+", " ")), " ").alias("toks"))
+
+
+def _gram_expr(n: int):
+    """Array of md5 hashes for every n-token window (whole text when
+    shorter than n) — one per position, the dup_passage_stats shape."""
+    return F.expr(
+        f"""
+        case when size(toks) < {n} then array(md5(array_join(toks, ' ')))
+             else transform(sequence(1, size(toks) - {n - 1}),
+                            i -> md5(concat_ws(' ', slice(toks, i, {n}))))
+        end
+        """
+    )
+
+
+def eval_gram_set(eval_df: DataFrame, n: int = 13,
+                  text_col: str = "text") -> DataFrame:
+    """Distinct gram-hash relation of the evaluation set — one `gh`
+    column. Small by construction (benchmarks are thousands of docs, not
+    billions); the caller-facing joins broadcast it."""
+    return (_canon_toks(eval_df, text_col)
+            .select(F.explode(_gram_expr(n)).alias("gh"))
+            .distinct())
+
+
+def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
+                  text_col: str = "text",
+                  eval_text_col: str | None = None) -> DataFrame:
+    """Per corpus document: total gram positions (``n_grams``), positions
+    whose gram occurs anywhere in the eval set (``n_hits``), and the
+    ``contaminated`` flag. A pipeline drops (or masks) flagged docs
+    before tokenization.
+
+    Three map-side stages, one tiny exchange: (1) gram totals are a
+    pure projection (`size` of the gram array); (2) exploded position
+    grams broadcast-inner-join the eval gram set — non-hits die in the
+    join, so (3) the per-doc hit count aggregates hit rows only. The
+    hit-count frame joins back on doc_id; AQE broadcasts it when
+    contamination is sparse (the normal case) and falls back to a keyed
+    join when a pathological corpus is mostly contaminated."""
+    toks = _canon_toks(corpus, text_col)
+    grams = eval_gram_set(eval_df, n, eval_text_col or text_col)
+    totals = toks.select(
+        "doc_id",
+        F.when(F.size("toks") < n, F.lit(1))
+        .otherwise(F.size("toks") - (n - 1)).cast("long").alias("n_grams"))
+    hits = (toks.select("doc_id", F.explode(_gram_expr(n)).alias("gh"))
+            .join(F.broadcast(grams), "gh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    return (totals.join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0)
+                    .alias("contaminated")))
+
+
+def decontaminated_keep(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
+                        text_col: str = "text") -> DataFrame:
+    """The kept corpus: input rows minus contaminated ones (left-anti
+    join on the flagged id set — the flagged side is small, so AQE
+    broadcasts it)."""
+    flagged = (decontaminate(corpus, eval_df, n, text_col)
+               .filter("contaminated").select("doc_id"))
+    return corpus.join(flagged, "doc_id", "left_anti")

@@ -1,0 +1,74 @@
+"""Sequence-packing tests against brute-force recomputation of the
+concat-then-chunk layout."""
+
+import hashlib
+
+from pdf_parser_spark.corpus import packing as P
+
+
+def _key(v, salt="pack"):
+    return int(hashlib.md5(f"{v}:{salt}".encode()).hexdigest()[:8], 16)
+
+
+def _ntok(t):
+    return len(" ".join(t.lower().split()).split(" "))
+
+
+def _brute(rows, budget, n_buckets):
+    per_bucket = {}
+    for doc_id, t in rows:
+        k = _key(doc_id)
+        per_bucket.setdefault(k % n_buckets, []).append((k, doc_id, _ntok(t)))
+    out = {}
+    for b, docs in per_bucket.items():
+        pos = 0
+        for k, doc_id, nt in sorted(docs):
+            s0, s1 = pos // budget, (pos + nt - 1) // budget
+            out[doc_id] = (b, nt, pos, s0, s1 - s0 + 1)
+            pos += nt
+    return out
+
+
+def test_pack_sequences_matches_brute_force(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + (i * 7) % 40)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budget, n_buckets = 64, 8
+    got = {r.doc_id: (r.bucket, r.n_tokens, r.tok_start, r.seq_id, r.n_seqs)
+           for r in P.pack_sequences(df, budget, n_buckets).collect()}
+    assert got == _brute(rows, budget, n_buckets)
+    # some doc must straddle a chunk boundary for the test to mean much
+    assert any(v[4] > 1 for v in got.values())
+    # layout is a pure function of keys: stable under repartitioning
+    got2 = {r.doc_id: (r.bucket, r.n_tokens, r.tok_start, r.seq_id, r.n_seqs)
+            for r in P.pack_sequences(
+                df.repartition(13), budget, n_buckets).collect()}
+    assert got2 == got
+
+
+def test_mega_doc_spans_many_sequences(spark):
+    rows = [(0, " ".join(f"w{j}" for j in range(1000))), (1, "tiny doc here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in P.pack_sequences(df, budget=100,
+                                                 n_buckets=1).collect()}
+    assert got[0].n_seqs >= 10
+    assert got[0].n_tokens + got[1].n_tokens == 1003
+    # whichever doc the hash order placed first starts at offset 0 and
+    # the other starts right after it (the stream has no gaps)
+    starts = sorted((r.tok_start, r.n_tokens) for r in got.values())
+    assert starts[0][0] == 0
+    assert starts[1][0] == starts[0][1]
+
+
+def test_packing_stats_rollup(spark):
+    rows = [(i, " ".join("w" for _ in range(10))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r.bucket: r for r in P.packing_stats(
+        df, budget=25, n_buckets=4).collect()}
+    brute = _brute(rows, 25, 4)
+    for b, r in stats.items():
+        docs = [v for v in brute.values() if v[0] == b]
+        assert r.n_docs == len(docs)
+        assert r.n_tokens == sum(v[1] for v in docs)
+        assert r.n_full_seqs == sum(v[1] for v in docs) // 25
+        assert r.n_straddlers == sum(1 for v in docs if v[4] > 1)

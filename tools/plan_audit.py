@@ -222,6 +222,35 @@ def main() -> None:
               "re-drawable by any engine."),
     )
 
+    from pdf_parser_spark.corpus import decontam as DC
+    from pdf_parser_spark.corpus import packing as PK
+
+    audit(
+        "Benchmark decontamination (13-gram overlap vs eval set)",
+        DC.decontaminate(docs, docs.filter(F.col("doc_id") % 37 == 0), n=13),
+        requires=[r"BroadcastHashJoin", r"BroadcastExchange"],
+        forbids=[r"CartesianProduct", r"ArrowEvalPython", r"BatchEvalPython"],
+        note=("The eval gram set broadcasts (asserted); corpus position "
+              "grams are a map-side projection that inner-joins the "
+              "broadcast — only HIT rows (volume ~ contamination, not "
+              "corpus size) reach the per-doc aggregation exchange, and "
+              "per-doc totals come from size() with no explode. Corpus "
+              "text never shuffles; at 100 TB the heavy stage fuses into "
+              "the scan."),
+    )
+
+    audit(
+        "Sequence packing (concat-then-chunk layout)",
+        PK.pack_sequences(docs, budget=2048, n_buckets=64),
+        forbids=[r"CartesianProduct", r"ArrowEvalPython", r"BatchEvalPython",
+                 r"Exchange SinglePartition"],
+        note=("One hash Exchange on the uniform md5 bucket key + one "
+              "window sort within buckets — the honest minimum for any "
+              "packing rule; no single-partition global sort (asserted). "
+              "Sequence ids are bucket-local, so 1000 executors pack "
+              "1000 streams with zero cross-talk."),
+    )
+
     audit(
         "Duplicated-passage stats (exact-substring dedup signal)",
         TS.dup_passage_stats(docs, win=20),

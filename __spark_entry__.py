@@ -41,6 +41,7 @@ from pdf_parser_spark.corpus import similarity as S  # noqa: E402
 from pdf_parser_spark.corpus import textstats as TS  # noqa: E402
 from pdf_parser_spark.generator import sf_from_dir, transcripts_path  # noqa: E402
 from pdf_parser_spark.goldens import ensure_goldens, golden_dir  # noqa: E402
+from pdf_parser_spark.operators import convstats as CS  # noqa: E402
 from pdf_parser_spark.operators.extract import extract_layouts  # noqa: E402
 from pdf_parser_spark.operators.markdown import to_markdown  # noqa: E402
 from pdf_parser_spark.operators.questions import extract_questions  # noqa: E402
@@ -671,6 +672,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = q_pack_sequences
 
+    def _aug_tr(spark, sf_dir):
+        # The generator's turn gap is a constant 37 s and roles alternate
+        # perfectly, so the conversation-health gates plant deterministic
+        # jitter (identically in the SQL twin): quadratic-hash seconds
+        # onto ts (creates idle gaps AND inversions) and a role flip on
+        # every (turn_idx*7 % 11 == 0) turn (creates repeats).
+        tr = _transcripts(spark, sf_dir)
+        ti = F.col("turn_idx").cast("long")
+        es2 = (F.col("ts").cast("timestamp_ltz").cast("long")
+               + (ti * ti * 997) % 7200)
+        role2 = F.when((ti * 7) % 11 == 0, F.lit("user")) \
+            .otherwise(F.col("role"))
+        return tr.select(
+            "conv_id", "turn_idx", role2.alias("role"), "text", "tool",
+            es2.cast("timestamp").alias("ts"))
+
+    def q_conv_stats(spark, sf_dir):
+        return _longify(CS.conv_stats(_aug_tr(spark, sf_dir)))
+
+    q["conv_stats"] = q_conv_stats
+
+    def q_conv_sessionize(spark, sf_dir):
+        return _longify(CS.conv_sessionize(_aug_tr(spark, sf_dir),
+                                           gap_s=3600))
+
+    q["conv_sessionize"] = q_conv_sessionize
+
+    def q_session_stats(spark, sf_dir):
+        return _longify(CS.session_stats(_aug_tr(spark, sf_dir),
+                                         gap_s=3600))
+
+    q["session_stats"] = q_session_stats
+
     def q_dup_passages(spark, sf_dir):
         return _longify(
             TS.dup_passage_stats(_tbl(spark, sf_dir, "documents"), win=20))
@@ -1249,6 +1283,77 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'fr' THEN {int(0.1 * 2 ** 32)}
                         ELSE {int(0.05 * 2 ** 32)}
                     END
+        """,
+        "conv_stats": f"""
+            WITH a AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN (turn_idx::BIGINT * 7) % 11 = 0
+                            THEN 'user' ELSE role END AS role,
+                       tool, length(text) AS n_chars,
+                       epoch(ts)::BIGINT
+                           + (turn_idx::BIGINT * turn_idx * 997) % 7200
+                           AS es
+                FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet')),
+            l AS (
+                SELECT conv_id, role, tool, n_chars, es,
+                       (role = lag(role) OVER w) AS rr,
+                       (es < lag(es) OVER w) AS ti
+                FROM a WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT conv_id, count(*)::BIGINT AS n_turns,
+                   sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT
+                       AS n_user,
+                   sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+                       AS n_assistant,
+                   sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_tool_calls,
+                   sum(n_chars)::BIGINT AS n_chars,
+                   (max(es) - min(es))::BIGINT AS duration_s,
+                   sum(CASE WHEN rr THEN 1 ELSE 0 END)::BIGINT
+                       AS n_role_repeats,
+                   sum(CASE WHEN ti THEN 1 ELSE 0 END)::BIGINT
+                       AS n_ts_inversions
+            FROM l GROUP BY 1
+        """,
+        "conv_sessionize": f"""
+            WITH a AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN (turn_idx::BIGINT * 7) % 11 = 0
+                            THEN 'user' ELSE role END AS role,
+                       epoch(ts)::BIGINT
+                           + (turn_idx::BIGINT * turn_idx * 997) % 7200
+                           AS es
+                FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet')),
+            b AS (
+                SELECT conv_id, turn_idx, role,
+                       coalesce(es - lag(es) OVER w, 0)::BIGINT AS gap_s_prev
+                FROM a WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT conv_id, turn_idx::BIGINT AS turn_idx, role, gap_s_prev,
+                   sum(CASE WHEN gap_s_prev > 3600 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+            FROM b
+        """,
+        "session_stats": f"""
+            WITH a AS (
+                SELECT conv_id, turn_idx,
+                       epoch(ts)::BIGINT
+                           + (turn_idx::BIGINT * turn_idx * 997) % 7200
+                           AS es
+                FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet')),
+            b AS (
+                SELECT conv_id, turn_idx, es,
+                       coalesce(es - lag(es) OVER w, 0)::BIGINT AS gap
+                FROM a WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            s AS (
+                SELECT conv_id, es,
+                       sum(CASE WHEN gap > 3600 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM b)
+            SELECT conv_id, session_idx::BIGINT AS session_idx,
+                   count(*)::BIGINT AS n_turns,
+                   (max(es) - min(es))::BIGINT AS span_s
+            FROM s GROUP BY 1, 2
         """,
         "decontaminate": f"""
             WITH c AS (

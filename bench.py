@@ -31,6 +31,7 @@ from pdf_parser_spark.corpus import scrub as SC  # noqa: E402
 from pdf_parser_spark.corpus import similarity as S  # noqa: E402
 from pdf_parser_spark.corpus import textstats as TS  # noqa: E402
 from pdf_parser_spark.generator import sf_from_dir, transcripts_path  # noqa: E402
+from pdf_parser_spark.operators import convstats as CS  # noqa: E402
 from pdf_parser_spark.operators.extract import extract_layouts  # noqa: E402
 from pdf_parser_spark.operators.markdown import to_markdown  # noqa: E402
 from pdf_parser_spark.operators.questions import extract_questions  # noqa: E402
@@ -90,6 +91,9 @@ def main() -> None:
         "topk_terms": lambda: force_count(TS.topk_terms(docs)),
         "dup_passage_stats": lambda: force_count(
             TS.dup_passage_stats(docs, win=20)),
+        "conv_stats": lambda: force_count(CS.conv_stats(transcripts)),
+        "session_stats": lambda: force_count(
+            CS.session_stats(transcripts, gap_s=3600)),
         "decontaminate": lambda: force_count(DC.decontaminate(
             docs, docs.filter(F.col("doc_id") % 37 == 0), n=13)),
         "pack_sequences": lambda: force_count(PK.pack_sequences(

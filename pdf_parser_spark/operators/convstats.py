@@ -1,0 +1,103 @@
+"""Conversation-level statistics and time-gap sessionization over the
+north-rule transcript shape (conv_id, turn_idx, role, text, tool, ts).
+
+A transcript corpus is curated at the CONVERSATION grain — filtering
+rules ("drop conversations with no assistant turn", "cap mega
+conversations", "split stale sessions") need per-conversation rollups
+and session boundaries before any per-turn extraction runs. These are
+the transcript-table siblings of the per-document corpus stats
+(corpus/textstats.py); the reference processes one document at a time
+and has no cross-conversation ops (SURVEY.md §2.8), so they are
+north-rule additions.
+
+Scale shape: both operators shuffle ONCE on conv_id (a uniform key —
+the generator's mega-conversation skew is the extraction phase's
+problem, handled there by salting; here a conversation contributes one
+window partition and the state per key is O(1)). `conv_stats` computes
+its lag-based protocol checks in the same window partitioning its
+groupBy reuses, so the plan carries a single Exchange end to end
+(plan-asserted in PLANS.md). All outputs are exact integers
+(epoch-second arithmetic, UTC session TZ) — bit-identical across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _es(name: str) -> F.Column:
+    """Epoch seconds of a timestamp column. Parquet transcript tables
+    carry TIMESTAMP_NTZ, which Spark refuses to cast to BIGINT directly;
+    routing through timestamp_ltz (identity under the UTC session TZ the
+    engine pins in session.py) makes the arithmetic work for both NTZ
+    and LTZ inputs and matches DuckDB's epoch()."""
+    return F.col(name).cast("timestamp_ltz").cast("long")
+
+
+def conv_stats(tr: DataFrame) -> DataFrame:
+    """Per-conversation rollup: turn counts by role, tool-call count,
+    char volume, wall-clock span, and two protocol-health signals —
+    ``n_role_repeats`` (adjacent turns with the same role: a broken
+    alternation protocol) and ``n_ts_inversions`` (timestamps that move
+    backwards along turn order: a broken clock or a mis-merged log).
+    The curation rules a pipeline thresholds on before extraction."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    withlag = tr.select(
+        "conv_id", "role", "tool", "ts",
+        F.length("text").alias("n_chars"),
+        (F.col("role") == F.lag("role").over(w)).alias("role_repeat"),
+        (_es("ts") < F.lag(_es("ts")).over(w))
+        .alias("ts_inversion"))
+    return withlag.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+        .alias("n_user"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+        .alias("n_assistant"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0))
+        .alias("n_tool_calls"),
+        F.sum("n_chars").alias("n_chars"),
+        (F.max(_es("ts"))
+         - F.min(_es("ts"))).alias("duration_s"),
+        F.sum(F.when(F.col("role_repeat"), 1).otherwise(0))
+        .alias("n_role_repeats"),
+        F.sum(F.when(F.col("ts_inversion"), 1).otherwise(0))
+        .alias("n_ts_inversions"))
+
+
+def _sessionized(tr: DataFrame, gap_s: int) -> DataFrame:
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = (_es("ts")
+           - F.lag(_es("ts")).over(w))
+    base = tr.select(
+        "conv_id", "turn_idx", "role", "ts",
+        F.coalesce(gap, F.lit(0)).alias("gap_s_prev"))
+    boundary = F.when(F.col("gap_s_prev") > gap_s, 1).otherwise(0)
+    return base.select(
+        "conv_id", "turn_idx", "role", "ts", "gap_s_prev",
+        F.sum(boundary).over(cum).alias("session_idx"))
+
+
+def conv_sessionize(tr: DataFrame, gap_s: int = 3600) -> DataFrame:
+    """Split each conversation into sessions at idle gaps larger than
+    ``gap_s`` seconds: per turn, emit ``session_idx`` (0-based, a
+    running count of gap boundaries along turn order) and ``gap_s_prev``
+    (seconds since the previous turn; 0 for the first). The classic
+    sessionize — lag + conditional running sum in one window
+    partitioning, one shuffle, O(1) state per conversation."""
+    return _sessionized(tr, gap_s).drop("ts")
+
+
+def session_stats(tr: DataFrame, gap_s: int = 3600) -> DataFrame:
+    """Roll sessions up to (conv_id, session_idx): turn count and
+    span. The groupBy reuses the window's conv_id partitioning (conv_id
+    is a prefix of the grouping key), so no extra wide exchange is
+    required."""
+    return _sessionized(tr, gap_s).groupBy("conv_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.max(_es("ts"))
+         - F.min(_es("ts"))).alias("span_s"))

@@ -1,0 +1,58 @@
+"""Conversation stats / sessionization tests against hand-computed
+fixtures."""
+
+from datetime import datetime
+
+from pdf_parser_spark.operators import convstats as CS
+
+
+def _t(s):
+    return datetime(2024, 1, 1, 0, 0, s) if s < 60 else \
+        datetime(2024, 1, 1, s // 3600, (s % 3600) // 60, s % 60)
+
+
+ROWS = [
+    # c0: clean alternation, one big idle gap at turn 2
+    ("c0", 0, "user", "hi there", None, _t(0)),
+    ("c0", 1, "assistant", "hello", None, _t(10)),
+    ("c0", 2, "user", "back after lunch", None, _t(8000)),
+    ("c0", 3, "assistant", "welcome", "search/v1", _t(8010)),
+    # c1: role repeat + timestamp inversion
+    ("c1", 0, "user", "a", None, _t(100)),
+    ("c1", 1, "user", "b", None, _t(90)),
+    ("c1", 2, "assistant", "c", "calc/v1", _t(120)),
+]
+SCHEMA = ("conv_id string, turn_idx int, role string, text string, "
+          "tool string, ts timestamp")
+
+
+def test_conv_stats(spark):
+    got = {r.conv_id: r for r in CS.conv_stats(
+        spark.createDataFrame(ROWS, SCHEMA)).collect()}
+    c0, c1 = got["c0"], got["c1"]
+    assert (c0.n_turns, c0.n_user, c0.n_assistant, c0.n_tool_calls) == (4, 2, 2, 1)
+    assert c0.n_chars == len("hi there") + len("hello") + \
+        len("back after lunch") + len("welcome")
+    assert c0.duration_s == 8010
+    assert (c0.n_role_repeats, c0.n_ts_inversions) == (0, 0)
+    assert (c1.n_turns, c1.n_role_repeats, c1.n_ts_inversions) == (3, 1, 1)
+    assert c1.duration_s == 30  # max-min, inversion notwithstanding
+
+
+def test_conv_sessionize(spark):
+    got = {(r.conv_id, r.turn_idx): r for r in CS.conv_sessionize(
+        spark.createDataFrame(ROWS, SCHEMA), gap_s=3600).collect()}
+    assert [got[("c0", i)].session_idx for i in range(4)] == [0, 0, 1, 1]
+    assert got[("c0", 2)].gap_s_prev == 7990
+    assert got[("c0", 0)].gap_s_prev == 0
+    # c1's inversion yields a negative gap, never a new session
+    assert [got[("c1", i)].session_idx for i in range(3)] == [0, 0, 0]
+    assert got[("c1", 1)].gap_s_prev == -10
+
+
+def test_session_stats(spark):
+    got = {(r.conv_id, r.session_idx): r for r in CS.session_stats(
+        spark.createDataFrame(ROWS, SCHEMA), gap_s=3600).collect()}
+    assert got[("c0", 0)].n_turns == 2 and got[("c0", 0)].span_s == 10
+    assert got[("c0", 1)].n_turns == 2 and got[("c0", 1)].span_s == 10
+    assert got[("c1", 0)].n_turns == 3 and got[("c1", 0)].span_s == 30

@@ -224,6 +224,33 @@ def main() -> None:
 
     from pdf_parser_spark.corpus import decontam as DC
     from pdf_parser_spark.corpus import packing as PK
+    from pdf_parser_spark.operators import convstats as CS
+
+    audit(
+        "Conversation stats rollup (curation grain)",
+        CS.conv_stats(tr),
+        requires=[r"\) Exchange", r"hashpartitioning\(conv_id"],
+        forbids=[r"\) Exchange.*\) Exchange", r"ArrowEvalPython",
+                 r"BatchEvalPython"],
+        note=("The lag-based protocol checks run in the SAME conv_id "
+              "window partitioning the groupBy then reuses, so the whole "
+              "rollup is ONE Exchange end to end (a second Exchange "
+              "anywhere in the plan is asserted absent). Per-key state "
+              "is O(1); conv_id is uniform."),
+    )
+
+    audit(
+        "Session stats (gap sessionize + rollup)",
+        CS.session_stats(tr, gap_s=3600),
+        requires=[r"\) Exchange", r"hashpartitioning\(conv_id"],
+        forbids=[r"\) Exchange.*\) Exchange", r"ArrowEvalPython",
+                 r"BatchEvalPython"],
+        note=("Sessionize (lag + running boundary sum) and the "
+              "(conv_id, session_idx) rollup share the conv_id "
+              "partitioning — conv_id is a prefix of the grouping key, "
+              "so the plan still carries exactly one Exchange "
+              "(asserted)."),
+    )
 
     audit(
         "Benchmark decontamination (13-gram overlap vs eval set)",

@@ -666,6 +666,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate"] = q_decontaminate
 
+    def q_unigram_surprisal(spark, sf_dir):
+        # vocab_size=16 < the corpus's 31 distinct tokens, so the OOV
+        # floor path is exercised, not vacuous.
+        return _longify(TS.unigram_surprisal(
+            _tbl(spark, sf_dir, "documents"), vocab_size=16))
+
+    q["unigram_surprisal"] = q_unigram_surprisal
+
     def q_pack_sequences(spark, sf_dir):
         return _longify(PK.pack_sequences(
             _tbl(spark, sf_dir, "documents"), budget=256, n_buckets=8))
@@ -1354,6 +1362,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_turns,
                    (max(es) - min(es))::BIGINT AS span_s
             FROM s GROUP BY 1, 2
+        """,
+        "unigram_surprisal": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split({_CANON}, ' ')) AS tok
+                FROM documents),
+            tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+            tot AS (SELECT sum(cnt)::DOUBLE AS total FROM tf),
+            vocab AS (SELECT tok, cnt FROM tf
+                      ORDER BY cnt DESC, tok ASC LIMIT 16)
+            SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(CASE WHEN v.cnt IS NULL
+                                  THEN 1.0 ELSE 0.0 END), 4) AS oov_frac,
+                   round(avg(log2((SELECT total FROM tot))
+                             - log2(coalesce(v.cnt, 1)::DOUBLE)), 4)
+                       AS mean_bits
+            FROM toks t LEFT JOIN vocab v USING (tok)
+            GROUP BY 1
         """,
         "decontaminate": f"""
             WITH c AS (

@@ -98,6 +98,8 @@ def main() -> None:
             docs, docs.filter(F.col("doc_id") % 37 == 0), n=13)),
         "pack_sequences": lambda: force_count(PK.pack_sequences(
             docs, budget=2048, n_buckets=64)),
+        "unigram_surprisal": lambda: force_count(
+            TS.unigram_surprisal(docs)),
         "pii_scrub": lambda: SC.pii_scrub(docs)
         .agg(F.sum("n_emails")).first()[0],
         "stratified_sample": lambda: force_count(SC.stratified_sample(

@@ -472,3 +472,46 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     snapshot normalization F2)."""
     canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select("doc_id", F.md5(canon).alias("fp"))
+
+
+def unigram_surprisal(df: DataFrame, vocab_size: int = 65536,
+                      text_col: str = "text") -> DataFrame:
+    """Language-model quality proxy at unigram order (the CCNet/KenLM
+    perplexity-filter idea — Wenzek et al. 2020 score documents with a
+    fixed LM and drop the high-perplexity tail; a unigram model is the
+    largest LM expressible as pure relational algebra): per document,
+    the mean surprisal in bits under the corpus's own capped-vocabulary
+    unigram distribution, plus the out-of-vocabulary token fraction.
+    Gibberish and boilerplate-free noise score high; repetitive
+    boilerplate scores low — threshold either tail.
+
+    Model: the top-``vocab_size`` tokens by corpus frequency (ties break
+    by token text, so the vocabulary is deterministic); an in-vocabulary
+    token costs ``log2(total) - log2(cnt)`` bits, an OOV token costs
+    ``log2(total)`` (count floored to 1). Output per doc: ``n_tokens``,
+    ``oov_frac`` (4dp), ``mean_bits`` (4dp).
+
+    Scale shape: pass 1 is a uniform-key token-frequency aggregation
+    with map-side combine; the vocabulary cap bounds the model at
+    ``vocab_size`` rows REGARDLESS of corpus size (the reason real
+    pipelines cap vocabularies), so pass 2 is a broadcast join of
+    exploded tokens against the model plus one per-doc rollup — the
+    corpus text itself crosses no exchange wider than (doc_id, token).
+    The top-V selection is a TakeOrderedAndProject (per-partition heap,
+    driver merge of V-row partials), not a global sort."""
+    toks = df.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col(text_col)), r"\s+", " ")), " ")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tf.agg(F.sum("cnt")).first()[0]
+    vocab = (tf.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+             .limit(vocab_size))
+    bits = (F.log2(F.lit(float(total)))
+            - F.log2(F.coalesce(F.col("cnt"), F.lit(1)).cast("double")))
+    return (toks.join(F.broadcast(vocab), "tok", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(F.when(F.col("cnt").isNull(), 1.0)
+                               .otherwise(0.0)), 4).alias("oov_frac"),
+                 F.round(F.avg(bits), 4).alias("mean_bits")))

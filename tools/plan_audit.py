@@ -252,6 +252,23 @@ def main() -> None:
               "(asserted)."),
     )
 
+    from pdf_parser_spark.corpus import textstats as TSM
+
+    audit(
+        "Unigram surprisal (capped-vocab LM quality proxy)",
+        TSM.unigram_surprisal(docs, vocab_size=16),
+        requires=[r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        forbids=[r"CartesianProduct", r"ArrowEvalPython",
+                 r"BatchEvalPython"],
+        note=("The capped vocabulary bounds the model at V rows no "
+              "matter the corpus size: top-V selection compiles to "
+              "TakeOrderedAndProject (per-partition heap, asserted — not "
+              "a global sort), and the scoring join broadcasts the model "
+              "(asserted). Pass 1 is a uniform-key token-frequency agg "
+              "with map-side combine; corpus text never crosses an "
+              "exchange wider than (doc_id, token)."),
+    )
+
     audit(
         "Benchmark decontamination (13-gram overlap vs eval set)",
         DC.decontaminate(docs, docs.filter(F.col("doc_id") % 37 == 0), n=13),

@@ -588,6 +588,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_conv_progress"] = q_stream_progress
 
+    def q_stream_sessions(spark, sf_dir):
+        # native session_window under a REAL streaming query (complete
+        # mode + availableNow converges to the batch result regardless
+        # of file/micro-batch order); ts jittered as in the conv gates
+        # because the generator's constant 37 s gap never splits
+        from pdf_parser_spark.streaming.pipeline import (
+            read_transcript_stream,
+            session_window_counts,
+        )
+
+        ti = F.col("turn_idx").cast("long")
+        jit = (read_transcript_stream(
+                   spark, transcripts_path(sf_from_dir(sf_dir)))
+               .withColumn("ts",
+                           (F.col("ts").cast("timestamp_ltz").cast("long")
+                            + (ti * ti * 997) % 7200).cast("timestamp")))
+        name = "gate_stream_sessions"
+        spark.catalog.dropTempView(name)
+        qy = (session_window_counts(jit, gap="30 minutes",
+                                    watermark="3650 days")
+              .writeStream.format("memory").queryName(name)
+              .outputMode("complete").trigger(availableNow=True).start())
+        _drain_or_die(qy, "stream_session_windows")
+        return spark.table(name)
+
+    q["stream_session_windows"] = q_stream_sessions
+
     # --- corpus: text stats ----------------------------------------------
     def q_quality(spark, sf_dir):
         return _longify(TS.quality_scores(_tbl(spark, sf_dir, "documents")))
@@ -1291,6 +1318,28 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'fr' THEN {int(0.1 * 2 ** 32)}
                         ELSE {int(0.05 * 2 ** 32)}
                     END
+        """,
+        "stream_session_windows": f"""
+            WITH a AS (
+                SELECT conv_id,
+                       epoch(ts)::BIGINT
+                           + (turn_idx::BIGINT * turn_idx * 997) % 7200
+                           AS es
+                FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet')),
+            b AS (
+                SELECT conv_id, es,
+                       CASE WHEN es - lag(es) OVER w > 1800
+                            THEN 1 ELSE 0 END AS boundary
+                FROM a WINDOW w AS (PARTITION BY conv_id ORDER BY es)),
+            s AS (
+                SELECT conv_id, es,
+                       sum(boundary) OVER (PARTITION BY conv_id ORDER BY es
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM b)
+            SELECT conv_id, min(es)::BIGINT AS ws_s,
+                   (max(es) + 1800)::BIGINT AS we_s,
+                   count(*)::BIGINT AS n_turns
+            FROM s GROUP BY conv_id, sid
         """,
         "conv_stats": f"""
             WITH a AS (

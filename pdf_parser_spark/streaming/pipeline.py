@@ -85,3 +85,31 @@ def windowed_turn_counts(stream: DataFrame, window: str = "1 hour",
         .agg(F.count(F.lit(1)).alias("n_turns"))
         .select(F.col("w.start").alias("window_start"), "tool", "n_turns")
     )
+
+
+def session_window_counts(df: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Per-conversation session windows over event time via Spark's
+    native ``session_window``: a session extends while the next turn
+    arrives strictly within ``gap`` of the previous one; an idle gap of
+    at least ``gap`` closes it (window end = last event + gap). The
+    streaming sibling of the batch ``operators.convstats.conv_sessionize``
+    — there the boundary rule runs as a lag/running-sum window over
+    turn order; here the engine's dynamic-merging session state handles
+    out-of-order arrival within the watermark, with state evicted once
+    the watermark passes a session's close (bounded state at any ingest
+    rate — sessions are per conv_id, a uniform key).
+
+    Works on a batch frame too (watermark is skipped): same grouping,
+    same output, which is what the oracle gate cross-checks. Output:
+    ``conv_id, ws_s, we_s, n_turns`` (epoch-second window bounds)."""
+    src = df.withWatermark("ts", watermark) if df.isStreaming else df
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("w.start").cast("timestamp_ltz").cast("long").alias("ws_s"),
+            F.col("w.end").cast("timestamp_ltz").cast("long").alias("we_s"),
+            "n_turns")
+    )

@@ -401,3 +401,62 @@ def test_question_sinks(spark, transcripts_sf0001):
         assert obj["total_questions"] == len(obj["questions"])
         nums = [x["question_number"] for x in obj["questions"]]
         assert nums == sorted(nums)
+
+
+def test_session_window_counts_batch_semantics(spark):
+    """Hand-computed fixture: a >= gap idle closes the session; window
+    end = last event + gap; out-of-order input lands by event time."""
+    from datetime import datetime
+
+    from pdf_parser_spark.streaming.pipeline import session_window_counts
+
+    def t(s):
+        return datetime(2024, 1, 1, s // 3600, (s % 3600) // 60, s % 60)
+
+    rows = [  # deliberately out of turn order for c0
+        ("c0", 1, t(100)), ("c0", 0, t(0)), ("c0", 2, t(2000)),
+        ("c0", 3, t(2001)),
+        ("c1", 0, t(0)), ("c1", 1, t(1799)),  # 1799 < gap: same session
+        ("c2", 0, t(0)), ("c2", 1, t(1800)),  # exactly gap: still merges
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    B = 1704067200  # epoch of 2024-01-01 (fixture base)
+    got = {(r.conv_id, r.ws_s): (r.we_s, r.n_turns)
+           for r in session_window_counts(df, gap="30 minutes").collect()}
+    # Spark splits only on gap STRICTLY greater than the gap duration
+    # (same boundary rule as convstats.conv_sessionize); end = last + gap
+    assert got == {
+        ("c0", B + 0): (B + 100 + 1800, 2),
+        ("c0", B + 2000): (B + 2001 + 1800, 2),
+        ("c1", B + 0): (B + 1799 + 1800, 2),
+        ("c2", B + 0): (B + 1800 + 1800, 2),
+    }
+
+
+def test_session_window_counts_stream_matches_batch(spark, transcripts_sf0001):
+    """A REAL streaming run (complete mode, availableNow) converges to
+    the batch result on the same jittered input."""
+    from pdf_parser_spark.streaming.pipeline import (
+        read_transcript_stream,
+        session_window_counts,
+    )
+
+    def jitter(df):
+        ti = F.col("turn_idx").cast("long")
+        return df.withColumn(
+            "ts", (F.col("ts").cast("timestamp_ltz").cast("long")
+                   + (ti * ti * 997) % 7200).cast("timestamp"))
+
+    q = (session_window_counts(
+            jitter(read_transcript_stream(spark, transcripts_sf0001)),
+            gap="30 minutes", watermark="3650 days")
+         .writeStream.format("memory").queryName("swc")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = sorted(map(tuple, spark.table("swc").collect()))
+    want = sorted(map(tuple, session_window_counts(
+        jitter(spark.read.parquet(transcripts_sf0001)),
+        gap="30 minutes").collect()))
+    assert got == want
+    assert len(want) > spark.read.parquet(transcripts_sf0001) \
+        .select("conv_id").distinct().count()  # jitter actually splits

@@ -701,6 +701,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unigram_surprisal"] = q_unigram_surprisal
 
+    def q_contamination_spans(spark, sf_dir):
+        docs = _tbl(spark, sf_dir, "documents")
+        ev = docs.filter(F.col("doc_id") % 37 == 0)
+        return _longify(DC.contamination_spans(docs, ev, n=13))
+
+    q["contamination_spans"] = q_contamination_spans
+
     def q_pack_sequences(spark, sf_dir):
         return _longify(PK.pack_sequences(
             _tbl(spark, sf_dir, "documents"), budget=256, n_buckets=8))
@@ -1450,6 +1457,47 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                    (coalesce(h.n_hits, 0) > 0)::BIGINT AS contaminated
             FROM g LEFT JOIN h USING (doc_id)
+        """,
+        "contamination_spans": f"""
+            WITH c AS (
+                SELECT doc_id, string_split({_CANON}, ' ') AS w
+                FROM documents),
+            g AS (
+                SELECT doc_id, len(w) AS nt,
+                       CASE WHEN len(w) < 13
+                            THEN [struct_pack(p := 1,
+                                  gh := md5(array_to_string(w, ' ')))]
+                            ELSE [struct_pack(p := i,
+                                  gh := md5(array_to_string(w[i : i + 12],
+                                                            ' ')))
+                                  FOR i IN range(1, len(w) - 11)]
+                       END AS hs
+                FROM c),
+            ev AS (SELECT DISTINCT u.gh AS gh
+                   FROM (SELECT unnest(hs) AS u FROM g
+                         WHERE doc_id % 37 = 0)),
+            e AS (SELECT doc_id, nt, unnest(hs) AS u FROM g),
+            h AS (SELECT e.doc_id, e.u.p AS w_start,
+                         least(e.u.p + 12, e.nt) AS w_end
+                  FROM e JOIN ev ON ev.gh = e.u.gh),
+            i AS (SELECT doc_id, w_start, w_end,
+                         CASE WHEN w_start > coalesce(
+                                  max(w_end) OVER (
+                                      PARTITION BY doc_id
+                                      ORDER BY w_start, w_end
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) + 1
+                              THEN 1 ELSE 0 END AS b
+                  FROM h),
+            s AS (SELECT doc_id, w_start, w_end,
+                         sum(b) OVER (PARTITION BY doc_id
+                                      ORDER BY w_start, w_end
+                                      ROWS UNBOUNDED PRECEDING) AS island
+                  FROM i)
+            SELECT doc_id, min(w_start)::BIGINT AS tok_start,
+                   max(w_end)::BIGINT AS tok_end,
+                   count(*)::BIGINT AS n_windows
+            FROM s GROUP BY doc_id, island
         """,
         "pack_sequences": f"""
             WITH c AS (

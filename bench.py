@@ -96,6 +96,8 @@ def main() -> None:
             CS.session_stats(transcripts, gap_s=3600)),
         "decontaminate": lambda: force_count(DC.decontaminate(
             docs, docs.filter(F.col("doc_id") % 37 == 0), n=13)),
+        "contamination_spans": lambda: force_count(DC.contamination_spans(
+            docs, docs.filter(F.col("doc_id") % 37 == 0), n=13)),
         "pack_sequences": lambda: force_count(PK.pack_sequences(
             docs, budget=2048, n_buckets=64)),
         "unigram_surprisal": lambda: force_count(

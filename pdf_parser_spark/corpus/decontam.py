@@ -103,3 +103,53 @@ def decontaminated_keep(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
     flagged = (decontaminate(corpus, eval_df, n, text_col)
                .filter("contaminated").select("doc_id"))
     return corpus.join(flagged, "doc_id", "left_anti")
+
+
+def contamination_spans(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
+                        text_col: str = "text",
+                        eval_text_col: str | None = None) -> DataFrame:
+    """Merged token-position spans of eval overlap — the masking form of
+    decontamination (pipelines that cannot afford to drop whole
+    documents mask the overlapping range and keep the rest; the
+    flag-and-drop form is `decontaminate`). Per span: ``tok_start`` /
+    ``tok_end`` (1-based, inclusive, canonical whitespace tokens) and
+    ``n_windows`` (hit gram positions merged into it).
+
+    Overlapping/adjacent hit windows (stride-1 grams overlap by
+    construction) are unioned per document with the gaps-and-islands
+    pattern: a running max of span ends along sorted starts opens a new
+    island only when a window starts past it.
+
+    Scale shape: identical to `decontaminate` up to the broadcast inner
+    join — corpus text never shuffles, and everything after the join
+    (the island window + rollup, partitioned by doc_id) touches HIT
+    windows only, so the merge cost is proportional to contamination,
+    not corpus size."""
+    from pyspark.sql.window import Window
+
+    toks = _canon_toks(corpus, text_col)
+    grams = eval_gram_set(eval_df, n, eval_text_col or text_col)
+    pos = toks.select(
+        "doc_id", F.size("toks").alias("nt"),
+        F.posexplode(_gram_expr(n)).alias("pos", "gh"))
+    hits = (pos.join(F.broadcast(grams), "gh")
+            .select("doc_id",
+                    (F.col("pos") + 1).alias("w_start"),
+                    F.least(F.col("pos") + n, F.col("nt")).alias("w_end")))
+    w = Window.partitionBy("doc_id").orderBy("w_start", "w_end")
+    prev_max = F.max("w_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = hits.select(
+        "doc_id", "w_start", "w_end",
+        F.when(F.col("w_start") > F.coalesce(prev_max, F.lit(0)) + 1, 1)
+        .otherwise(0).alias("boundary"))
+    cum = (Window.partitionBy("doc_id").orderBy("w_start", "w_end")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (islands
+            .select("doc_id", "w_start", "w_end",
+                    F.sum("boundary").over(cum).alias("island"))
+            .groupBy("doc_id", "island")
+            .agg(F.min("w_start").alias("tok_start"),
+                 F.max("w_end").alias("tok_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .drop("island"))

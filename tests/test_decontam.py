@@ -71,3 +71,34 @@ def test_eval_gram_set_is_distinct_md5(spark):
                   for t in ("a b a b a b", "a b a b")
                   for g in _grams(t, 2)})
     assert got == exp
+
+
+def test_contamination_spans_merges_hit_windows(spark):
+    n = 3
+    corpus = [
+        # hits at token positions: grams starting at 1..3 ("a b c", "b c d",
+        # "c d e") plus a separate hit at the tail
+        (0, "a b c d e x x x x a b c"),
+        (1, "nothing shared here at all"),
+        (2, "a b"),  # short doc, whole-text gram
+    ]
+    evals = [(100, "a b c d e"), (101, "a b")]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    edf = spark.createDataFrame(evals, "doc_id long, text string")
+    got = sorted((r.doc_id, r.tok_start, r.tok_end, r.n_windows)
+                 for r in DC.contamination_spans(cdf, edf, n=n).collect())
+    # doc 0: windows @1-3,2-4,3-5 merge to [1,5]; window @10-12 ("a b c")
+    # is separate; doc 2 whole-text matches eval 101 exactly
+    assert got == [(0, 1, 5, 3), (0, 10, 12, 1), (2, 1, 2, 1)]
+
+
+def test_contamination_spans_adjacent_windows_merge(spark):
+    # spans [1,3] and [4,6] are adjacent (no clean token between) -> one
+    # masked region [1,6]
+    cdf = spark.createDataFrame(
+        [(0, "p q r s t u tail words here")], "doc_id long, text string")
+    edf = spark.createDataFrame(
+        [(100, "p q r"), (101, "s t u")], "doc_id long, text string")
+    got = [(r.tok_start, r.tok_end, r.n_windows)
+           for r in DC.contamination_spans(cdf, edf, n=3).collect()]
+    assert got == [(1, 6, 2)]

@@ -42,6 +42,7 @@ from pdf_parser_spark.corpus import textstats as TS  # noqa: E402
 from pdf_parser_spark.generator import sf_from_dir, transcripts_path  # noqa: E402
 from pdf_parser_spark.goldens import ensure_goldens, golden_dir  # noqa: E402
 from pdf_parser_spark.operators import convstats as CS  # noqa: E402
+from pdf_parser_spark.operators import funnel as FN  # noqa: E402
 from pdf_parser_spark.operators.extract import extract_layouts  # noqa: E402
 from pdf_parser_spark.operators.markdown import to_markdown  # noqa: E402
 from pdf_parser_spark.operators.questions import extract_questions  # noqa: E402
@@ -708,6 +709,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contamination_spans"] = q_contamination_spans
 
+    def q_funnel_stages(spark, sf_dir):
+        return _longify(FN.funnel_stages(_tbl(spark, sf_dir, "events")))
+
+    q["funnel_stages"] = q_funnel_stages
+
+    def q_funnel_counts(spark, sf_dir):
+        return _longify(FN.funnel_counts(_tbl(spark, sf_dir, "events")))
+
+    q["funnel_counts"] = q_funnel_counts
+
+    def q_value_percentiles(spark, sf_dir):
+        return _longify(FN.value_percentiles(_tbl(spark, sf_dir, "events")))
+
+    q["value_percentiles"] = q_value_percentiles
+
     def q_pack_sequences(spark, sf_dir):
         return _longify(PK.pack_sequences(
             _tbl(spark, sf_dir, "documents"), budget=256, n_buckets=8))
@@ -1325,6 +1341,54 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'fr' THEN {int(0.1 * 2 ** 32)}
                         ELSE {int(0.05 * 2 ** 32)}
                     END
+        """,
+        "funnel_stages": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts)::BIGINT AS t
+                FROM events
+                WHERE event_type IN ('signup', 'view', 'purchase')),
+            s1 AS (SELECT user_id, min(t) AS t1 FROM e
+                   WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(t) AS t2 FROM e
+                   JOIN s1 USING (user_id)
+                   WHERE event_type = 'view' AND t > s1.t1 GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(t) AS t3 FROM e
+                   JOIN s2 USING (user_id)
+                   WHERE event_type = 'purchase' AND t > s2.t2 GROUP BY 1),
+            u AS (SELECT DISTINCT user_id FROM e)
+            SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+                   (CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS max_stage
+            FROM u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+        """,
+        "funnel_counts": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts)::BIGINT AS t
+                FROM events
+                WHERE event_type IN ('signup', 'view', 'purchase')),
+            s1 AS (SELECT user_id, min(t) AS t1 FROM e
+                   WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(t) AS t2 FROM e
+                   JOIN s1 USING (user_id)
+                   WHERE event_type = 'view' AND t > s1.t1 GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(t) AS t3 FROM e
+                   JOIN s2 USING (user_id)
+                   WHERE event_type = 'purchase' AND t > s2.t2 GROUP BY 1)
+            SELECT (SELECT count(*) FROM s1)::BIGINT AS reached_signup,
+                   (SELECT count(*) FROM s2)::BIGINT AS reached_view,
+                   (SELECT count(*) FROM s3)::BIGINT AS reached_purchase
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY 1
         """,
         "stream_session_windows": f"""
             WITH a AS (

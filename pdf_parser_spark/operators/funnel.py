@@ -1,0 +1,102 @@
+"""Event-sequence analytics over the events table: ordered funnels and
+value percentiles.
+
+The funnel — "which users did signup, then view, then purchase, in that
+order, and when" — is the canonical event-sequence query every
+analytics engine ships. The classic SQL formulation chains one
+aggregation + self-join per stage (N shuffles + N joins for an N-step
+funnel). This implementation does it in ONE shuffle: events are pruned
+to funnel steps map-side, gathered per user as a time-sorted array, and
+folded with Spark's `aggregate` higher-order function — a linear scan
+per user, entirely inside whole-stage codegen, no Python anywhere.
+
+Stage semantics are strict: stage k matches the earliest step-k event
+whose timestamp is STRICTLY after the matched stage-(k-1) event
+(equal timestamps do not advance the funnel — the rule an engine must
+pin down for cross-engine reproducibility; the DuckDB oracle's
+min-over-join formulation implies the same rule).
+
+Scale: the per-user array holds only FUNNEL-STEP events (the isin
+prune runs at the scan), so its size is bounded by a user's funnel
+activity, not their event volume; user_id is a uniform key. The
+reference has no event ops (SURVEY.md §2.8) — north-rule addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(events: DataFrame, steps: tuple = ("signup", "view",
+                                                     "purchase"),
+                  user_col: str = "user_id",
+                  type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Per user: epoch-micro timestamps ``t1..tN`` at which each funnel
+    stage was first reached (null from the first unreached stage on)
+    and ``max_stage`` (0..N). One groupBy + one codegen fold."""
+    n = len(steps)
+    per_user = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            user_col,
+            F.struct(
+                F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("t"),
+                F.col(type_col).alias("et")).alias("e"))
+        .groupBy(user_col)
+        .agg(F.sort_array(F.collect_list("e")).alias("seq")))
+
+    init = "array(" + ", ".join(["cast(null as bigint)"] * n) + ")"
+    branches = []
+    for k, step in enumerate(steps):
+        prev_ok = "true" if k == 0 else \
+            f"acc[{k - 1}] is not null and x.t > acc[{k - 1}]"
+        newacc = "array(" + ", ".join(
+            f"x.t" if j == k else f"acc[{j}]" for j in range(n)) + ")"
+        branches.append(
+            f"when x.et = '{step}' and acc[{k}] is null and {prev_ok} "
+            f"then {newacc}")
+    fold = (f"aggregate(seq, {init}, (acc, x) -> case "
+            + " ".join(branches) + " else acc end)")
+    out = per_user.select(user_col, F.expr(fold).alias("st"))
+    stage_cols = [F.col("st").getItem(k).alias(f"t{k + 1}")
+                  for k in range(n)]
+    reached = sum(
+        (F.when(F.col("st").getItem(k).isNotNull(), 1).otherwise(0)
+         for k in range(n)), F.lit(0))
+    return out.select(user_col, *stage_cols,
+                      reached.cast("long").alias("max_stage"))
+
+
+def funnel_counts(events: DataFrame, steps: tuple = ("signup", "view",
+                                                     "purchase"),
+                  user_col: str = "user_id") -> DataFrame:
+    """The funnel report: users reaching at least each stage (a second
+    tiny rollup over the per-user frame)."""
+    st = funnel_stages(events, steps, user_col)
+    return (st.groupBy()
+            .agg(*[F.sum(F.when(F.col("max_stage") >= k + 1, 1).otherwise(0))
+                   .cast("long").alias(f"reached_{s}")
+                   for k, s in enumerate(steps)]))
+
+
+def value_percentiles(events: DataFrame, ps: tuple = (0.5, 0.9, 0.99),
+                      key_col: str = "event_type",
+                      value_col: str = "value",
+                      exact: bool = True) -> DataFrame:
+    """Per-key value percentiles. ``exact=True`` uses Spark's exact
+    `percentile` (linear interpolation — the same definition as ANSI
+    `percentile_cont` / DuckDB `quantile_cont`, so the oracle matches
+    to rounding); it buffers each group's values, which is fine for
+    bounded groups but NOT for 100 TB — at scale pass ``exact=False``
+    for the t-digest `approx_percentile` (mergeable partial state,
+    bounded memory, no cross-engine oracle)."""
+    fn = "percentile" if exact else "approx_percentile"
+    arr = ", ".join(str(p) for p in ps)
+    agg = F.expr(f"{fn}({value_col}, array({arr}))").alias("q")
+    out = events.groupBy(key_col).agg(agg)
+    return out.select(
+        key_col,
+        *[F.round(F.col("q").getItem(i), 4).alias(f"p{int(p * 100)}")
+          for i, p in enumerate(ps)])

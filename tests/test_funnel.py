@@ -1,0 +1,57 @@
+"""Funnel / percentile tests against hand-computed fixtures."""
+
+from datetime import datetime
+
+from pdf_parser_spark.operators import funnel as FN
+
+
+def _t(us):
+    return datetime(2024, 1, 1, 0, 0, us // 1_000_000, us % 1_000_000)
+
+
+B = 1704067200 * 1_000_000  # epoch micros of 2024-01-01
+
+ROWS = [
+    # u0: full funnel in order
+    (0, "signup", _t(10)), (0, "view", _t(20)), (0, "purchase", _t(30)),
+    # u1: purchase BEFORE view -> stops at view (purchase not after view)
+    (1, "signup", _t(10)), (1, "purchase", _t(15)), (1, "view", _t(20)),
+    # u2: view before signup doesn't count; later view does
+    (2, "view", _t(5)), (2, "signup", _t(10)), (2, "view", _t(40)),
+    # u3: only noise events
+    (3, "click", _t(10)), (3, "error", _t(20)),
+    # u4: equal timestamp does not advance (strict >)
+    (4, "signup", _t(10)), (4, "view", _t(10)),
+    # u5: first matching signup wins, duplicates ignored
+    (5, "signup", _t(10)), (5, "signup", _t(5)), (5, "view", _t(7)),
+]
+SCHEMA = "user_id long, event_type string, ts timestamp"
+
+
+def test_funnel_stages(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {r.user_id: (r.t1, r.t2, r.t3, r.max_stage)
+           for r in FN.funnel_stages(df).collect()}
+    assert got[0] == (B + 10, B + 20, B + 30, 3)
+    assert got[1] == (B + 10, B + 20, None, 2)
+    assert got[2] == (B + 10, B + 40, None, 2)
+    assert 3 not in got  # noise-only users are pruned before the shuffle
+    assert got[4] == (B + 10, None, None, 1)
+    # sorted scan: the t(5) signup is first -> t1=5; view at 7 counts
+    assert got[5] == (B + 5, B + 7, None, 2)
+
+
+def test_funnel_counts(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    r = FN.funnel_counts(df).first()
+    assert (r.reached_signup, r.reached_view, r.reached_purchase) == (5, 4, 1)
+
+
+def test_value_percentiles_exact(spark):
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 5.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r.event_type: (r.p50, r.p90, r.p99)
+           for r in FN.value_percentiles(df).collect()}
+    # linear interpolation over 1..100: p = 1 + p*(99)
+    assert got["a"] == (50.5, 90.1, 99.01)
+    assert got["b"] == (5.0, 5.0, 5.0)

@@ -226,6 +226,24 @@ def main() -> None:
     from pdf_parser_spark.corpus import packing as PK
     from pdf_parser_spark.operators import convstats as CS
 
+    from pdf_parser_spark.operators import funnel as FN
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    audit(
+        "Ordered funnel (one shuffle + codegen fold)",
+        FN.funnel_stages(events),
+        requires=[r"\) Exchange", r"hashpartitioning\(user_id",
+                  r"PushedFilters: .*In\(event_type"],
+        forbids=[r"\) Exchange.*\) Exchange", r"ArrowEvalPython",
+                 r"BatchEvalPython", r"SortMergeJoin"],
+        note=("An N-step funnel in ONE Exchange (asserted single): the "
+              "step filter is PUSHED to the scan (asserted), per-user "
+              "step events gather once, and the stage matching is an "
+              "aggregate() higher-order fold inside codegen — the classic "
+              "SQL chain of N aggregations + N self-joins (and its N "
+              "shuffles) collapses to a linear per-user scan."),
+    )
+
     audit(
         "Conversation stats rollup (curation grain)",
         CS.conv_stats(tr),
@@ -281,6 +299,19 @@ def main() -> None:
               "per-doc totals come from size() with no explode. Corpus "
               "text never shuffles; at 100 TB the heavy stage fuses into "
               "the scan."),
+    )
+
+    audit(
+        "Contamination span masking (gaps-and-islands on hits)",
+        DC.contamination_spans(docs, docs.filter(F.col("doc_id") % 37 == 0),
+                               n=13),
+        requires=[r"BroadcastHashJoin", r"BroadcastExchange"],
+        forbids=[r"CartesianProduct", r"ArrowEvalPython", r"BatchEvalPython"],
+        note=("Same broadcast-gram shape as decontaminate (asserted); the "
+              "island merge (running-max window + rollup) runs AFTER the "
+              "inner join, so it sorts and shuffles hit windows only — "
+              "masking cost is proportional to contamination, not corpus "
+              "size."),
     )
 
     audit(

@@ -43,6 +43,7 @@ from pdf_parser_spark.generator import sf_from_dir, transcripts_path  # noqa: E4
 from pdf_parser_spark.goldens import ensure_goldens, golden_dir  # noqa: E402
 from pdf_parser_spark.operators import convstats as CS  # noqa: E402
 from pdf_parser_spark.operators import funnel as FN  # noqa: E402
+from pdf_parser_spark.plans import relational as R  # noqa: E402
 from pdf_parser_spark.operators.extract import extract_layouts  # noqa: E402
 from pdf_parser_spark.operators.markdown import to_markdown  # noqa: E402
 from pdf_parser_spark.operators.questions import extract_questions  # noqa: E402
@@ -724,6 +725,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["value_percentiles"] = q_value_percentiles
 
+    def q_pricing_summary(spark, sf_dir):
+        return _longify(R.pricing_summary(_tbl(spark, sf_dir, "lineitem")))
+
+    q["pricing_summary"] = q_pricing_summary
+
+    def q_top_revenue_orders(spark, sf_dir):
+        return _longify(R.top_revenue_orders(
+            _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders"),
+            _tbl(spark, sf_dir, "lineitem")))
+
+    q["top_revenue_orders"] = q_top_revenue_orders
+
     def q_pack_sequences(spark, sf_dir):
         return _longify(PK.pack_sequences(
             _tbl(spark, sf_dir, "documents"), budget=256, n_buckets=8))
@@ -1341,6 +1354,49 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'fr' THEN {int(0.1 * 2 ** 32)}
                         ELSE {int(0.05 * 2 ** 32)}
                     END
+        """,
+        "pricing_summary": """
+            WITH l AS (
+                SELECT l_returnflag, l_linestatus,
+                       round(l_quantity)::BIGINT AS qty,
+                       round(l_extendedprice * 100)::BIGINT AS pc,
+                       round(l_discount * 100)::BIGINT AS dp,
+                       round(l_tax * 100)::BIGINT AS tp
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-12-01')
+            SELECT l_returnflag, l_linestatus,
+                   sum(qty)::BIGINT AS sum_qty,
+                   round(sum(pc) / 100, 2) AS sum_base_price,
+                   round(sum(pc * (100 - dp)) / 10000, 2) AS sum_disc_price,
+                   round(sum(pc * (100 - dp) * (100 + tp)) / 1000000, 2)
+                       AS sum_charge,
+                   round(sum(qty) / count(*), 4) AS avg_qty,
+                   round(sum(pc) / count(*) / 100, 4) AS avg_price,
+                   round(sum(pc * (100 - dp)) / count(*) / 10000, 4)
+                       AS avg_disc_price,
+                   count(*)::BIGINT AS count_order
+            FROM l GROUP BY 1, 2
+        """,
+        "top_revenue_orders": """
+            WITH items AS (
+                SELECT l_orderkey,
+                       round(l_extendedprice * 100)::BIGINT
+                           * (100 - round(l_discount * 100)::BIGINT) AS rev
+                FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'),
+            j AS (
+                SELECT o_orderkey, o_orderdate, o_orderpriority,
+                       sum(rev) AS rev
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                             AND c_mktsegment = 'BUILDING'
+                JOIN items ON l_orderkey = o_orderkey
+                WHERE o_orderdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1, 2, 3)
+            SELECT o_orderkey, round(rev / 10000, 2) AS revenue,
+                   epoch_us(o_orderdate)::BIGINT AS odate_us,
+                   o_orderpriority
+            FROM j
+            ORDER BY rev DESC, o_orderdate ASC, o_orderkey ASC LIMIT 10
         """,
         "funnel_stages": """
             WITH e AS (

@@ -33,6 +33,7 @@ from pdf_parser_spark.corpus import textstats as TS  # noqa: E402
 from pdf_parser_spark.generator import sf_from_dir, transcripts_path  # noqa: E402
 from pdf_parser_spark.operators import convstats as CS  # noqa: E402
 from pdf_parser_spark.operators import funnel as FN  # noqa: E402
+from pdf_parser_spark.plans import relational as R  # noqa: E402
 from pdf_parser_spark.operators.extract import extract_layouts  # noqa: E402
 from pdf_parser_spark.operators.markdown import to_markdown  # noqa: E402
 from pdf_parser_spark.operators.questions import extract_questions  # noqa: E402
@@ -54,6 +55,7 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
 
     def force_count(df):
         return df.count()
@@ -94,6 +96,7 @@ def main() -> None:
         "dup_passage_stats": lambda: force_count(
             TS.dup_passage_stats(docs, win=20)),
         "funnel_stages": lambda: force_count(FN.funnel_stages(events)),
+        "pricing_summary": lambda: force_count(R.pricing_summary(lineitem)),
         "conv_stats": lambda: force_count(CS.conv_stats(transcripts)),
         "session_stats": lambda: force_count(
             CS.session_stats(transcripts, gap_s=3600)),

@@ -1,0 +1,106 @@
+"""Classic relational reporting queries over the TPC-H-style tables —
+the warehouse workload every analytics engine must also serve beside
+the extraction/curation pipelines.
+
+Money arithmetic is INTEGER CENTS throughout: prices/discounts/taxes in
+the source data are exact 2-decimal values stored as doubles, so
+``cast(round(x*100) as bigint)`` reconstructs the exact integer and
+every aggregate below is integer-exact — bit-identical across engines
+and immune to the float-sum reassociation that plagues distributed
+aggregation (a 60k-row double sum can drift ~1e-3 between partition
+orders; an int64 sum cannot). Final columns divide back by the scale
+factor once, at the end. The same integer-stability policy as
+``textstats.topk_terms``.
+
+Scale notes per query in the docstrings; both plans are
+pushdown+partial-agg shapes, and the Q3 join broadcasts the dimension
+side (plan-asserted in PLANS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def pricing_summary(lineitem: DataFrame,
+                    cutoff: str = "1998-12-01") -> DataFrame:
+    """TPC-H Q1 (pricing summary report): per (returnflag, linestatus)
+    over lineitems shipped up to ``cutoff`` — quantities, gross and
+    discounted revenue, charge including tax, averages, row count.
+
+    disc_price = price·(1−disc) and charge = disc_price·(1+tax) are
+    integer products of cent/percent values (scale 10^2·10^2 = 10^4 and
+    10^6 respectively — far inside int64 for any realistic row). The
+    date filter is pushed to the parquet scan (row-group pruning); the
+    aggregation is a two-phase partial agg on a handful of group keys —
+    the canonical map-side-combine shape, no skew possible with a
+    6-value key space."""
+    pc = _cents("l_extendedprice")
+    dp = F.round(F.col("l_discount") * 100).cast("long")   # percent
+    tp = F.round(F.col("l_tax") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    disc_price = pc * (100 - dp)            # cents·10^2
+    charge = disc_price * (100 + tp)        # cents·10^4
+    agg = (lineitem
+           .filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(qty).alias("sum_qty"),
+                F.sum(pc).alias("_base_c"),
+                F.sum(disc_price).alias("_disc_c2"),
+                F.sum(charge).alias("_charge_c4"),
+                F.count(F.lit(1)).alias("count_order")))
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag", "l_linestatus", "sum_qty",
+        F.round(F.col("_base_c") / 100, 2).alias("sum_base_price"),
+        F.round(F.col("_disc_c2") / 10000, 2).alias("sum_disc_price"),
+        F.round(F.col("_charge_c4") / 1000000, 2).alias("sum_charge"),
+        F.round(F.col("sum_qty") / n, 4).alias("avg_qty"),
+        F.round(F.col("_base_c") / n / 100, 4).alias("avg_price"),
+        F.round(F.col("_disc_c2") / n / 10000, 4).alias("avg_disc_price"),
+        "count_order")
+
+
+def top_revenue_orders(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: str = "BUILDING",
+                       date: str = "1998-01-01", k: int = 10) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-k unshipped orders by revenue
+    for one market segment — orders placed before ``date`` with
+    lineitems shipping after it.
+
+    Join shape at scale: customer (filtered to one segment) is the
+    small side and BROADCASTS into orders (plan-asserted), so the only
+    wide exchange is lineitem's aggregation by orderkey — a uniform
+    key. Both date predicates push to their scans. The top-k is a
+    TakeOrderedAndProject (per-partition heap + driver merge of k
+    rows), never a global sort; ties break by (orderdate, orderkey) so
+    the result is total-ordered and engine-portable."""
+    d = F.lit(date).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment) \
+        .select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < d).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    items = lineitem.filter(F.col("l_shipdate") > d).select(
+        "l_orderkey",
+        (_cents("l_extendedprice")
+         * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+        .alias("rev_c2"))
+    joined = (ords.join(F.broadcast(cust),
+                        ords.o_custkey == cust.c_custkey)
+              .join(items, ords.o_orderkey == items.l_orderkey)
+              .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+              .agg(F.sum("rev_c2").alias("rev_c2")))
+    return (joined
+            .orderBy(F.col("rev_c2").desc(), F.col("o_orderdate").asc(),
+                     F.col("o_orderkey").asc())
+            .limit(k)
+            .select("o_orderkey",
+                    F.round(F.col("rev_c2") / 10000, 2).alias("revenue"),
+                    F.unix_micros(F.col("o_orderdate")
+                                  .cast("timestamp_ltz")).alias("odate_us"),
+                    "o_orderpriority"))

@@ -226,6 +226,40 @@ def main() -> None:
     from pdf_parser_spark.corpus import packing as PK
     from pdf_parser_spark.operators import convstats as CS
 
+    from pdf_parser_spark.plans import relational as R
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    audit(
+        "Pricing summary (Q1, integer-cents partial agg)",
+        R.pricing_summary(li),
+        requires=[r"PushedFilters: .*LessThanOrEqual\(l_shipdate",
+                  r"HashAggregate"],
+        forbids=[r"\) Exchange.*\) Exchange", r"ArrowEvalPython",
+                 r"BatchEvalPython"],
+        note=("The date filter reaches the parquet scan (asserted — "
+              "row-group stats prune whole chunks at 100 TB); the "
+              "aggregation is one partial-agg Exchange on a 6-value key "
+              "(asserted single). All money math is int64 cents — "
+              "bit-identical across engines and partition orders, where "
+              "a distributed double sum drifts."),
+    )
+
+    audit(
+        "Top revenue orders (Q3, broadcast dim + heap top-k)",
+        R.top_revenue_orders(
+            spark.read.parquet("/root/testdata/sf0.001/customer.parquet"),
+            spark.read.parquet("/root/testdata/sf0.001/orders.parquet"), li),
+        requires=[r"BroadcastHashJoin", r"TakeOrderedAndProject",
+                  r"PushedFilters: .*GreaterThan\(l_shipdate"],
+        forbids=[r"CartesianProduct", r"ArrowEvalPython", r"BatchEvalPython"],
+        note=("The segment-filtered customer dimension broadcasts "
+              "(asserted), both date predicates push to their scans "
+              "(asserted for the big side), and the top-k compiles to "
+              "TakeOrderedAndProject — per-partition heaps merging k "
+              "rows at the driver, never a global sort. The only wide "
+              "exchange is the lineitem rollup on the uniform orderkey."),
+    )
+
     from pdf_parser_spark.operators import funnel as FN
 
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

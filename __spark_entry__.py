@@ -617,6 +617,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_session_windows"] = q_stream_sessions
 
+    def q_stream_contamination(spark, sf_dir):
+        # stateless stream-static broadcast semi-join: eval grams come
+        # from every conversation whose id ends in "00" (a deterministic
+        # ~1% subset); the hit stream dedups to (conv, turn) in batch.
+        from pdf_parser_spark.corpus.decontam import eval_gram_set
+        from pdf_parser_spark.streaming.pipeline import (
+            read_transcript_stream,
+            stream_contamination_hits,
+        )
+
+        tr_path = transcripts_path(sf_from_dir(sf_dir))
+        evset = eval_gram_set(
+            spark.read.parquet(tr_path)
+            .filter(F.col("conv_id").rlike("00$"))
+            .select(F.lit(0).cast("long").alias("doc_id"), "text"))
+        name = "gate_stream_contamination"
+        spark.catalog.dropTempView(name)
+        qy = (stream_contamination_hits(
+                  read_transcript_stream(spark, tr_path), evset)
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append").trigger(availableNow=True).start())
+        _drain_or_die(qy, "stream_contamination_turns")
+        return (spark.table(name)
+                .select("conv_id", F.col("turn_idx").cast("long")
+                        .alias("turn_idx"))
+                .distinct())
+
+    q["stream_contamination_turns"] = q_stream_contamination
+
     # --- corpus: text stats ----------------------------------------------
     def q_quality(spark, sf_dir):
         return _longify(TS.quality_scores(_tbl(spark, sf_dir, "documents")))
@@ -1467,6 +1496,26 @@ def oracle_sql() -> dict[str, str]:
                    (max(es) + 1800)::BIGINT AS we_s,
                    count(*)::BIGINT AS n_turns
             FROM s GROUP BY conv_id, sid
+        """,
+        "stream_contamination_turns": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx,
+                       string_split(trim(regexp_replace(lower(text),
+                                    '\\s+', ' ', 'g')), ' ') AS w
+                FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet')),
+            g AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN len(w) < 13
+                            THEN [md5(array_to_string(w, ' '))]
+                            ELSE [md5(array_to_string(w[i : i + 12], ' '))
+                                  FOR i IN range(1, len(w) - 11)]
+                       END AS hs
+                FROM t),
+            ev AS (SELECT DISTINCT unnest(hs) AS gh FROM g
+                   WHERE regexp_matches(conv_id, '00$')),
+            e AS (SELECT conv_id, turn_idx, unnest(hs) AS gh FROM g)
+            SELECT DISTINCT e.conv_id, e.turn_idx::BIGINT AS turn_idx
+            FROM e JOIN ev USING (gh)
         """,
         "conv_stats": f"""
             WITH a AS (

@@ -113,3 +113,30 @@ def session_window_counts(df: DataFrame, gap: str = "30 minutes",
             F.col("w.end").cast("timestamp_ltz").cast("long").alias("we_s"),
             "n_turns")
     )
+
+
+def stream_contamination_hits(stream: DataFrame, eval_grams: DataFrame,
+                              n: int = 13,
+                              text_col: str = "text") -> DataFrame:
+    """Streaming decontamination: emit a (conv_id, turn_idx, gh) row for
+    every n-gram of an incoming turn that collides with the static
+    benchmark gram set (`corpus.decontam.eval_gram_set`) — the ingest-
+    time form of eval-overlap screening, so contaminated turns are
+    flagged before they ever land in the training corpus.
+
+    Completely STATELESS: per-turn gram hashing is a map, and the
+    overlap test is a stream-static broadcast semi-join (the eval side
+    is small by construction — see decontam.py). No state store, no
+    watermark, no output-mode constraints: this runs at any ingest rate
+    with zero memory growth, and the hit stream is tiny (proportional
+    to contamination). Consumers aggregate hits to turn/conversation
+    grain downstream (batch or windowed)."""
+    from pdf_parser_spark.corpus.decontam import _gram_expr
+
+    toks = stream.select(
+        "conv_id", "turn_idx",
+        F.split(F.trim(F.regexp_replace(
+            F.lower(F.col(text_col)), r"\s+", " ")), " ").alias("toks"))
+    grams = toks.select(
+        "conv_id", "turn_idx", F.explode(_gram_expr(n)).alias("gh"))
+    return grams.join(F.broadcast(eval_grams), "gh", "left_semi")

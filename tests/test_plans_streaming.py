@@ -460,3 +460,29 @@ def test_session_window_counts_stream_matches_batch(spark, transcripts_sf0001):
     assert got == want
     assert len(want) > spark.read.parquet(transcripts_sf0001) \
         .select("conv_id").distinct().count()  # jitter actually splits
+
+
+def test_stream_contamination_hits_matches_batch(spark, transcripts_sf0001):
+    """The stateless hit stream equals the batch broadcast semi-join on
+    the same input."""
+    from pdf_parser_spark.corpus.decontam import eval_gram_set
+    from pdf_parser_spark.streaming.pipeline import (
+        read_transcript_stream,
+        stream_contamination_hits,
+    )
+
+    ev = eval_gram_set(
+        spark.read.parquet(transcripts_sf0001)
+        .filter(F.col("conv_id").rlike("0$"))
+        .select(F.lit(0).cast("long").alias("doc_id"), "text"))
+    q = (stream_contamination_hits(
+            read_transcript_stream(spark, transcripts_sf0001), ev)
+         .writeStream.format("memory").queryName("sch")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = sorted(map(tuple, spark.table("sch")
+                     .select("conv_id", "turn_idx").distinct().collect()))
+    want = sorted(map(tuple, stream_contamination_hits(
+        spark.read.parquet(transcripts_sf0001), ev)
+        .select("conv_id", "turn_idx").distinct().collect()))
+    assert got == want and len(got) > 0

@@ -28,6 +28,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _epoch_us(col: str) -> F.Column:
+    """Session-timezone-INDEPENDENT epoch micros of a timestamp column:
+    parquet timestamps load as TIMESTAMP_NTZ, and routing them through a
+    timestamp_ltz cast shifts the value by whatever timezone the
+    driver's session happens to use (caught by tools/driver_sim.py).
+    timestampdiff against an NTZ origin reads the wall clock as UTC in
+    ANY session, matching DuckDB's epoch_us on the same column."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), "
+        f"cast({col} as timestamp_ntz))")
+
+
 def funnel_stages(events: DataFrame, steps: tuple = ("signup", "view",
                                                      "purchase"),
                   user_col: str = "user_id",
@@ -42,7 +54,7 @@ def funnel_stages(events: DataFrame, steps: tuple = ("signup", "view",
         .select(
             user_col,
             F.struct(
-                F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("t"),
+                _epoch_us(ts_col).alias("t"),
                 F.col(type_col).alias("et")).alias("e"))
         .groupBy(user_col)
         .agg(F.sort_array(F.collect_list("e")).alias("seq")))

@@ -101,6 +101,9 @@ def top_revenue_orders(customer: DataFrame, orders: DataFrame,
             .limit(k)
             .select("o_orderkey",
                     F.round(F.col("rev_c2") / 10000, 2).alias("revenue"),
-                    F.unix_micros(F.col("o_orderdate")
-                                  .cast("timestamp_ltz")).alias("odate_us"),
+                    F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        "to_timestamp_ntz('1970-01-01 00:00:00'), "
+                        "cast(o_orderdate as timestamp_ntz))")
+                    .alias("odate_us"),
                     "o_orderpriority"))

@@ -630,8 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tr_path = transcripts_path(sf_from_dir(sf_dir))
         evset = eval_gram_set(
             spark.read.parquet(tr_path)
-            .filter(F.col("conv_id").rlike("00$"))
-            .select(F.lit(0).cast("long").alias("doc_id"), "text"))
+            .filter(F.col("conv_id").rlike("00$")).select("text"))
         name = "gate_stream_contamination"
         spark.catalog.dropTempView(name)
         qy = (stream_contamination_hits(
@@ -1505,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet')),
             g AS (
                 SELECT conv_id, turn_idx,
+                       NOT (len(w) = 1 AND w[1] = '') AS nonempty,
                        CASE WHEN len(w) < 13
                             THEN [md5(array_to_string(w, ' '))]
                             ELSE [md5(array_to_string(w[i : i + 12], ' '))
@@ -1512,7 +1512,7 @@ def oracle_sql() -> dict[str, str]:
                        END AS hs
                 FROM t),
             ev AS (SELECT DISTINCT unnest(hs) AS gh FROM g
-                   WHERE regexp_matches(conv_id, '00$')),
+                   WHERE regexp_matches(conv_id, '00$') AND nonempty),
             e AS (SELECT conv_id, turn_idx, unnest(hs) AS gh FROM g)
             SELECT DISTINCT e.conv_id, e.turn_idx::BIGINT AS turn_idx
             FROM e JOIN ev USING (gh)
@@ -1611,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             g AS (
                 SELECT doc_id,
+                       NOT (len(w) = 1 AND w[1] = '') AS nonempty,
                        CASE WHEN len(w) < 13
                             THEN [md5(array_to_string(w, ' '))]
                             ELSE [md5(array_to_string(w[i : i + 12], ' '))
@@ -1618,7 +1619,7 @@ def oracle_sql() -> dict[str, str]:
                        END AS hs
                 FROM c),
             ev AS (SELECT DISTINCT unnest(hs) AS gh FROM g
-                   WHERE doc_id % 37 = 0),
+                   WHERE doc_id % 37 = 0 AND nonempty),
             e AS (SELECT doc_id, unnest(hs) AS gh FROM g),
             h AS (SELECT e.doc_id, count(*) AS n_hits
                   FROM e JOIN ev USING (gh) GROUP BY 1)
@@ -1633,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             g AS (
                 SELECT doc_id, len(w) AS nt,
+                       NOT (len(w) = 1 AND w[1] = '') AS nonempty,
                        CASE WHEN len(w) < 13
                             THEN [struct_pack(p := 1,
                                   gh := md5(array_to_string(w, ' ')))]
@@ -1644,7 +1646,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM c),
             ev AS (SELECT DISTINCT u.gh AS gh
                    FROM (SELECT unnest(hs) AS u FROM g
-                         WHERE doc_id % 37 = 0)),
+                         WHERE doc_id % 37 = 0 AND nonempty)),
             e AS (SELECT doc_id, nt, unnest(hs) AS u FROM g),
             h AS (SELECT e.doc_id, e.u.p AS w_start,
                          least(e.u.p + 12, e.nt) AS w_end

@@ -31,12 +31,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pdf_parser_spark.corpus.dedup import canonical_text
 
-def _canon_toks(df: DataFrame, text_col: str) -> DataFrame:
+
+def _canon_toks(df: DataFrame, text_col: str,
+                with_id: bool = True) -> DataFrame:
+    cols = (["doc_id"] if with_id else [])
     return df.select(
-        "doc_id",
-        F.split(F.trim(F.regexp_replace(
-            F.lower(F.col(text_col)), r"\s+", " ")), " ").alias("toks"))
+        *cols, F.split(canonical_text(text_col), " ").alias("toks"))
 
 
 def _gram_expr(n: int):
@@ -55,9 +57,15 @@ def _gram_expr(n: int):
 def eval_gram_set(eval_df: DataFrame, n: int = 13,
                   text_col: str = "text") -> DataFrame:
     """Distinct gram-hash relation of the evaluation set — one `gh`
-    column. Small by construction (benchmarks are thousands of docs, not
-    billions); the caller-facing joins broadcast it."""
-    return (_canon_toks(eval_df, text_col)
+    column; only a text column is required of ``eval_df``. Small by
+    construction (benchmarks are thousands of docs, not billions); the
+    caller-facing joins broadcast it. Empty / whitespace-only eval
+    documents are dropped: their whole-text gram is md5(''), which
+    would otherwise flag EVERY empty corpus document as benchmark
+    overlap."""
+    return (eval_df
+            .filter(canonical_text(text_col) != "")
+            .transform(lambda d: _canon_toks(d, text_col, with_id=False))
             .select(F.explode(_gram_expr(n)).alias("gh"))
             .distinct())
 

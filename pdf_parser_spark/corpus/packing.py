@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pdf_parser_spark.corpus.dedup import canonical_text
 from pdf_parser_spark.corpus.scrub import sample_key
 
 PACK_SALT = "pack"
@@ -47,10 +48,12 @@ def pack_sequences(df: DataFrame, budget: int = 2048, n_buckets: int = 64,
 
     Order within a bucket is (hash key, doc_id) — a total order, so the
     running sum is deterministic; changing `PACK_SALT`-style salting
-    draws an independent shuffle epoch."""
+    draws an independent shuffle epoch. Note the shingles convention:
+    an empty document still counts n_tokens=1 (split('') = ['']), the
+    same floor every tokenizing operator in this repo uses — dataloaders
+    see it as a 1-token (EOS-only) entry."""
     key = sample_key("doc_id", PACK_SALT)
-    ntok = F.size(F.split(F.trim(F.regexp_replace(
-        F.lower(F.col(text_col)), r"\s+", " ")), " ")).cast("long")
+    ntok = F.size(F.split(canonical_text(text_col), " ")).cast("long")
     base = df.select(
         "doc_id",
         (key % n_buckets).alias("bucket"),

@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PHONE_RE = r"\+?\d{2,3}[- ]\d{3}[- ]\d{4}"
+# \b sits AFTER the optional plus (a "+" preceded by a space has no word
+# boundary before it) and bounds both digit ends, so phone-shaped
+# substrings inside longer digit runs (card numbers: 4111-111-1111) are
+# rejected instead of partially redacted.
+PHONE_RE = r"\+?\b\d{2,3}[- ]\d{3}[- ]\d{4}\b"
 
 EMAIL_TOKEN = "<EMAIL>"
 IPV4_TOKEN = "<IP>"

@@ -29,12 +29,17 @@ from pyspark.sql.window import Window
 
 
 def _es(name: str) -> F.Column:
-    """Epoch seconds of a timestamp column. Parquet transcript tables
-    carry TIMESTAMP_NTZ, which Spark refuses to cast to BIGINT directly;
-    routing through timestamp_ltz (identity under the UTC session TZ the
-    engine pins in session.py) makes the arithmetic work for both NTZ
-    and LTZ inputs and matches DuckDB's epoch()."""
-    return F.col(name).cast("timestamp_ltz").cast("long")
+    """SESSION-TIMEZONE-INDEPENDENT epoch seconds of a timestamp column.
+    Parquet transcript tables carry TIMESTAMP_NTZ; an ltz-cast route
+    would shift by the session timezone (and, across a DST transition,
+    by DIFFERENT offsets for the two ends of one conversation — breaking
+    even duration differences). timestampdiff against an NTZ origin
+    reads the wall clock as UTC in any session, matching DuckDB's
+    epoch(); LTZ inputs render through the session zone first, which is
+    the identity under the UTC session session.py pins."""
+    return F.expr(
+        "timestampdiff(SECOND, to_timestamp_ntz('1970-01-01 00:00:00'), "
+        f"cast({name} as timestamp_ntz))")
 
 
 def conv_stats(tr: DataFrame) -> DataFrame:

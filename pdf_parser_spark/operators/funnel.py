@@ -87,8 +87,12 @@ def funnel_counts(events: DataFrame, steps: tuple = ("signup", "view",
     """The funnel report: users reaching at least each stage (a second
     tiny rollup over the per-user frame)."""
     st = funnel_stages(events, steps, user_col)
+    # coalesce: sum over the empty global aggregate is null, but a funnel
+    # with no step events reached zero users, not unknown-many
     return (st.groupBy()
-            .agg(*[F.sum(F.when(F.col("max_stage") >= k + 1, 1).otherwise(0))
+            .agg(*[F.coalesce(
+                       F.sum(F.when(F.col("max_stage") >= k + 1, 1)
+                             .otherwise(0)), F.lit(0))
                    .cast("long").alias(f"reached_{s}")
                    for k, s in enumerate(steps)]))
 
@@ -110,5 +114,5 @@ def value_percentiles(events: DataFrame, ps: tuple = (0.5, 0.9, 0.99),
     out = events.groupBy(key_col).agg(agg)
     return out.select(
         key_col,
-        *[F.round(F.col("q").getItem(i), 4).alias(f"p{int(p * 100)}")
+        *[F.round(F.col("q").getItem(i), 4).alias(f"p{round(p * 100)}")
           for i, p in enumerate(ps)])

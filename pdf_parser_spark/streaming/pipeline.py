@@ -91,8 +91,11 @@ def session_window_counts(df: DataFrame, gap: str = "30 minutes",
                           watermark: str = "2 hours") -> DataFrame:
     """Per-conversation session windows over event time via Spark's
     native ``session_window``: a session extends while the next turn
-    arrives strictly within ``gap`` of the previous one; an idle gap of
-    at least ``gap`` closes it (window end = last event + gap). The
+    arrives within ``gap`` of the previous one — an idle interval
+    STRICTLY LARGER than ``gap`` closes it; an exactly-equal interval
+    still merges (verified empirically; window end = last event + gap).
+    The same `>` boundary rule as the batch lag/running-sum sessionize,
+    and the rule the oracle twin encodes. The
     streaming sibling of the batch ``operators.convstats.conv_sessionize``
     — there the boundary rule runs as a lag/running-sum window over
     turn order; here the engine's dynamic-merging session state handles
@@ -103,14 +106,30 @@ def session_window_counts(df: DataFrame, gap: str = "30 minutes",
     Works on a batch frame too (watermark is skipped): same grouping,
     same output, which is what the oracle gate cross-checks. Output:
     ``conv_id, ws_s, we_s, n_turns`` (epoch-second window bounds)."""
+    from pyspark.sql.types import TimestampNTZType
+
     src = df.withWatermark("ts", watermark) if df.isStreaming else df
+    # Session-timezone-independent epoch: an NTZ ts (batch parquet read)
+    # must NOT route through an ltz cast (it would shift by the session
+    # zone — the defect class tools/driver_sim.py exists to catch); an
+    # LTZ ts (the declared streaming schema) is already an instant and
+    # casts to epoch directly.
+    if isinstance(df.schema["ts"].dataType,
+                  TimestampNTZType):
+        def _es(c):
+            return F.expr(
+                "timestampdiff(SECOND, "
+                f"to_timestamp_ntz('1970-01-01 00:00:00'), {c})")
+    else:
+        def _es(c):
+            return F.col(c).cast("long")
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
         .agg(F.count(F.lit(1)).alias("n_turns"))
         .select(
             "conv_id",
-            F.col("w.start").cast("timestamp_ltz").cast("long").alias("ws_s"),
-            F.col("w.end").cast("timestamp_ltz").cast("long").alias("we_s"),
+            _es("w.start").alias("ws_s"),
+            _es("w.end").alias("we_s"),
             "n_turns")
     )
 
@@ -133,10 +152,11 @@ def stream_contamination_hits(stream: DataFrame, eval_grams: DataFrame,
     grain downstream (batch or windowed)."""
     from pdf_parser_spark.corpus.decontam import _gram_expr
 
+    from pdf_parser_spark.corpus.dedup import canonical_text
+
     toks = stream.select(
         "conv_id", "turn_idx",
-        F.split(F.trim(F.regexp_replace(
-            F.lower(F.col(text_col)), r"\s+", " ")), " ").alias("toks"))
+        F.split(canonical_text(text_col), " ").alias("toks"))
     grams = toks.select(
         "conv_id", "turn_idx", F.explode(_gram_expr(n)).alias("gh"))
     return grams.join(F.broadcast(eval_grams), "gh", "left_semi")

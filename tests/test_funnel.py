@@ -55,3 +55,28 @@ def test_value_percentiles_exact(spark):
     # linear interpolation over 1..100: p = 1 + p*(99)
     assert got["a"] == (50.5, 90.1, 99.01)
     assert got["b"] == (5.0, 5.0, 5.0)
+
+
+def test_funnel_counts_empty_input_is_zero(spark):
+    df = spark.createDataFrame(
+        [(9, "click", _t(10))], "user_id long, event_type string, ts timestamp")
+    r = FN.funnel_counts(df).first()
+    assert (r.reached_signup, r.reached_view, r.reached_purchase) == (0, 0, 0)
+
+
+def test_value_percentiles_labels_do_not_truncate(spark):
+    df = spark.createDataFrame([("a", 1.0)], "event_type string, value double")
+    cols = FN.value_percentiles(df, ps=(0.29, 0.58)).columns
+    assert cols == ["event_type", "p29", "p58"]
+
+
+def test_decontam_empty_eval_doc_flags_nothing(spark):
+    from pdf_parser_spark.corpus import decontam as DC
+    corpus = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "real text here")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(9, "  "), (10, None)],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.contaminated
+           for r in DC.decontaminate(corpus, ev, n=13).collect()}
+    assert got == {0: False, 1: False, 2: False}

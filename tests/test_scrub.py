@@ -76,3 +76,14 @@ def test_stratified_sample_per_stratum_rule(spark):
     for i in got:
         kept_by.setdefault(rows[i][1], []).append(i)
     assert len(kept_by["en"]) > len(kept_by["de"]) > len(kept_by["zz"]) > 0
+
+
+def test_pii_scrub_rejects_digit_run_substrings(spark):
+    """A phone-shaped substring inside a longer digit run (card number)
+    must not be partially redacted."""
+    df = spark.createDataFrame(
+        [(0, "card 4111-111-1111 stays, call +41 555-0100 goes")],
+        "doc_id long, text string")
+    r = SC.pii_scrub(df).collect()[0]
+    assert r.n_phones == 1
+    assert "4111-111-1111" in r.text and "<PHONE>" in r.text

@@ -957,9 +957,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_kmeans_topk"] = q_ivf_kmeans_topk
 
-    # product quantization: same iterative-k-means rationale as above —
-    # rows-only check; compression accuracy is evidenced in
-    # tools/ann_recall.py (ADC recall vs exact top-k at m bytes/vector)
+    # product quantization stays rows-only: codes are exact integer
+    # argmins over BLAS-computed distances (no rounding tolerance, so
+    # cross-engine float reassociation could flip one); compression
+    # accuracy is evidenced in tools/ann_recall.py. The k-means IVF
+    # gates above DO have full oracles via tools/annoracle.py.
     def q_pq_encode(spark, sf_dir):
         embs = _tbl(spark, sf_dir, "embeddings")
         cb = S.pq_codebooks(embs)
@@ -998,6 +1000,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     ensure_goldens(ORACLE_SF)
     g = _golden
+    # k-means codebook reproduced WITHOUT Spark (pandas read + pure-
+    # Python xxhash64 sample order + the same lloyd_spherical) and
+    # embedded as literals — upgrades the k-means ANN gates from
+    # rows-only to full value-hash checks (see tools/annoracle.py)
+    from tools.annoracle import centroid_values_sql, kmeans_centroids
+    km_values = centroid_values_sql(kmeans_centroids(
+        f"/root/testdata/sf{ORACLE_SF}/embeddings.parquet"))
+    km_cents = f"""
+            kraw AS (SELECT centroid_id, cvec FROM {km_values}),
+            cents AS (
+                SELECT centroid_id, cvec,
+                       sqrt(list_inner_product(cvec, cvec)) AS cnorm
+                FROM kraw)"""
     kw_clause = " OR ".join(
         f"contains(lower(text), '{k}')" for k in _KW)
     lang_scores = ",\n".join(
@@ -2040,6 +2055,55 @@ def oracle_sql() -> dict[str, str]:
             cents AS (
                 SELECT vec_id AS centroid_id, e AS cvec, norm AS cnorm
                 FROM nrm ORDER BY vec_id LIMIT 16),
+            scored AS (
+                SELECT n.vec_id, c.centroid_id,
+                       round(list_inner_product(n.e, c.cvec)
+                             / (n.norm * c.cnorm), 6) AS cscore
+                FROM nrm n, cents c),
+            best AS (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cscore DESC, centroid_id ASC) AS rn
+                FROM scored),
+            assign AS (SELECT vec_id, centroid_id FROM best WHERE rn = 1),
+            q AS (SELECT e AS qe, norm AS qn FROM nrm WHERE vec_id = 0),
+            qprobe AS (
+                SELECT c.centroid_id
+                FROM cents c, q
+                ORDER BY round(list_inner_product(c.cvec, q.qe)
+                               / (c.cnorm * q.qn), 6) DESC, c.centroid_id ASC
+                LIMIT 2),
+            cand AS (
+                SELECT n.vec_id, n.e, n.norm
+                FROM nrm n
+                JOIN assign a ON n.vec_id = a.vec_id
+                JOIN qprobe p ON a.centroid_id = p.centroid_id)
+            SELECT vec_id,
+                   round(list_inner_product(e, qe) / (norm * qn), 4) AS score
+            FROM cand, q
+            WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "ann_ivf_kmeans_assign": f"""
+            WITH {_VEC_CTES},
+            {km_cents},
+            scored AS (
+                SELECT n.vec_id, c.centroid_id,
+                       round(list_inner_product(n.e, c.cvec)
+                             / (n.norm * c.cnorm), 6) AS cscore
+                FROM nrm n, cents c),
+            best AS (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cscore DESC, centroid_id ASC) AS rn
+                FROM scored)
+            SELECT vec_id, centroid_id::BIGINT AS centroid_id
+            FROM best WHERE rn = 1
+        """,
+        "ann_ivf_kmeans_topk": f"""
+            WITH {_VEC_CTES},
+            {km_cents},
             scored AS (
                 SELECT n.vec_id, c.centroid_id,
                        round(list_inner_product(n.e, c.cvec)

@@ -158,6 +158,16 @@ def kmeans_codebook(df: DataFrame, n_centroids: int = 16, iters: int = 10,
         .collect()
     )
     x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return lloyd_spherical(x, n_centroids, iters)
+
+
+def lloyd_spherical(x: "np.ndarray", n_centroids: int, iters: int) -> list:
+    """The pure-NumPy Lloyd step of `kmeans_codebook`, factored out so
+    the DuckDB oracle generator can derive the IDENTICAL codebook from
+    the same sample (pandas parquet read + the pure-Python xxhash64
+    twin in tools/annoracle.py) and embed it as SQL literals — which is
+    what upgrades the k-means ANN gates from rows-only to full
+    value-hash checks."""
     norms = np.linalg.norm(x, axis=1)
     x = x[norms > 0] / norms[norms > 0, None]
     k = min(n_centroids, len(x))

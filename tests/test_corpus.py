@@ -585,3 +585,33 @@ def test_dup_passage_stride(spark):
     sub = TS.dup_passage_stats(df, win=5, stride=3).collect()[0]
     assert full.n_windows == 26 and sub.n_windows == 9
     assert sub.n_dup_windows == 0
+
+
+def test_annoracle_xxhash64_matches_spark(spark):
+    """The pure-Python xxhash64 twin must match Spark's F.xxhash64 on
+    longs — it defines the oracle-side k-means sample order."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from annoracle import xxhash64_long
+
+    ids = [0, 1, 2, 42, 499, 123456789, -1, -987654321, 2**62]
+    got = {r.v: r.h for r in spark.createDataFrame(
+        [(i,) for i in ids], "v long")
+        .select("v", F.xxhash64("v").alias("h")).collect()}
+    for i in ids:
+        assert xxhash64_long(i) == got[i], i
+
+
+def test_annoracle_codebook_matches_engine(spark):
+    """tools.annoracle.kmeans_centroids (pandas + python xxhash64) must
+    reproduce similarity.kmeans_codebook (Spark sample) byte-for-byte."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from annoracle import kmeans_centroids
+
+    from pdf_parser_spark.corpus import similarity as S
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    a = S.kmeans_codebook(spark.read.parquet(path))
+    b = kmeans_centroids(path)
+    assert a == b

@@ -758,6 +758,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pricing_summary"] = q_pricing_summary
 
+    def q_retention_cohorts(spark, sf_dir):
+        return _longify(FN.retention_cohorts(_tbl(spark, sf_dir, "events")))
+
+    q["retention_cohorts"] = q_retention_cohorts
+
+    def q_split_assign(spark, sf_dir):
+        return _longify(SC.split_assign(
+            _tbl(spark, sf_dir, "documents"), 0.1, 0.1)
+            .select("doc_id", "lang", "split"))
+
+    q["split_assign"] = q_split_assign
+
     def q_top_revenue_orders(spark, sf_dir):
         return _longify(R.top_revenue_orders(
             _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders"),
@@ -1440,6 +1452,27 @@ def oracle_sql() -> dict[str, str]:
                    o_orderpriority
             FROM j
             ORDER BY rev DESC, o_orderdate ASC, o_orderkey ASC LIMIT 10
+        """,
+        "retention_cohorts": """
+            WITH act AS (
+                SELECT DISTINCT user_id,
+                       (epoch_us(ts) // 86400000000)::BIGINT AS day
+                FROM events),
+            cohort AS (SELECT user_id, min(day) AS cohort_day FROM act
+                       GROUP BY 1)
+            SELECT c.cohort_day, (a.day - c.cohort_day)::BIGINT AS day_offset,
+                   count(*)::BIGINT AS n_users
+            FROM act a JOIN cohort c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "split_assign": f"""
+            SELECT doc_id, lang,
+                   CASE WHEN ('0x' || substr(md5(doc_id || ':split'), 1, 8))
+                             ::UBIGINT < {int(0.1 * 2 ** 32)} THEN 'val'
+                        WHEN ('0x' || substr(md5(doc_id || ':split'), 1, 8))
+                             ::UBIGINT < {int(0.2 * 2 ** 32)} THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents
         """,
         "funnel_stages": """
             WITH e AS (

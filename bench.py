@@ -97,6 +97,10 @@ def main() -> None:
             TS.dup_passage_stats(docs, win=20)),
         "funnel_stages": lambda: force_count(FN.funnel_stages(events)),
         "pricing_summary": lambda: force_count(R.pricing_summary(lineitem)),
+        "retention_cohorts": lambda: force_count(
+            FN.retention_cohorts(events)),
+        "split_assign": lambda: force_count(
+            SC.split_assign(docs, 0.1, 0.1)),
         "conv_stats": lambda: force_count(CS.conv_stats(transcripts)),
         "session_stats": lambda: force_count(
             CS.session_stats(transcripts, gap_s=3600)),

@@ -105,3 +105,21 @@ def stratified_sample(df: DataFrame, fractions: dict,
         thr = F.when(F.col(strata_col) == value,
                      F.lit(int(frac * _KEYSPACE))).otherwise(thr)
     return df.filter(sample_key(key_col, salt) < thr)
+
+
+def split_assign(df: DataFrame, val_frac: float = 0.01,
+                 test_frac: float = 0.01, key_col: str = "doc_id",
+                 salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment — the other sampling
+    primitive every training pipeline needs: the held-out sets must stay
+    IDENTICAL across reruns, repartitions, and engines or eval numbers
+    silently drift. Same md5-keyspace rule as `deterministic_sample`:
+    the lowest ``val_frac`` of the keyspace is `val`, the next
+    ``test_frac`` is `test`, the rest `train`. Pure codegen projection,
+    zero shuffle; change ``salt`` to redraw the split."""
+    key = sample_key(key_col, salt)
+    v = int(val_frac * _KEYSPACE)
+    t = v + int(test_frac * _KEYSPACE)
+    return df.withColumn(
+        "split",
+        F.when(key < v, "val").when(key < t, "test").otherwise("train"))

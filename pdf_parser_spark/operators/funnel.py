@@ -116,3 +116,25 @@ def value_percentiles(events: DataFrame, ps: tuple = (0.5, 0.9, 0.99),
         key_col,
         *[F.round(F.col("q").getItem(i), 4).alias(f"p{round(p * 100)}")
           for i, p in enumerate(ps)])
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Cohort retention matrix — the third classic event-analytics query
+    (funnel, percentile, retention): users are cohorted by their first
+    active UTC day; each (cohort_day, day_offset) cell counts the cohort
+    members active that many days later. Days are integer epoch days
+    derived through the tz-independent `_epoch_us`, so the matrix is
+    engine- and session-portable.
+
+    Three partial-agg shuffles on uniform keys — distinct (user, day)
+    activity, per-user min for the cohort, and the final cell rollup
+    (a plain count: activity is already distinct). The activity frame
+    is the largest thing shuffled and it is two longs per user-day."""
+    day = F.floor(_epoch_us(ts_col) / F.lit(86400000000)).cast("long")
+    act = events.select(F.col(user_col), day.alias("day")).distinct()
+    cohort = act.groupBy(user_col).agg(F.min("day").alias("cohort_day"))
+    return (act.join(cohort, user_col)
+            .groupBy("cohort_day",
+                     (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))

@@ -80,3 +80,26 @@ def test_decontam_empty_eval_doc_flags_nothing(spark):
     got = {r.doc_id: r.contaminated
            for r in DC.decontaminate(corpus, ev, n=13).collect()}
     assert got == {0: False, 1: False, 2: False}
+
+
+def test_retention_cohorts(spark):
+    from datetime import timedelta
+
+    def _d(days, s=0):
+        return datetime(2024, 1, 1) + timedelta(days=days, seconds=s)
+
+    rows = [
+        # u0: first day 0, active days 0, 1, 3
+        (0, "view", _d(0)), (0, "view", _d(0, 10)), (0, "click", _d(1, 5)),
+        (0, "view", _d(3, 1)),
+        # u1: first day 1, active days 1, 3
+        (1, "view", _d(1)), (1, "error", _d(3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    base = 1704067200 // 86400  # 2024-01-01 epoch day
+    got = {(r.cohort_day, r.day_offset): r.n_users
+           for r in FN.retention_cohorts(df).collect()}
+    assert got == {
+        (base, 0): 1, (base, 1): 1, (base, 3): 1,
+        (base + 1, 0): 1, (base + 1, 2): 1,
+    }

@@ -87,3 +87,23 @@ def test_pii_scrub_rejects_digit_run_substrings(spark):
     r = SC.pii_scrub(df).collect()[0]
     assert r.n_phones == 1
     assert "4111-111-1111" in r.text and "<PHONE>" in r.text
+
+
+def test_split_assign_partitions_and_is_stable(spark):
+    rows = [(i, f"t{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.split
+           for r in SC.split_assign(df, 0.1, 0.1).collect()}
+    exp = {}
+    for i, _ in rows:
+        k = _key(i, "split")
+        exp[i] = ("val" if k < int(0.1 * 2 ** 32)
+                  else "test" if k < int(0.2 * 2 ** 32) else "train")
+    assert got == exp
+    from collections import Counter
+    c = Counter(got.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] > 0 and c["test"] > 0
+    got2 = {r.doc_id: r.split
+            for r in SC.split_assign(df.repartition(9), 0.1, 0.1).collect()}
+    assert got2 == got

@@ -279,6 +279,17 @@ def main() -> None:
     )
 
     audit(
+        "Retention cohort matrix (three partial-agg shuffles)",
+        FN.retention_cohorts(events),
+        forbids=[r"CartesianProduct", r"ArrowEvalPython", r"BatchEvalPython",
+                 r"Exchange SinglePartition"],
+        note=("Distinct (user, day) activity, per-user min cohort, and "
+              "the cell rollup — every exchange is a uniform-key partial "
+              "agg over two-long rows; the events table itself is read "
+              "once and only (user_id, epoch_day) pairs ever move."),
+    )
+
+    audit(
         "Conversation stats rollup (curation grain)",
         CS.conv_stats(tr),
         requires=[r"\) Exchange", r"hashpartitioning\(conv_id"],

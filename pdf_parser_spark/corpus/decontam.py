@@ -43,7 +43,17 @@ def _canon_toks(df: DataFrame, text_col: str,
 
 def _gram_expr(n: int):
     """Array of md5 hashes for every n-token window (whole text when
-    shorter than n) — one per position, the dup_passage_stats shape."""
+    shorter than n) — one per position.
+
+    CONTRACT NOTE: the window convention (positions 1..len-n+1, whole
+    text as one window when shorter) is shared with `dedup.shingles`
+    (string shingles, distinct per doc) and
+    `textstats.dup_passage_stats` (hashed windows, stride support).
+    The three operators need different output shapes (hashed array here,
+    exploded distinct strings there, strided positions there), so the
+    expression lives in three specialized forms; any change to the
+    convention must land in all three — each is pinned by its own
+    oracle gate, so a drift fails CORRECTNESS, not silently."""
     return F.expr(
         f"""
         case when size(toks) < {n} then array(md5(array_join(toks, ' ')))

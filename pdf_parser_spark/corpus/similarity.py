@@ -11,8 +11,16 @@
   pair generation goes through the LSH buckets (join on bucket), never a
   full cross join.
 
-All arithmetic is promoted to double before any sum so results are
-bit-stable across engines; scores are rounded to 4dp for oracle hashing.
+All cosine/score arithmetic is promoted to double before any sum, and the
+SQL paths use an explicit left-fold so summation order (and therefore the
+rounded score) is bit-stable across engines. One documented exception:
+`lsh_buckets` projects with a BLAS matmul whose reassociated sums can, for
+a projection within float-reassociation distance of 0, flip a `> 0` sign
+bit vs the oracle's sequential sum — accepted because the matmul is the
+measured 2.3× scale win, a hyperplane LSH bucket is itself a probabilistic
+structure (a hair-off-zero projection is a coin flip in either engine),
+and the gates pass on real data; scores everywhere are rounded (4dp/6dp)
+for oracle hashing.
 """
 
 import numpy as np
@@ -31,7 +39,19 @@ _NORM = ("sqrt(aggregate({a}, cast(0.0 as double), "
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.withColumn("norm", F.expr(_NORM.format(a=vec_col)))
+    """Attach the L2 norm AND drop rows that cannot participate in
+    cosine scoring: null / empty / all-zero embeddings. Without the
+    guard one zero-norm vector (failed embedding jobs commonly emit
+    them) turns every cosine into a division by zero — which under
+    Spark 4's default ANSI mode is not a NaN but a job-killing
+    SparkArithmeticException — and a null embedding's NULL scores
+    degenerate max_by-style argmax picks (ivf_assign was flooding cell
+    0 with junk rows). Exclusion is the principled semantics: such
+    vectors have no direction, so no similarity query can rank them."""
+    return (df.filter(F.col(vec_col).isNotNull()
+                      & (F.size(F.col(vec_col)) > 0))
+            .withColumn("norm", F.expr(_NORM.format(a=vec_col)))
+            .filter(F.col("norm") > 0))
 
 
 def cosine(a: str, b: str, norm_a: str, norm_b: str) -> F.Column:
@@ -136,6 +156,26 @@ def lsh_topk(df: DataFrame, query_id: int = 0, k: int = 10, planes: int = 8,
     return brute_topk(candidates, query_id=query_id, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def _hash_sample(df: DataFrame, sample_cap: int, id_col: str,
+                 vec_col: str) -> "np.ndarray":
+    """THE codebook sampling contract, in one place: filter null/empty,
+    order by (xxhash64(id), id), cap, collect. `orderBy+limit` compiles
+    to TakeOrdered (per-partition heap + driver merge — no full sort)
+    and the collect is bounded by ``sample_cap`` regardless of corpus
+    size. tools/annoracle.kmeans_centroids reproduces this byte-for-byte
+    without Spark (pandas + a pure-Python xxhash64 twin) for the oracle
+    gates — any change here must land there too (and is caught by
+    tests/test_corpus.py::test_annoracle_codebook_matches_engine)."""
+    rows = (
+        df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(sample_cap)
+        .collect()
+    )
+    return np.array([r[vec_col] for r in rows], dtype=np.float64)
+
+
 def kmeans_codebook(df: DataFrame, n_centroids: int = 16, iters: int = 10,
                     sample_cap: int = 4096, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> list:
@@ -150,14 +190,7 @@ def kmeans_codebook(df: DataFrame, n_centroids: int = 16, iters: int = 10,
     Deterministic end to end: hash-ordered sample, first-k init, argmax
     ties toward the lower centroid index, empty clusters keep their
     previous centroid. Returns a list of unit-norm centroid vectors."""
-    rows = (
-        df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
-        .select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(sample_cap)
-        .collect()
-    )
-    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    x = _hash_sample(df, sample_cap, id_col, vec_col)
     return lloyd_spherical(x, n_centroids, iters)
 
 
@@ -297,8 +330,15 @@ def ivf_pq_topk(df: DataFrame, query_id: int = 0, k: int = 10,
                                  id_col, vec_col, codebook)
     if pq_cb is None:
         pq_cb = pq_codebooks(df, id_col=id_col, vec_col=vec_col)
+    # Fetch the query vector from the BASE table (a pushed-down id-filter
+    # scan) and hand it down: letting pq_adc_topk .first() the candidate
+    # frame would execute the whole IVF assign+probe pipeline as an extra
+    # job just to collect one row, then re-execute it for the top-k.
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None or qrow[vec_col] is None or not len(qrow[vec_col]):
+        return df.sparkSession.createDataFrame([], f"{id_col} long, score double")
     return pq_adc_topk(cand, query_id=query_id, k=k, codebooks=pq_cb,
-                       id_col=id_col, vec_col=vec_col)
+                       id_col=id_col, vec_col=vec_col, qvec=qrow[vec_col])
 
 
 def pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 256, iters: int = 10,
@@ -313,14 +353,7 @@ def pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 256, iters: int = 10,
     ties toward the lower code, empty cells keep their centroid). Returns
     ``m`` lists of ``ksub`` sub-centroids; total size m*ksub*(d/m) floats
     — a broadcast-trivial object even for 1024-dim embeddings."""
-    rows = (
-        df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
-        .select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(sample_cap)
-        .collect()
-    )
-    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    x = _hash_sample(df, sample_cap, id_col, vec_col)
     norms = np.linalg.norm(x, axis=1)
     x = x[norms > 0] / norms[norms > 0, None]
     d = x.shape[1]
@@ -387,7 +420,8 @@ def pq_encode(df: DataFrame, codebooks: list, id_col: str = "vec_id",
 
 def pq_adc_topk(df: DataFrame, query_id: int = 0, k: int = 10,
                 codebooks: list | None = None, m: int = 8, ksub: int = 256,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qvec=None) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: the query stays a full
     vector; every candidate's (approximate, unit-normalized) cosine is a
     sum of ``m`` lookup-table entries LUT[j, code_j] where
@@ -401,8 +435,15 @@ def pq_adc_topk(df: DataFrame, query_id: int = 0, k: int = 10,
     if codebooks is None:
         codebooks = pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
                                  vec_col=vec_col)
-    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).first()
-    q = np.asarray(qrow[vec_col], dtype=np.float64)
+    if qvec is None:
+        qrow = df.filter(F.col(id_col) == query_id).select(vec_col).first()
+        if qrow is None or qrow[vec_col] is None or not len(qrow[vec_col]):
+            # consistent with brute_topk/lsh_topk: a missing (or
+            # direction-free) query ranks nothing, it doesn't crash
+            return df.sparkSession.createDataFrame(
+                [], f"{id_col} long, score double")
+        qvec = qrow[vec_col]
+    q = np.asarray(qvec, dtype=np.float64)
     qn = np.linalg.norm(q)
     if qn > 0:
         q = q / qn

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pdf_parser_spark.operators.funnel import _epoch_us
+
 
 def _cents(col: str) -> F.Column:
     return F.round(F.col(col) * 100).cast("long")
@@ -101,9 +103,5 @@ def top_revenue_orders(customer: DataFrame, orders: DataFrame,
             .limit(k)
             .select("o_orderkey",
                     F.round(F.col("rev_c2") / 10000, 2).alias("revenue"),
-                    F.expr(
-                        "timestampdiff(MICROSECOND, "
-                        "to_timestamp_ntz('1970-01-01 00:00:00'), "
-                        "cast(o_orderdate as timestamp_ntz))")
-                    .alias("odate_us"),
+                    _epoch_us("o_orderdate").alias("odate_us"),
                     "o_orderpriority"))

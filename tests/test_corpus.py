@@ -615,3 +615,22 @@ def test_annoracle_codebook_matches_engine(spark):
     a = S.kmeans_codebook(spark.read.parquet(path))
     b = kmeans_centroids(path)
     assert a == b
+
+
+def test_similarity_guards_zero_and_null_vectors(spark):
+    """Null / empty / all-zero embeddings must be excluded, not crash
+    (ANSI divide-by-zero) or pollute IVF cells with NULL-score junk."""
+    from pdf_parser_spark.corpus import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None), (4, []),
+         (5, [0.0, 0.0]), (6, [0.5, 0.5])],
+        "vec_id long, embedding array<double>")
+    top = S.brute_topk(df, query_id=1, k=10).collect()
+    assert sorted(r.vec_id for r in top) == [2, 6]
+    assign = {r.vec_id: r.centroid_id
+              for r in S.ivf_assign(df, n_centroids=2).collect()}
+    assert sorted(assign) == [1, 2, 6]
+    # missing / direction-free query: empty result, not a crash
+    assert S.pq_adc_topk(df, query_id=99, m=2, ksub=4).count() == 0
+    assert S.pq_adc_topk(df, query_id=3, m=2, ksub=4).count() == 0

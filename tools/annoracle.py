@@ -33,7 +33,11 @@ def _rotl(x: int, r: int) -> int:
 
 
 def xxhash64_long(v: int, seed: int = 42) -> int:
-    """Spark-compatible xxhash64 of a BIGINT column value."""
+    """Spark-compatible xxhash64 of a BIGINT column value. ``v`` is
+    coerced to a Python int first: pandas .map hands over np.int64, and
+    under NumPy >= 2 (NEP 50) mixing that with Python ints above 2^63
+    raises OverflowError instead of silently promoting."""
+    v = int(v)
     h = (seed + _P5 + 8) & _M
     k1 = (v & _M) * _P2 & _M
     k1 = _rotl(k1, 31) * _P1 & _M

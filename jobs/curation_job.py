@@ -1,0 +1,106 @@
+"""CLI corpus curation job: the spark-submit surface for the
+post-filter, pre-tokenization stages of a training-data pipeline, in
+the order production pipelines run them:
+
+    1. PII scrub           (redact emails/IPs/phones to typed tokens)
+    2. decontamination     (drop docs sharing 13-grams with the eval set)
+    3. split assignment    (deterministic train/val/test banding)
+    4. sequence packing    (concat-then-chunk layout for the dataloader)
+
+    spark-submit --py-files engine.zip jobs/curation_job.py \\
+        --input  /path/to/documents_ds \\
+        --eval   /path/to/benchmark_ds \\
+        --output /path/to/curated_ds \\
+        [--ngram 13] [--val-frac 0.01] [--test-frac 0.01] \\
+        [--budget 2048] [--buckets 64] [--mask-report /path]
+
+Stages 1 and 3 are pure codegen projections (they fuse into the scan);
+stage 2's only exchange carries contamination hits; stage 4 adds one
+bucket exchange — so the whole job costs roughly one read, one window,
+one write at any scale. Prints a per-stage funnel report from counts
+the job computes anyway. ``--mask-report`` additionally writes the
+merged contaminated token spans (the masking alternative to dropping).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="corpus curation job")
+    p.add_argument("--input", required=True, help="documents table/path")
+    p.add_argument("--eval", required=True,
+                   help="benchmark/eval documents table/path")
+    p.add_argument("--output", required=True, help="curated output")
+    p.add_argument("--ngram", type=int, default=13)
+    p.add_argument("--val-frac", type=float, default=0.01)
+    p.add_argument("--test-frac", type=float, default=0.01)
+    p.add_argument("--budget", type=int, default=2048)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--mask-report", default=None,
+                   help="also write merged contaminated token spans here")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = SparkSession.builder.appName("curation-job").getOrCreate()
+
+    from pdf_parser_spark.corpus import decontam as DC
+    from pdf_parser_spark.corpus import packing as PK
+    from pdf_parser_spark.corpus import scrub as SC
+    from pdf_parser_spark.io import read_table, write_table
+
+    docs = read_table(spark, args.input)
+    ev = read_table(spark, args.eval)
+    n_in = docs.count()
+
+    scrubbed = SC.pii_scrub(docs, text_col=args.text_col)
+    n_pii = scrubbed.filter(
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0).count()
+
+    kept = DC.decontaminated_keep(scrubbed, ev, n=args.ngram,
+                                  text_col=args.text_col)
+    if args.mask_report:
+        write_table(
+            DC.contamination_spans(scrubbed, ev, n=args.ngram,
+                                   text_col=args.text_col),
+            args.mask_report)
+
+    # Scratch-materialize the kept set ONCE: both the split projection
+    # and the packing window would otherwise re-run scrub+decontam (the
+    # same double-pass near_dedup_keep_docs once had — scratch parquet
+    # beats .persist() here for the stats/broadcast reasons documented
+    # in BASELINE.md).
+    scratch = args.output.rstrip("/") + "_kept_scratch"
+    write_table(kept, scratch)
+    kept_m = read_table(spark, scratch)
+
+    split = SC.split_assign(kept_m, args.val_frac, args.test_frac,
+                            key_col=args.id_col)
+    layout = PK.pack_sequences(kept_m, budget=args.budget,
+                               n_buckets=args.buckets,
+                               text_col=args.text_col) \
+        .select(args.id_col, "bucket", "tok_start", "seq_id", "n_seqs")
+    curated = split.join(layout, args.id_col)
+    write_table(curated, args.output)
+
+    out = read_table(spark, args.output)
+    n_out = out.count()
+    by_split = {r.split: r.n for r in
+                out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+    print(f"curation funnel: in={n_in} pii_docs={n_pii} "
+          f"kept={n_out} dropped_contaminated={n_in - n_out} "
+          f"splits={by_split}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

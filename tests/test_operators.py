@@ -398,3 +398,39 @@ def test_dedup_job_cli(spark, tmp_path):
                      "--method", "minhash", "--threshold", "0.5"]) == 0
     kept = sorted(r.doc_id for r in read_table(spark, out).collect())
     assert kept == [0, 2]
+
+
+def test_curation_job_cli(spark, tmp_path):
+    """The curation CLI: PII scrubbed, contaminated docs dropped, every
+    survivor gets a split label and a packing position."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    from curation_job import main as job_main
+
+    from pdf_parser_spark.io import read_table, write_table
+
+    doc_rows = [
+        (0, "mail me at a@b.co " + " ".join(f"w{i}" for i in range(20))),
+        (1, "clean document " + " ".join(f"x{i}" for i in range(20))),
+        (2, " ".join(f"leak{i}" for i in range(13)) + " trailing words"),
+    ]
+    ev_rows = [(100, " ".join(f"leak{i}" for i in range(13)))]
+    src = str(tmp_path / "docs_in")
+    evp = str(tmp_path / "eval_in")
+    write_table(spark.createDataFrame(doc_rows, "doc_id long, text string"), src)
+    write_table(spark.createDataFrame(ev_rows, "doc_id long, text string"), evp)
+
+    out = str(tmp_path / "curated")
+    mask = str(tmp_path / "mask")
+    assert job_main(["--input", src, "--eval", evp, "--output", out,
+                     "--mask-report", mask, "--budget", "16",
+                     "--buckets", "2"]) == 0
+    got = {r.doc_id: r for r in read_table(spark, out).collect()}
+    assert sorted(got) == [0, 1]          # doc 2 dropped (eval overlap)
+    assert "<EMAIL>" in got[0].text and "a@b.co" not in got[0].text
+    assert all(r.split in ("train", "val", "test") for r in got.values())
+    assert all(r.n_seqs >= 1 and r.tok_start >= 0 for r in got.values())
+    spans = read_table(spark, mask).collect()
+    assert [s.doc_id for s in spans] == [2]
+    assert spans[0].tok_start == 1 and spans[0].tok_end == 13

@@ -770,6 +770,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["split_assign"] = q_split_assign
 
+    def q_centroid_by_label(spark, sf_dir):
+        return _longify(S.centroid_by_label(
+            _tbl(spark, sf_dir, "embeddings")))
+
+    q["centroid_by_label"] = q_centroid_by_label
+
+    def q_curated_extract(spark, sf_dir):
+        # conversation-health curation GATES extraction: conversations
+        # over the turn cap (the mega-conversation) are dropped before
+        # the extraction map ever sees them — the pre-extraction filter
+        # the north rule's curation grain exists for
+        tr = _transcripts(spark, sf_dir)
+        keep = (CS.conv_stats(tr)
+                .filter(F.col("n_turns") <= 100).select("conv_id"))
+        src = tr.join(keep, "conv_id")
+        return _longify(
+            extract_layouts(src).select(
+                "conv_id", "turn_idx", "page_number", "left_column",
+                F.map_contains_key("metadata", "error").cast("long")
+                .alias("is_error")))
+
+    q["curated_extraction"] = q_curated_extract
+
     def q_top_revenue_orders(spark, sf_dir):
         return _longify(R.top_revenue_orders(
             _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders"),
@@ -1452,6 +1475,34 @@ def oracle_sql() -> dict[str, str]:
                    o_orderpriority
             FROM j
             ORDER BY rev DESC, o_orderdate ASC, o_orderkey ASC LIMIT 10
+        """,
+        "centroid_by_label": """
+            WITH v AS (
+                SELECT label, [x::DOUBLE FOR x IN embedding] AS e
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) > 0),
+            d AS (
+                SELECT label, unnest(range(1, len(e) + 1)) AS i, e
+                FROM v),
+            a AS (
+                SELECT label, i - 1 AS dim, avg(e[i]) AS m,
+                       count(*) AS cnt
+                FROM d GROUP BY 1, 2)
+            SELECT label,
+                   max(CASE WHEN dim = 0 THEN cnt END)::BIGINT AS n_vecs,
+                   list(round(m, 6) ORDER BY dim) AS centroid
+            FROM a GROUP BY label
+        """,
+        "curated_extraction": f"""
+            WITH keep AS (
+                SELECT conv_id
+                FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet')
+                GROUP BY conv_id HAVING count(*) <= 100)
+            SELECT l.conv_id, l.turn_idx::BIGINT AS turn_idx,
+                   l.page_number::BIGINT AS page_number, l.left_column,
+                   l.is_error::BIGINT AS is_error
+            FROM read_parquet('{g("layouts")}') l
+            JOIN keep USING (conv_id)
         """,
         "retention_cohorts": """
             WITH act AS (

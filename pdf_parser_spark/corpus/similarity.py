@@ -550,3 +550,32 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def centroid_by_label(df: DataFrame, key_col: str = "label",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Per-group embedding centroids (element-wise mean) — the domain/
+    cluster summary a curation pipeline uses for mixture balancing,
+    outlier scoring, and drift monitoring. Null/empty vectors are
+    excluded (no direction to average); zero vectors participate (a
+    mean is defined for them, unlike a cosine).
+
+    Distributed shape: posexplode to (label, dim, val) feeds ONE
+    partial-agg shuffle — each map task pre-aggregates to at most
+    n_labels x dims rows regardless of input size, so the exchange
+    carries group summaries, not vectors. The per-label count rides the
+    same pass (taken at dim 0), and the final array reassembles via a
+    sorted collect_list of (dim, mean) pairs — n_labels rows of work.
+    Elements round to 6dp for cross-engine hashing."""
+    base = df.filter(F.col(vec_col).isNotNull()
+                     & (F.size(F.col(vec_col)) > 0))
+    dims = base.select(
+        key_col, F.posexplode(vec_col).alias("dim", "val"))
+    agg = (dims.groupBy(key_col, "dim")
+           .agg(F.avg(F.col("val").cast("double")).alias("m"),
+                F.count(F.lit(1)).alias("cnt")))
+    return (agg.groupBy(key_col)
+            .agg(F.max(F.when(F.col("dim") == 0, F.col("cnt")))
+                 .cast("long").alias("n_vecs"),
+                 F.expr("transform(sort_array(collect_list(struct(dim, m))), "
+                        "s -> round(s.m, 6))").alias("centroid")))

@@ -634,3 +634,17 @@ def test_similarity_guards_zero_and_null_vectors(spark):
     # missing / direction-free query: empty result, not a crash
     assert S.pq_adc_topk(df, query_id=99, m=2, ksub=4).count() == 0
     assert S.pq_adc_topk(df, query_id=3, m=2, ksub=4).count() == 0
+
+
+def test_centroid_by_label(spark):
+    from pdf_parser_spark.corpus import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0], 0), (2, [3.0, 5.0], 0), (3, [10.0, 0.0], 1),
+         (4, None, 1), (5, [], 0), (6, [0.0, 0.0], 1)],
+        "vec_id long, embedding array<double>, label int")
+    got = {r.label: (r.n_vecs, r.centroid)
+           for r in S.centroid_by_label(df).collect()}
+    # null/empty excluded; zero vector participates in a mean
+    assert got[0] == (2, [2.0, 4.0])
+    assert got[1] == (2, [5.0, 0.0])

@@ -83,6 +83,7 @@ def main() -> None:
         "text_quality": lambda: TS.quality_scores(docs)
         .agg(F.sum("n_tokens")).first()[0],
         "ann_lsh_topk": lambda: force_count(S.lsh_topk(embs, k=10)),
+        "centroid_by_label": lambda: force_count(S.centroid_by_label(embs)),
         # new in round 2 (no round-1 comparator in BASELINE.md)
         "near_dedup_keep": lambda: force_count(
             D.near_dedup_keep_docs(docs, threshold=0.3)),

@@ -941,6 +941,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_cosine_dups"] = q_cos_dups
 
+    # SemDeDup (Abbas et al. 2023): embedding dedup inside k-means cells
+    # — runs the PRODUCTION sampled-k-means codebook; the oracle
+    # reproduces it sparklessly (tools/annoracle.py) and embeds the
+    # centroids as SQL literals, so both gates are full value-hash checks.
+    def q_semdedup_pairs(spark, sf_dir):
+        embs = _tbl(spark, sf_dir, "embeddings")
+        cb = S.kmeans_codebook(embs)
+        return _longify(S.semdedup_pairs(
+            embs, threshold=COSINE_DUP_THRESHOLD, codebook=cb))
+
+    q["semdedup_pairs"] = q_semdedup_pairs
+
+    def q_semdedup_keep(spark, sf_dir):
+        embs = _tbl(spark, sf_dir, "embeddings")
+        cb = S.kmeans_codebook(embs)
+        return _longify(S.semdedup_keep(
+            embs, threshold=COSINE_DUP_THRESHOLD, codebook=cb)
+            .select("vec_id", "label"))
+
+    q["semdedup_keep"] = q_semdedup_keep
+
     # --- corpus: similarity search ----------------------------------------
     def q_ann(spark, sf_dir):
         return _longify(S.brute_topk(_tbl(spark, sf_dir, "embeddings"), k=10))
@@ -2217,6 +2238,57 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id <> 0
             ORDER BY score DESC, vec_id ASC
             LIMIT 10
+        """,
+        "semdedup_pairs": f"""
+            WITH {_VEC_CTES},
+            {km_cents},
+            scored AS (
+                SELECT n.vec_id, c.centroid_id,
+                       round(list_inner_product(n.e, c.cvec)
+                             / (n.norm * c.cnorm), 6) AS cscore
+                FROM nrm n, cents c),
+            best AS (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cscore DESC, centroid_id ASC) AS rn
+                FROM scored),
+            assign AS (SELECT vec_id, centroid_id FROM best WHERE rn = 1),
+            sided AS (
+                SELECT n.vec_id, n.e, n.norm, a.centroid_id
+                FROM nrm n JOIN assign a ON n.vec_id = a.vec_id)
+            SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                   round(list_inner_product(x.e, y.e)
+                         / (x.norm * y.norm), 4) AS score
+            FROM sided x JOIN sided y
+              ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+            WHERE round(list_inner_product(x.e, y.e)
+                        / (x.norm * y.norm), 4) >= {COSINE_DUP_THRESHOLD}
+        """,
+        "semdedup_keep": f"""
+            WITH {_VEC_CTES},
+            {km_cents},
+            scored AS (
+                SELECT n.vec_id, c.centroid_id,
+                       round(list_inner_product(n.e, c.cvec)
+                             / (n.norm * c.cnorm), 6) AS cscore
+                FROM nrm n, cents c),
+            best AS (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cscore DESC, centroid_id ASC) AS rn
+                FROM scored),
+            assign AS (SELECT vec_id, centroid_id FROM best WHERE rn = 1),
+            sided AS (
+                SELECT n.vec_id, n.e, n.norm, a.centroid_id
+                FROM nrm n JOIN assign a ON n.vec_id = a.vec_id),
+            drops AS (
+                SELECT DISTINCT y.vec_id
+                FROM sided x JOIN sided y
+                  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+                WHERE round(list_inner_product(x.e, y.e)
+                            / (x.norm * y.norm), 4) >= {COSINE_DUP_THRESHOLD})
+            SELECT e.vec_id, e.label
+            FROM embeddings e ANTI JOIN drops d ON e.vec_id = d.vec_id
         """,
         "multimodal_decode_meta": """
             SELECT doc_id,

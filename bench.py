@@ -84,6 +84,8 @@ def main() -> None:
         .agg(F.sum("n_tokens")).first()[0],
         "ann_lsh_topk": lambda: force_count(S.lsh_topk(embs, k=10)),
         "centroid_by_label": lambda: force_count(S.centroid_by_label(embs)),
+        "semdedup_keep": lambda: force_count(S.semdedup_keep(
+            embs, threshold=0.3, codebook=S.kmeans_codebook(embs))),
         # new in round 2 (no round-1 comparator in BASELINE.md)
         "near_dedup_keep": lambda: force_count(
             D.near_dedup_keep_docs(docs, threshold=0.3)),

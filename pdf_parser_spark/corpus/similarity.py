@@ -540,6 +540,15 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
     else:
         a, b = base.alias("a"), base.alias("b")
         join_df = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return _pair_scores(join_df, threshold, id_col, vec_col)
+
+
+def _pair_scores(join_df: DataFrame, threshold: float, id_col: str,
+                 vec_col: str) -> DataFrame:
+    """Shared tail of every within-bucket pair generator: emit
+    (id_a, id_b, score) with the left-fold dot product rounded to 4dp
+    (bit-stable vs the DuckDB oracle) and the threshold filter applied
+    before anything downstream sees the pairs."""
     return (
         join_df.select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -550,6 +559,69 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def semdedup_pairs(df: DataFrame, threshold: float = 0.3,
+                   n_centroids: int = 16, codebook: list | None = None,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   bucket_cap: int = 4096) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    semantic near-duplicates found INSIDE coarse k-means cells. The
+    corpus is cluster-assigned once (broadcast codebook, map-side — the
+    `ivf_assign` machinery), then pairwise cosine runs only within a
+    cell: C cells cut the pair candidate space by ~C× vs all-pairs,
+    which is the whole trick that makes embedding dedup feasible on a
+    web-scale corpus.
+
+    Distributed shape: assignment is one broadcast nested-loop (no
+    shuffle of the vectors beyond the groupBy argmax), the within-cell
+    self-join is an equi-join on cell id, and a degenerate cell (a
+    corpus of near-identical embeddings) is block-split via
+    ``_blocked_self_join_sides`` so no single task inherits the
+    quadratic pair load — same guard, and same cap-independent output
+    guarantee, as ``cosine_dup_pairs``. Pass
+    ``codebook=kmeans_codebook(df)`` for the production sampled-k-means
+    cells (that path is what the oracle gate checks, via the sparkless
+    codebook reproduction in tools/annoracle.py)."""
+    base, _cents, assign = _ivf_parts(df, n_centroids, id_col, vec_col,
+                                      codebook=codebook)
+    keyed = (base.select(id_col, vec_col, "norm")
+             .join(assign, id_col)
+             .withColumnRenamed("centroid_id", "bucket"))
+    left, right = _blocked_self_join_sides(keyed, id_col, bucket_cap)
+    a, b = left.alias("a"), right.alias("b")
+    join_df = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a._g") == F.col("b._i"))
+        & (F.col("a._j") == F.col("b._g"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    return _pair_scores(join_df, threshold, id_col, vec_col)
+
+
+def semdedup_keep(df: DataFrame, threshold: float = 0.3,
+                  n_centroids: int = 16, codebook: list | None = None,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  bucket_cap: int = 4096) -> DataFrame:
+    """SemDeDup keep set: drop every vector that has SOME lower-id
+    neighbor in its cell with cosine >= threshold; everything else
+    (including rows whose embedding is null/empty/zero-norm — they have
+    no direction, so nothing can be 'similar' to them) survives.
+
+    Policy note: this is the per-pair greedy rule — deterministic, one
+    distinct + one anti-join, and exactly expressible in ANSI SQL for
+    the oracle. It is NOT connected-components: in a chain a~b~c with
+    a!~c, greedy drops both b and c while CC would keep one
+    representative per component; the CC policy (for the document text
+    path) lives in ``dedup.keep_from_pairs`` / ``near_dedup_keep_docs``.
+    At corpus scale the drop set is a tiny fraction of ids, so the
+    anti-join's build side is AQE-broadcastable."""
+    drops = (semdedup_pairs(df, threshold, n_centroids, codebook=codebook,
+                            id_col=id_col, vec_col=vec_col,
+                            bucket_cap=bucket_cap)
+             .select(F.col("id_b").alias(id_col))
+             .distinct())
+    return df.join(drops, [id_col], "left_anti")
 
 
 def centroid_by_label(df: DataFrame, key_col: str = "label",

@@ -648,3 +648,41 @@ def test_centroid_by_label(spark):
     # null/empty excluded; zero vector participates in a mean
     assert got[0] == (2, [2.0, 4.0])
     assert got[1] == (2, [5.0, 0.0])
+
+
+def test_semdedup_pairs_cell_restriction_and_skew_equivalence(spark):
+    """Pairs come only from WITHIN a cell, and the block-split guard
+    (tiny bucket_cap) yields the identical pair set as the plain join."""
+    from pdf_parser_spark.corpus import similarity as S
+
+    # two well-separated directions -> two k-means cells; near-dup pairs
+    # exist inside each cell, none across
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(20)]
+    rows += [(100 + i, [0.0, 0.001 * i, 0.0, 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+
+    plain = {(r.id_a, r.id_b, r.score) for r in S.semdedup_pairs(
+        df, threshold=0.99, codebook=cb, bucket_cap=10**9).collect()}
+    split = {(r.id_a, r.id_b, r.score) for r in S.semdedup_pairs(
+        df, threshold=0.99, codebook=cb, bucket_cap=4).collect()}
+    assert split == plain and len(plain) > 100
+    # no cross-cell pair ever emitted (cells are disjoint id ranges)
+    assert all((a < 100) == (b < 100) for a, b, _ in plain)
+
+
+def test_semdedup_keep_greedy_policy(spark):
+    """Greedy lowest-id drop: in a chain a~b~c with a!~c BOTH b and c
+    drop (each has some lower-id neighbor >= threshold) — explicitly not
+    the connected-components keep rule. Null/zero vectors survive."""
+    from pdf_parser_spark.corpus import similarity as S
+
+    a = [1.0, 0.0]
+    b = [math.cos(0.2), math.sin(0.2)]     # cos(a,b) ~ 0.980
+    c = [math.cos(0.4), math.sin(0.4)]     # cos(b,c) ~ 0.980, cos(a,c) ~ 0.921
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, None), (5, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    kept = {r.vec_id for r in S.semdedup_keep(
+        df, threshold=0.95, codebook=[[1.0, 0.0]]).collect()}
+    assert kept == {1, 4, 5}

@@ -418,6 +418,26 @@ def main() -> None:
               "embedding column."),
     )
 
+    sd_plan_df = S.semdedup_keep(embs, threshold=0.3,
+                                 codebook=S.kmeans_codebook(embs))
+    sd_plan = formatted(sd_plan_df)
+    assert not re.search(r"CartesianProduct", sd_plan), \
+        "semdedup: cartesian product crept in"
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+                     sd_plan), "semdedup: within-cell equi-join missing"
+    assert "LeftAnti" in sd_plan, "semdedup: keep anti-join missing"
+    sections.append((
+        "SemDeDup keep (k-means cells -> within-cell cosine -> anti-join)",
+        ("Embedding dedup without all-pairs: the broadcast k x dims "
+         "codebook makes cell assignment a map-side nested loop over C "
+         "candidates per vector (the BroadcastNestedLoopJoin here is "
+         "per-row scoring work, not a pair explosion), the pairwise "
+         "cosine is an equi-join on cell id (asserted) whose hot cells "
+         "are block-split by _blocked_self_join_sides, and the drop set "
+         "applies as a LeftAnti join (asserted) sized for AQE broadcast. "
+         "No CartesianProduct anywhere (asserted)."),
+        compact(sd_plan)))
+
     wc_plan_df = TS.winnow_containment_pairs(docs, min_shared=2)
     wc_plan = formatted(wc_plan_df)
     assert not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", wc_plan), \

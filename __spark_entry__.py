@@ -219,9 +219,11 @@ _MINHASH_CTES = """
 """
 
 _VEC_CTES = """
-    v AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS e FROM embeddings),
-    nrm AS (SELECT vec_id, e,
-                   sqrt(list_inner_product(e, e)) AS norm FROM v)
+    v AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS e FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) > 0),
+    nrm0 AS (SELECT vec_id, e,
+                    sqrt(list_inner_product(e, e)) AS norm FROM v),
+    nrm AS (SELECT * FROM nrm0 WHERE norm > 0)
 """
 
 _LSH_CTES = """

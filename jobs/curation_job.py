@@ -65,20 +65,35 @@ def main(argv=None) -> int:
     n_pii = scrubbed.filter(
         (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0).count()
 
-    kept = DC.decontaminated_keep(scrubbed, ev, n=args.ngram,
-                                  text_col=args.text_col)
     if args.mask_report:
+        # ONE gram pass serves both outputs: a doc is contaminated iff
+        # it has at least one maskable span, so the span frame (written
+        # anyway) doubles as the drop set — previously the scrub +
+        # eval-gram + explode pipeline ran twice, doubling the most
+        # expensive pass of the job.
         write_table(
             DC.contamination_spans(scrubbed, ev, n=args.ngram,
-                                   text_col=args.text_col),
+                                   text_col=args.text_col,
+                                   id_col=args.id_col),
             args.mask_report)
+        flagged = (read_table(spark, args.mask_report)
+                   .select(args.id_col).distinct())
+        kept = scrubbed.join(flagged, args.id_col, "left_anti")
+    else:
+        kept = DC.decontaminated_keep(scrubbed, ev, n=args.ngram,
+                                      text_col=args.text_col,
+                                      id_col=args.id_col)
 
     # Scratch-materialize the kept set ONCE: both the split projection
     # and the packing window would otherwise re-run scrub+decontam (the
     # same double-pass near_dedup_keep_docs once had — scratch parquet
     # beats .persist() here for the stats/broadcast reasons documented
-    # in BASELINE.md).
-    scratch = args.output.rstrip("/") + "_kept_scratch"
+    # in BASELINE.md). The "_" prefix keeps the scratch dir invisible to
+    # partition discovery should anything glob the output's parent.
+    out_path = args.output.rstrip("/")
+    scratch = "{}/_kept_scratch".format(out_path.rsplit("/", 1)[0]) \
+        if "/" in out_path else "_kept_scratch"
+    scratch += "_" + out_path.rsplit("/", 1)[-1]
     write_table(kept, scratch)
     kept_m = read_table(spark, scratch)
 
@@ -86,7 +101,8 @@ def main(argv=None) -> int:
                             key_col=args.id_col)
     layout = PK.pack_sequences(kept_m, budget=args.budget,
                                n_buckets=args.buckets,
-                               text_col=args.text_col) \
+                               text_col=args.text_col,
+                               id_col=args.id_col) \
         .select(args.id_col, "bucket", "tok_start", "seq_id", "n_seqs")
     curated = split.join(layout, args.id_col)
     write_table(curated, args.output)
@@ -96,6 +112,15 @@ def main(argv=None) -> int:
     by_split = {r.split: r.n for r in
                 out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
                 .collect()}
+
+    # The scratch copy is corpus-sized (scrubbed text included): delete
+    # it once the real output is written and verified readable, or every
+    # run leaks a full kept-corpus snapshot next to its output.
+    jvm = spark._jvm
+    jsc = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(scratch)
+    path.getFileSystem(jsc).delete(path, True)
+
     print(f"curation funnel: in={n_in} pii_docs={n_pii} "
           f"kept={n_out} dropped_contaminated={n_in - n_out} "
           f"splits={by_split}")

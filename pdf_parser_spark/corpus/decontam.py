@@ -35,8 +35,8 @@ from pdf_parser_spark.corpus.dedup import canonical_text
 
 
 def _canon_toks(df: DataFrame, text_col: str,
-                with_id: bool = True) -> DataFrame:
-    cols = (["doc_id"] if with_id else [])
+                with_id: bool = True, id_col: str = "doc_id") -> DataFrame:
+    cols = ([id_col] if with_id else [])
     return df.select(
         *cols, F.split(canonical_text(text_col), " ").alias("toks"))
 
@@ -82,7 +82,8 @@ def eval_gram_set(eval_df: DataFrame, n: int = 13,
 
 def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
                   text_col: str = "text",
-                  eval_text_col: str | None = None) -> DataFrame:
+                  eval_text_col: str | None = None,
+                  id_col: str = "doc_id") -> DataFrame:
     """Per corpus document: total gram positions (``n_grams``), positions
     whose gram occurs anywhere in the eval set (``n_hits``), and the
     ``contaminated`` flag. A pipeline drops (or masks) flagged docs
@@ -95,18 +96,18 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
     hit-count frame joins back on doc_id; AQE broadcasts it when
     contamination is sparse (the normal case) and falls back to a keyed
     join when a pathological corpus is mostly contaminated."""
-    toks = _canon_toks(corpus, text_col)
+    toks = _canon_toks(corpus, text_col, id_col=id_col)
     grams = eval_gram_set(eval_df, n, eval_text_col or text_col)
     totals = toks.select(
-        "doc_id",
+        id_col,
         F.when(F.size("toks") < n, F.lit(1))
         .otherwise(F.size("toks") - (n - 1)).cast("long").alias("n_grams"))
-    hits = (toks.select("doc_id", F.explode(_gram_expr(n)).alias("gh"))
+    hits = (toks.select(id_col, F.explode(_gram_expr(n)).alias("gh"))
             .join(F.broadcast(grams), "gh")
-            .groupBy("doc_id")
+            .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_hits")))
-    return (totals.join(hits, "doc_id", "left")
-            .select("doc_id", "n_grams",
+    return (totals.join(hits, id_col, "left")
+            .select(id_col, "n_grams",
                     F.coalesce("n_hits", F.lit(0)).cast("long")
                     .alias("n_hits"),
                     (F.coalesce("n_hits", F.lit(0)) > 0)
@@ -114,18 +115,20 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
 
 
 def decontaminated_keep(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
     """The kept corpus: input rows minus contaminated ones (left-anti
     join on the flagged id set — the flagged side is small, so AQE
     broadcasts it)."""
-    flagged = (decontaminate(corpus, eval_df, n, text_col)
-               .filter("contaminated").select("doc_id"))
-    return corpus.join(flagged, "doc_id", "left_anti")
+    flagged = (decontaminate(corpus, eval_df, n, text_col, id_col=id_col)
+               .filter("contaminated").select(id_col))
+    return corpus.join(flagged, id_col, "left_anti")
 
 
 def contamination_spans(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
                         text_col: str = "text",
-                        eval_text_col: str | None = None) -> DataFrame:
+                        eval_text_col: str | None = None,
+                        id_col: str = "doc_id") -> DataFrame:
     """Merged token-position spans of eval overlap — the masking form of
     decontamination (pipelines that cannot afford to drop whole
     documents mask the overlapping range and keep the rest; the
@@ -145,28 +148,28 @@ def contamination_spans(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
     not corpus size."""
     from pyspark.sql.window import Window
 
-    toks = _canon_toks(corpus, text_col)
+    toks = _canon_toks(corpus, text_col, id_col=id_col)
     grams = eval_gram_set(eval_df, n, eval_text_col or text_col)
     pos = toks.select(
-        "doc_id", F.size("toks").alias("nt"),
+        id_col, F.size("toks").alias("nt"),
         F.posexplode(_gram_expr(n)).alias("pos", "gh"))
     hits = (pos.join(F.broadcast(grams), "gh")
-            .select("doc_id",
+            .select(id_col,
                     (F.col("pos") + 1).alias("w_start"),
                     F.least(F.col("pos") + n, F.col("nt")).alias("w_end")))
-    w = Window.partitionBy("doc_id").orderBy("w_start", "w_end")
+    w = Window.partitionBy(id_col).orderBy("w_start", "w_end")
     prev_max = F.max("w_end").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
     islands = hits.select(
-        "doc_id", "w_start", "w_end",
+        id_col, "w_start", "w_end",
         F.when(F.col("w_start") > F.coalesce(prev_max, F.lit(0)) + 1, 1)
         .otherwise(0).alias("boundary"))
-    cum = (Window.partitionBy("doc_id").orderBy("w_start", "w_end")
+    cum = (Window.partitionBy(id_col).orderBy("w_start", "w_end")
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (islands
-            .select("doc_id", "w_start", "w_end",
+            .select(id_col, "w_start", "w_end",
                     F.sum("boundary").over(cum).alias("island"))
-            .groupBy("doc_id", "island")
+            .groupBy(id_col, "island")
             .agg(F.min("w_start").alias("tok_start"),
                  F.max("w_end").alias("tok_end"),
                  F.count(F.lit(1)).alias("n_windows"))

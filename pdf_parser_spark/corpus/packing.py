@@ -38,7 +38,8 @@ PACK_SALT = "pack"
 
 
 def pack_sequences(df: DataFrame, budget: int = 2048, n_buckets: int = 64,
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
     """Per document: ``bucket``, whitespace ``n_tokens``, the token
     offset ``tok_start`` of the doc within its bucket's concatenated
     stream, the ``seq_id`` of the budget-sized chunk it starts in, and
@@ -52,34 +53,35 @@ def pack_sequences(df: DataFrame, budget: int = 2048, n_buckets: int = 64,
     an empty document still counts n_tokens=1 (split('') = ['']), the
     same floor every tokenizing operator in this repo uses — dataloaders
     see it as a 1-token (EOS-only) entry."""
-    key = sample_key("doc_id", PACK_SALT)
+    key = sample_key(id_col, PACK_SALT)
     ntok = F.size(F.split(canonical_text(text_col), " ")).cast("long")
     base = df.select(
-        "doc_id",
+        id_col,
         (key % n_buckets).alias("bucket"),
         key.alias("skey"),
         ntok.alias("n_tokens"))
     win = (Window.partitionBy("bucket")
-           .orderBy("skey", "doc_id")
+           .orderBy("skey", id_col)
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     start = (F.sum("n_tokens").over(win) - F.col("n_tokens")).alias("tok_start")
-    out = base.select("doc_id", "bucket", "n_tokens", start)
+    out = base.select(id_col, "bucket", "n_tokens", start)
     return out.select(
-        "doc_id", "bucket", "n_tokens", "tok_start",
+        id_col, "bucket", "n_tokens", "tok_start",
         F.floor(F.col("tok_start") / budget).alias("seq_id"),
         (F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / budget)
          - F.floor(F.col("tok_start") / budget) + 1).alias("n_seqs"))
 
 
 def packing_stats(df: DataFrame, budget: int = 2048, n_buckets: int = 64,
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
     """Roll the layout up to per-bucket utilization: docs, tokens, full
     sequences produced (`floor(tokens/budget)` — the trailing partial
     chunk is dropped by dataloaders), and the straddle rate (docs cut by
     a chunk boundary). The per-doc frame never materializes wider than
     its five integer columns; the rollup is a second uniform-key
     partial-agg shuffle."""
-    packed = pack_sequences(df, budget, n_buckets, text_col)
+    packed = pack_sequences(df, budget, n_buckets, text_col, id_col=id_col)
     return (packed.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens"),

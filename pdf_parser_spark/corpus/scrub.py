@@ -119,7 +119,12 @@ def split_assign(df: DataFrame, val_frac: float = 0.01,
     zero shuffle; change ``salt`` to redraw the split."""
     key = sample_key(key_col, salt)
     v = int(val_frac * _KEYSPACE)
-    t = v + int(test_frac * _KEYSPACE)
+    # Band edge computed as int((val+test)*K), NOT int(val*K)+int(test*K):
+    # the two differ by one keyspace value for most fraction pairs (each
+    # int() truncates separately), and the DuckDB twin + tests pin the
+    # summed form — a key landing exactly on the seam would otherwise be
+    # 'train' here and 'test' there.
+    t = int((val_frac + test_frac) * _KEYSPACE)
     return df.withColumn(
         "split",
         F.when(key < v, "val").when(key < t, "test").otherwise("train"))

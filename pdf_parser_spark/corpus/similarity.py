@@ -13,14 +13,20 @@
 
 All cosine/score arithmetic is promoted to double before any sum, and the
 SQL paths use an explicit left-fold so summation order (and therefore the
-rounded score) is bit-stable across engines. One documented exception:
-`lsh_buckets` projects with a BLAS matmul whose reassociated sums can, for
-a projection within float-reassociation distance of 0, flip a `> 0` sign
-bit vs the oracle's sequential sum — accepted because the matmul is the
-measured 2.3× scale win, a hyperplane LSH bucket is itself a probabilistic
-structure (a hair-off-zero projection is a coin flip in either engine),
-and the gates pass on real data; scores everywhere are rounded (4dp/6dp)
-for oracle hashing.
+rounded score) is bit-stable across engines. Two documented exceptions:
+(1) `lsh_buckets` projects with a BLAS matmul whose reassociated sums can,
+for a projection within float-reassociation distance of 0, flip a `> 0`
+sign bit vs the oracle's sequential sum — accepted because the matmul is
+the measured 2.3× scale win, a hyperplane LSH bucket is itself a
+probabilistic structure (a hair-off-zero projection is a coin flip in
+either engine), and the gates pass on real data; (2) `centroid_by_label`
+aggregates with partial-agg `avg`, whose summation order depends on the
+partitioning — the order-stable alternative (collect every member value
+per (label, dim) and fold) would shuffle raw vector volume instead of
+group summaries, defeating the operator's scale shape, so a (label, dim)
+mean sitting within reassociation distance of a 0.5e-6 rounding boundary
+could flip its 6dp digit vs DuckDB's sequential avg. Scores everywhere
+are rounded (4dp/6dp) for oracle hashing.
 """
 
 import numpy as np
@@ -445,8 +451,13 @@ def pq_adc_topk(df: DataFrame, query_id: int = 0, k: int = 10,
         qvec = qrow[vec_col]
     q = np.asarray(qvec, dtype=np.float64)
     qn = np.linalg.norm(q)
-    if qn > 0:
-        q = q / qn
+    if qn == 0:
+        # all-zero query has no direction: rank nothing, matching
+        # brute_topk/lsh_topk (whose with_norm drops the query row)
+        # instead of returning k rows all scored 0.0
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, score double")
+    q = q / qn
     subdim = len(codebooks[0][0])
     lut = np.stack([
         np.asarray(b, dtype=np.float64) @ q[j * subdim:(j + 1) * subdim]

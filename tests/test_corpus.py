@@ -686,3 +686,12 @@ def test_semdedup_keep_greedy_policy(spark):
     kept = {r.vec_id for r in S.semdedup_keep(
         df, threshold=0.95, codebook=[[1.0, 0.0]]).collect()}
     assert kept == {1, 4, 5}
+
+
+def test_pq_adc_topk_zero_norm_query_ranks_nothing(spark):
+    """An all-zero query vector has no direction: pq_adc_topk must return
+    an empty frame (matching brute_topk/lsh_topk whose with_norm drops
+    the query row), not k rows all scored 0.0."""
+    rows = [(i, [float(i + 1), 1.0]) for i in range(6)] + [(9, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert S.pq_adc_topk(df, query_id=9, m=2, ksub=4).count() == 0

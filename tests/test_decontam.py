@@ -102,3 +102,22 @@ def test_contamination_spans_adjacent_windows_merge(spark):
     got = [(r.tok_start, r.tok_end, r.n_windows)
            for r in DC.contamination_spans(cdf, edf, n=3).collect()]
     assert got == [(1, 6, 2)]
+
+
+def test_decontam_id_col_threading(spark):
+    """decontaminate/decontaminated_keep/contamination_spans accept a
+    non-default id column (the curation CLI advertises --id-col); a
+    stale doc_id column alongside must NOT be silently used."""
+    cdf = spark.createDataFrame(
+        [(10, 999, "w1 w2 w3 w4 w5"), (11, 999, "clean text only here")],
+        "id long, doc_id long, text string")
+    edf = spark.createDataFrame([(0, "w1 w2 w3")], "doc_id long, text string")
+    flags = {r.id: r.contaminated
+             for r in DC.decontaminate(cdf, edf, n=3, id_col="id").collect()}
+    assert flags == {10: True, 11: False}
+    kept = [r.id for r in DC.decontaminated_keep(
+        cdf, edf, n=3, id_col="id").collect()]
+    assert kept == [11]
+    spans = [(r.id, r.tok_start, r.tok_end) for r in DC.contamination_spans(
+        cdf, edf, n=3, id_col="id").collect()]
+    assert spans == [(10, 1, 3)]

@@ -434,3 +434,36 @@ def test_curation_job_cli(spark, tmp_path):
     spans = read_table(spark, mask).collect()
     assert [s.doc_id for s in spans] == [2]
     assert spans[0].tok_start == 1 and spans[0].tok_end == 13
+    # the corpus-sized kept-set scratch is cleaned up after the run
+    import os as _os
+    leftovers = [d for d in _os.listdir(tmp_path) if "kept_scratch" in d]
+    assert leftovers == []
+
+
+def test_curation_job_cli_id_col(spark, tmp_path):
+    """--id-col reaches EVERY stage (decontam, split, packing) — a table
+    keyed by 'id' with no doc_id column must run end to end."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    from curation_job import main as job_main
+
+    from pdf_parser_spark.io import read_table, write_table
+
+    doc_rows = [
+        (10, "clean words " + " ".join(f"y{i}" for i in range(20))),
+        (11, " ".join(f"leak{i}" for i in range(13)) + " tail"),
+    ]
+    ev_rows = [(100, " ".join(f"leak{i}" for i in range(13)))]
+    src = str(tmp_path / "docs_id_in")
+    evp = str(tmp_path / "eval_id_in")
+    write_table(spark.createDataFrame(doc_rows, "id long, text string"), src)
+    write_table(spark.createDataFrame(ev_rows, "doc_id long, text string"), evp)
+    out = str(tmp_path / "curated_id")
+    assert job_main(["--input", src, "--eval", evp, "--output", out,
+                     "--id-col", "id", "--budget", "16",
+                     "--buckets", "2"]) == 0
+    got = {r.id: r for r in read_table(spark, out).collect()}
+    assert sorted(got) == [10]  # 11 dropped by decontamination
+    assert got[10].split in ("train", "val", "test")
+    assert got[10].n_seqs >= 1

@@ -72,3 +72,18 @@ def test_packing_stats_rollup(spark):
         assert r.n_tokens == sum(v[1] for v in docs)
         assert r.n_full_seqs == sum(v[1] for v in docs) // 25
         assert r.n_straddlers == sum(1 for v in docs if v[4] > 1)
+
+
+def test_pack_sequences_id_col_threading(spark):
+    """pack_sequences keyed by a non-default id column produces the same
+    layout as renaming that column to doc_id (bucketing hashes the same
+    values with the same salt)."""
+    rows = [(i, "tok " * (i + 1)) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    via_idcol = {r.id: (r.bucket, r.tok_start, r.seq_id) for r in
+                 P.pack_sequences(df, budget=10, n_buckets=3,
+                                  id_col="id").collect()}
+    renamed = df.withColumnRenamed("id", "doc_id")
+    via_default = {r.doc_id: (r.bucket, r.tok_start, r.seq_id) for r in
+                   P.pack_sequences(renamed, budget=10, n_buckets=3).collect()}
+    assert via_idcol == via_default and len(via_idcol) == 12

@@ -107,3 +107,15 @@ def test_split_assign_partitions_and_is_stable(spark):
     got2 = {r.doc_id: r.split
             for r in SC.split_assign(df.repartition(9), 0.1, 0.1).collect()}
     assert got2 == got
+
+
+def test_split_assign_band_edge_matches_oracle_convention(spark):
+    """The test band's upper edge must be int((val+test)*K) — the summed
+    form the DuckDB twin and the brute-force expectation above use — not
+    int(val*K) + int(test*K), which is one keyspace value lower for
+    val=test=0.1 and would label the seam key 'train' engine-side only."""
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    plan = SC.split_assign(df, 0.1, 0.1)._jdf.queryExecution() \
+        .analyzed().toString()
+    assert str(int(0.2 * 2 ** 32)) in plan          # 858993459
+    assert str(int(0.1 * 2 ** 32) * 2) not in plan  # 858993458

@@ -970,6 +970,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_topk_cosine"] = q_ann
 
+    def q_batch_topk(spark, sf_dir):
+        embs = _tbl(spark, sf_dir, "embeddings")
+        return _longify(S.batch_topk(
+            embs, embs.filter(F.col("vec_id") < 20), k=10))
+
+    q["ann_batch_topk"] = q_batch_topk
+
     def q_lsh_buckets(spark, sf_dir):
         return _longify(S.lsh_buckets(_tbl(spark, sf_dir, "embeddings")))
 
@@ -2240,6 +2247,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id <> 0
             ORDER BY score DESC, vec_id ASC
             LIMIT 10
+        """,
+        "ann_batch_topk": f"""
+            WITH {_VEC_CTES},
+            q AS (SELECT vec_id AS query_id, e AS qe, norm AS qn
+                  FROM nrm WHERE vec_id < 20),
+            scored AS (
+                SELECT q.query_id, n.vec_id,
+                       round(list_inner_product(n.e, q.qe)
+                             / (n.norm * q.qn), 4) AS score
+                FROM nrm n, q
+                WHERE n.vec_id <> q.query_id),
+            r AS (SELECT query_id, vec_id, score,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score DESC, vec_id ASC)
+                             AS rn
+                  FROM scored)
+            SELECT query_id, vec_id, score FROM r WHERE rn <= 10
         """,
         "semdedup_pairs": f"""
             WITH {_VEC_CTES},

@@ -86,6 +86,8 @@ def main() -> None:
         "centroid_by_label": lambda: force_count(S.centroid_by_label(embs)),
         "semdedup_keep": lambda: force_count(S.semdedup_keep(
             embs, threshold=0.3, codebook=S.kmeans_codebook(embs))),
+        "ann_batch_topk": lambda: force_count(S.batch_topk(
+            embs, embs.filter(F.col("vec_id") < 20), k=10)),
         # new in round 2 (no round-1 comparator in BASELINE.md)
         "near_dedup_keep": lambda: force_count(
             D.near_dedup_keep_docs(docs, threshold=0.3)),

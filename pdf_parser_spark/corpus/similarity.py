@@ -162,6 +162,65 @@ def lsh_topk(df: DataFrame, query_id: int = 0, k: int = 10, planes: int = 8,
     return brute_topk(candidates, query_id=query_id, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def batch_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k for a BATCH of queries in one corpus pass —
+    the production retrieval shape (dedup audits, eval-set contamination
+    lookups, hard-negative mining all arrive as query sets, not single
+    vectors). ``queries`` is a (id, vector) frame small enough to
+    broadcast (thousands, not millions — it rides a broadcast join);
+    corpus rows matching a query's own id are excluded, mirroring
+    `brute_topk`.
+
+    Distributed shape, and why there are two top-k stages: scoring is a
+    broadcast nested-loop (corpus vectors never shuffle) with the exact
+    left-fold dot product, rounded to 4dp BEFORE ranking so both engines
+    rank the same numbers. A naive per-query window would then shuffle
+    all N×Q scored triples; instead a `mapInPandas` pass reduces each
+    input partition to its LOCAL top-k per query (the (score desc, id
+    asc) order is total, so per-partition truncation provably preserves
+    the global top-k), and only parts×Q×k triples reach the final
+    window. At 1000 executors × 10k queries × k=10 that is the
+    difference between shuffling the whole scored cross product and a
+    few hundred MB."""
+    qn = (with_norm(queries, vec_col)
+          .select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("qvec"),
+                  F.col("norm").alias("qnorm")))
+    scored = (
+        with_norm(df, vec_col)
+        .crossJoin(F.broadcast(qn))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col,
+                F.round(cosine(vec_col, "qvec", "norm", "qnorm"), 4)
+                .alias("score")))
+
+    out_schema = f"query_id long, {id_col} long, score double"
+
+    def local_topk(it):
+        frames = []
+        for pdf in it:
+            if len(pdf):
+                frames.append(
+                    pdf.sort_values(["score", id_col],
+                                    ascending=[False, True], kind="mergesort")
+                    .groupby("query_id", sort=False).head(k))
+        if frames:
+            merged = pd.concat(frames, ignore_index=True)
+            yield (merged.sort_values(["score", id_col],
+                                      ascending=[False, True],
+                                      kind="mergesort")
+                   .groupby("query_id", sort=False).head(k))
+
+    local = scored.mapInPandas(local_topk, out_schema)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (local.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", id_col, "score"))
+
+
 def _hash_sample(df: DataFrame, sample_cap: int, id_col: str,
                  vec_col: str) -> "np.ndarray":
     """THE codebook sampling contract, in one place: filter null/empty,

@@ -695,3 +695,17 @@ def test_pq_adc_topk_zero_norm_query_ranks_nothing(spark):
     rows = [(i, [float(i + 1), 1.0]) for i in range(6)] + [(9, [0.0, 0.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     assert S.pq_adc_topk(df, query_id=9, m=2, ksub=4).count() == 0
+
+
+def test_batch_topk_matches_per_query_brute(spark, vecs):
+    """batch_topk over a query set == brute_topk run per query; the
+    per-partition local truncation must not lose a global winner even
+    when the corpus is split so each partition holds few rows."""
+    got = {}
+    for r in S.batch_topk(vecs.repartition(7),
+                          vecs.filter(F.col("vec_id") <= 1), k=3).collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.score))
+    for qid in (0, 1):
+        want = [(r.vec_id, r.score)
+                for r in S.brute_topk(vecs, query_id=qid, k=3).collect()]
+        assert sorted(got[qid], key=lambda t: (-t[1], t[0])) == want

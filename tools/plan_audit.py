@@ -418,6 +418,21 @@ def main() -> None:
               "embedding column."),
     )
 
+    audit(
+        "Batched ANN top-k (query-set retrieval)",
+        S.batch_topk(embs, embs.filter(F.col("vec_id") < 20), k=10),
+        requires=[r"BroadcastNestedLoopJoin|BroadcastExchange",
+                  r"MapInPandas", r"\) Window"],
+        forbids=[r"\) Exchange.*\) Exchange"],
+        note=("Queries broadcast; corpus vectors never shuffle. The "
+              "mapInPandas stage truncates every input partition to its "
+              "LOCAL top-k per query ((score desc, id asc) is a total "
+              "order, so truncation preserves the global answer), so the "
+              "single shuffle Exchange (asserted: no second one) carries "
+              "parts x Q x k scalar triples into the final window — never "
+              "the N x Q scored cross product."),
+    )
+
     sd_plan_df = S.semdedup_keep(embs, threshold=0.3,
                                  codebook=S.kmeans_codebook(embs))
     sd_plan = formatted(sd_plan_df)

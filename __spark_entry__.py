@@ -829,6 +829,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_stats"] = q_conv_stats
 
+    def q_conv_fingerprints(spark, sf_dir):
+        return _longify(CS.conv_fingerprint(_transcripts(spark, sf_dir)))
+
+    q["conv_fingerprints"] = q_conv_fingerprints
+
+    def q_conv_dup_groups(spark, sf_dir):
+        return _longify(CS.conv_exact_dup_groups(_transcripts(spark, sf_dir)))
+
+    q["conv_dup_groups"] = q_conv_dup_groups
+
     def q_conv_sessionize(spark, sf_dir):
         return _longify(CS.conv_sessionize(_aug_tr(spark, sf_dir),
                                            gap_s=3600))
@@ -1645,6 +1655,27 @@ def oracle_sql() -> dict[str, str]:
             e AS (SELECT conv_id, turn_idx, unnest(hs) AS gh FROM g)
             SELECT DISTINCT e.conv_id, e.turn_idx::BIGINT AS turn_idx
             FROM e JOIN ev USING (gh)
+        """,
+        "conv_fingerprints": f"""
+            SELECT conv_id,
+                   md5(string_agg(md5(coalesce(text, '')), ''
+                                  ORDER BY turn_idx)) AS fp,
+                   count(*)::BIGINT AS n_turns
+            FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet')
+            GROUP BY conv_id
+        """,
+        "conv_dup_groups": f"""
+            WITH fps AS (
+                SELECT conv_id,
+                       md5(string_agg(md5(coalesce(text, '')), ''
+                                      ORDER BY turn_idx)) AS fp,
+                       count(*)::BIGINT AS n_turns
+                FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet')
+                GROUP BY conv_id)
+            SELECT fp, count(*)::BIGINT AS n_convs,
+                   min(conv_id) AS keep_conv_id,
+                   max(n_turns)::BIGINT AS n_turns
+            FROM fps GROUP BY fp
         """,
         "conv_stats": f"""
             WITH a AS (

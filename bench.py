@@ -107,6 +107,8 @@ def main() -> None:
         "split_assign": lambda: force_count(
             SC.split_assign(docs, 0.1, 0.1)),
         "conv_stats": lambda: force_count(CS.conv_stats(transcripts)),
+        "conv_dup_groups": lambda: force_count(
+            CS.conv_exact_dup_groups(transcripts)),
         "session_stats": lambda: force_count(
             CS.session_stats(transcripts, gap_s=3600)),
         "decontaminate": lambda: force_count(DC.decontaminate(

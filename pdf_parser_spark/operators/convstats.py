@@ -106,3 +106,44 @@ def session_stats(tr: DataFrame, gap_s: int = 3600) -> DataFrame:
         F.count(F.lit(1)).alias("n_turns"),
         (F.max(_es("ts"))
          - F.min(_es("ts"))).alias("span_s"))
+
+
+def conv_fingerprint(tr: DataFrame) -> DataFrame:
+    """Order-stable content fingerprint per conversation: md5 over the
+    turn texts joined by RS (0x1e) in turn order — conversation-grain
+    exact dedup, the transcript sibling of `corpus.dedup.exact_dedup`
+    (document grain). A re-crawled or mirrored conversation hashes
+    identically regardless of how its turns were partitioned or in what
+    order the scan delivered them.
+
+    Hash-of-hashes, so the shuffle never carries text: each turn is
+    md5'd MAP-SIDE and the conversation fingerprint is the md5 of the
+    per-turn hex digests joined in turn order — one partial-agg Exchange
+    of (conv_id, 32-hex-char) pairs (~64 B/turn instead of the full turn
+    text, a ~25x shuffle cut on this corpus and far more on long-turn
+    data). sort_array(collect_list(struct(turn_idx, h))) makes the join
+    order deterministic engine-side; null texts hash as '' (pins both
+    engines to the same byte stream even for an all-null turn)."""
+    base = tr.select(
+        "conv_id",
+        F.struct(F.col("turn_idx"),
+                 F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"))
+        .alias("turn"))
+    return (base.groupBy("conv_id")
+            .agg(F.md5(F.concat_ws(
+                "",
+                F.expr("transform(sort_array(collect_list(turn)), x -> x.h)")))
+                .alias("fp"),
+                F.count(F.lit(1)).alias("n_turns")))
+
+
+def conv_exact_dup_groups(tr: DataFrame) -> DataFrame:
+    """Roll fingerprints up to dup groups: per distinct conversation
+    content, how many conversations carry it and the lowest conv_id (the
+    canonical keep). Second partial-agg shuffle on the fp key — group
+    summaries only, never texts."""
+    fps = conv_fingerprint(tr)
+    return (fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_convs"),
+                 F.min("conv_id").alias("keep_conv_id"),
+                 F.max("n_turns").alias("n_turns")))

@@ -56,3 +56,22 @@ def test_session_stats(spark):
     assert got[("c0", 0)].n_turns == 2 and got[("c0", 0)].span_s == 10
     assert got[("c0", 1)].n_turns == 2 and got[("c0", 1)].span_s == 10
     assert got[("c1", 0)].n_turns == 3 and got[("c1", 0)].span_s == 30
+
+
+def test_conv_fingerprint_dedup_and_order_invariance(spark):
+    """Identical conversation content hashes identically no matter how
+    the scan delivers turns; null text joins as ''; dup groups pick the
+    lowest conv_id as canonical."""
+    rows = [
+        ("a", 0, "hi"), ("a", 1, None), ("a", 2, "bye"),
+        ("b", 2, "bye"), ("b", 0, "hi"), ("b", 1, None),  # same content, scrambled
+        ("c", 0, "hi"), ("c", 1, "x"), ("c", 2, "bye"),   # differs at turn 1
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    fps = {r.conv_id: r.fp for r in CS.conv_fingerprint(
+        df.repartition(5)).collect()}
+    assert fps["a"] == fps["b"] != fps["c"]
+    groups = {r.fp: (r.n_convs, r.keep_conv_id)
+              for r in CS.conv_exact_dup_groups(df).collect()}
+    assert groups[fps["a"]] == (2, "a")
+    assert groups[fps["c"]] == (1, "c")

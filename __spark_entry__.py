@@ -1037,17 +1037,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cross-engine float reassociation could flip one); compression
     # accuracy is evidenced in tools/ann_recall.py. The k-means IVF
     # gates above DO have full oracles via tools/annoracle.py.
+    # PQ gates run the fold-based exact twins (pq_encode_exact /
+    # pq_adc_topk_exact) whose arithmetic an ANSI-SQL engine reproduces
+    # term-for-term, upgrading all three from rows-only to full
+    # value-hash checks; the production NumPy paths are pinned byte-equal
+    # to the twins on fixture data by tests/test_corpus.py, and the PQ
+    # codebooks are reproduced sparklessly for the oracle via
+    # tools/annoracle.pq_books (same lloyd_pq code object).
     def q_pq_encode(spark, sf_dir):
         embs = _tbl(spark, sf_dir, "embeddings")
         cb = S.pq_codebooks(embs)
-        return _longify(S.pq_encode(embs, cb))
+        return _longify(S.pq_encode_exact(embs, cb))
 
     q["ann_pq_encode"] = q_pq_encode
 
     def q_pq_adc_topk(spark, sf_dir):
         embs = _tbl(spark, sf_dir, "embeddings")
         cb = S.pq_codebooks(embs)
-        return _longify(S.pq_adc_topk(embs, k=10, codebooks=cb))
+        return _longify(S.pq_adc_topk_exact(embs, k=10, codebooks=cb))
 
     q["ann_pq_adc_topk"] = q_pq_adc_topk
 
@@ -1055,7 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         embs = _tbl(spark, sf_dir, "embeddings")
         return _longify(S.ivf_pq_topk(
             embs, k=10, n_probe=2, codebook=S.kmeans_codebook(embs),
-            pq_cb=S.pq_codebooks(embs)))
+            pq_cb=S.pq_codebooks(embs), exact=True))
 
     q["ann_ivf_pq_topk"] = q_ivf_pq_topk
 
@@ -1079,9 +1086,54 @@ def oracle_sql() -> dict[str, str]:
     # Python xxhash64 sample order + the same lloyd_spherical) and
     # embedded as literals — upgrades the k-means ANN gates from
     # rows-only to full value-hash checks (see tools/annoracle.py)
-    from tools.annoracle import centroid_values_sql, kmeans_centroids
+    from tools.annoracle import (centroid_values_sql, kmeans_centroids,
+                                 pq_books, pq_values_sql)
     km_values = centroid_values_sql(kmeans_centroids(
         f"/root/testdata/sf{ORACLE_SF}/embeddings.parquet"))
+    pq_values = pq_values_sql(pq_books(
+        f"/root/testdata/sf{ORACLE_SF}/embeddings.parquet"))
+
+    def _pq_code_ctes(src: str) -> str:
+        """PQ encode CTE chain over `src` (a (vec_id, e, norm) relation):
+        unit-normalize, slice into 8 subvectors, score every sub-centroid
+        with the same 6dp-rounded squared distance the engine folds, and
+        keep the argmin code per (vec_id, subspace)."""
+        return f"""
+            pqc AS (SELECT j, code, cvec FROM {pq_values}),
+            u AS (SELECT vec_id, [x / norm FOR x IN e] AS ue FROM {src}),
+            subv AS (
+                SELECT u.vec_id, js.j AS j,
+                       u.ue[js.j * 8 + 1 : js.j * 8 + 8] AS s
+                FROM u, (SELECT unnest(range(0, 8)) AS j) js),
+            pscored AS (
+                SELECT sv.vec_id, sv.j, p.code,
+                       round(list_sum([ (sv.s[i] - p.cvec[i])
+                                        * (sv.s[i] - p.cvec[i])
+                                        FOR i IN range(1, 9) ]), 6) AS d2
+                FROM subv sv JOIN pqc p ON sv.j = p.j),
+            pbest AS (
+                SELECT vec_id, j, code,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY d2 ASC, code ASC) AS rn
+                FROM pscored),
+            codes AS (SELECT vec_id, j, code FROM pbest WHERE rn = 1)"""
+
+    _PQ_ADC_TAIL = """
+            qsub AS (SELECT j, s AS qs FROM subv WHERE vec_id = 0),
+            persub AS (
+                SELECT c.vec_id, c.j,
+                       list_sum([ q.qs[i] * p.cvec[i]
+                                  FOR i IN range(1, 9) ]) AS sj
+                FROM codes c
+                JOIN pqc p ON c.j = p.j AND c.code = p.code
+                JOIN qsub q ON c.j = q.j
+                WHERE c.vec_id <> 0),
+            adc AS (
+                SELECT vec_id, round(list_sum(list(sj ORDER BY j)), 6)
+                           AS score
+                FROM persub GROUP BY vec_id)
+            SELECT vec_id, score FROM adc
+            ORDER BY score DESC, vec_id ASC LIMIT 10"""
     km_cents = f"""
             kraw AS (SELECT centroid_id, cvec FROM {km_values}),
             cents AS (
@@ -2346,6 +2398,46 @@ def oracle_sql() -> dict[str, str]:
                             / (x.norm * y.norm), 4) >= {COSINE_DUP_THRESHOLD})
             SELECT e.vec_id, e.label
             FROM embeddings e ANTI JOIN drops d ON e.vec_id = d.vec_id
+        """,
+        "ann_pq_encode": f"""
+            WITH {_VEC_CTES},
+            {_pq_code_ctes("nrm")}
+            SELECT vec_id, list(code ORDER BY j) AS codes
+            FROM codes GROUP BY vec_id
+        """,
+        "ann_pq_adc_topk": f"""
+            WITH {_VEC_CTES},
+            {_pq_code_ctes("nrm")},
+            {_PQ_ADC_TAIL}
+        """,
+        "ann_ivf_pq_topk": f"""
+            WITH {_VEC_CTES},
+            {km_cents},
+            kscored AS (
+                SELECT n.vec_id, c.centroid_id,
+                       round(list_inner_product(n.e, c.cvec)
+                             / (n.norm * c.cnorm), 6) AS cscore
+                FROM nrm n, cents c),
+            kbest AS (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cscore DESC, centroid_id ASC) AS rn
+                FROM kscored),
+            kassign AS (SELECT vec_id, centroid_id FROM kbest WHERE rn = 1),
+            kq AS (SELECT e AS qe, norm AS qn FROM nrm WHERE vec_id = 0),
+            qprobe AS (
+                SELECT c.centroid_id
+                FROM cents c, kq
+                ORDER BY round(list_inner_product(c.cvec, kq.qe)
+                               / (c.cnorm * kq.qn), 6) DESC, c.centroid_id ASC
+                LIMIT 2),
+            cand AS (
+                SELECT n.vec_id, n.e, n.norm
+                FROM nrm n
+                JOIN kassign a ON n.vec_id = a.vec_id
+                JOIN qprobe p ON a.centroid_id = p.centroid_id),
+            {_pq_code_ctes("cand")},
+            {_PQ_ADC_TAIL}
         """,
         "multimodal_decode_meta": """
             SELECT doc_id,

@@ -384,17 +384,24 @@ def ivf_topk(df: DataFrame, query_id: int = 0, k: int = 10,
 def ivf_pq_topk(df: DataFrame, query_id: int = 0, k: int = 10,
                 n_centroids: int = 16, n_probe: int = 2,
                 codebook: list | None = None, pq_cb: list | None = None,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exact: bool = False) -> DataFrame:
     """IVFADC (Jégou et al., TPAMI'11): IVF cell restriction, then PQ
     asymmetric-distance scoring WITHIN the probed cells — the composition
     run at cluster scale, where neither a full scan (pq_adc_topk) nor
     exact re-scoring of a whole cell (ivf_topk) is affordable: the probe
     join prunes to ~n_probe*N/C rows and ADC touches only their m-byte
-    codes. Both codebooks default to their sampled-k-means builders."""
+    codes. Both codebooks default to their sampled-k-means builders.
+    ``exact=True`` routes the ADC stage through the fold-based SQL twin
+    (`pq_adc_topk_exact`) — the oracle-gated verification path."""
     cand = _ivf_probe_candidates(df, query_id, n_centroids, n_probe,
                                  id_col, vec_col, codebook)
     if pq_cb is None:
         pq_cb = pq_codebooks(df, id_col=id_col, vec_col=vec_col)
+    if exact:
+        return pq_adc_topk_exact(cand, query_id=query_id, k=k,
+                                 codebooks=pq_cb, id_col=id_col,
+                                 vec_col=vec_col)
     # Fetch the query vector from the BASE table (a pushed-down id-filter
     # scan) and hand it down: letting pq_adc_topk .first() the candidate
     # frame would execute the whole IVF assign+probe pipeline as an extra
@@ -419,6 +426,14 @@ def pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 256, iters: int = 10,
     ``m`` lists of ``ksub`` sub-centroids; total size m*ksub*(d/m) floats
     — a broadcast-trivial object even for 1024-dim embeddings."""
     x = _hash_sample(df, sample_cap, id_col, vec_col)
+    return lloyd_pq(x, m, ksub, iters)
+
+
+def lloyd_pq(x: "np.ndarray", m: int, ksub: int, iters: int) -> list:
+    """The pure-NumPy Lloyd step of `pq_codebooks`, factored out (exactly
+    like `lloyd_spherical`) so tools/annoracle.py can reproduce the
+    IDENTICAL codebooks from the same sample without Spark and embed
+    them as SQL literals for the full-value PQ gates."""
     norms = np.linalg.norm(x, axis=1)
     x = x[norms > 0] / norms[norms > 0, None]
     d = x.shape[1]
@@ -481,6 +496,101 @@ def pq_encode(df: DataFrame, codebooks: list, id_col: str = "vec_id",
                   & (F.size(F.col(vec_col)) == m * subdim))
         .select(F.col(id_col), encode_udf(F.col(vec_col)).alias("codes"))
     )
+
+
+def pq_encode_exact(df: DataFrame, codebooks: list,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """The SQL-expressible twin of `pq_encode`: identical codes computed
+    entirely with JVM-side left-fold expressions (no NumPy, no BLAS), so
+    an independent ANSI-SQL engine can reproduce every code and the PQ
+    gates get full value-hash checks instead of rows-only ones.
+
+    Per vector: unit-normalize (fold norm), posexplode into the m
+    subvectors, broadcast-join the m×ksub sub-centroid relation, score
+    each alternative with the left-fold squared distance rounded to 6dp
+    (one total order both engines agree on; argmin ties break toward the
+    lower code, matching `lloyd_pq`'s np.argmin), and reassemble the
+    code array in subspace order. Cost is m×ksub fold evaluations per
+    vector — the verification path; `pq_encode`'s vectorized NumPy
+    matmul remains the production encoder, and
+    `test_pq_encode_exact_matches_numpy` pins the two to byte-equal
+    output on the fixture corpus. Degenerate (null/empty/zero-norm)
+    vectors are excluded, consistent with the module contract."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(j, c, [float(v) for v in vec])
+         for j, b in enumerate(codebooks) for c, vec in enumerate(b)],
+        "j int, code int, cvec array<double>")
+    d2_expr = ("aggregate(zip_with(sub, cvec, (x, y) -> (x - y) * (x - y)), "
+               "cast(0.0 as double), (acc, v) -> acc + v)")
+    base = with_norm(df.filter(F.size(F.col(vec_col)) == m * subdim),
+                     vec_col)
+    subs = (base
+            .select(id_col,
+                    F.expr(f"transform({vec_col}, "
+                           "v -> cast(v as double) / norm)").alias("ue"))
+            .select(id_col, F.posexplode(F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"j -> slice(ue, j * {subdim} + 1, {subdim}))"))
+                .alias("j", "sub")))
+    scored = (subs.join(F.broadcast(cents), "j")
+              .select(id_col, "j", "code",
+                      F.round(F.expr(d2_expr), 6).alias("d2")))
+    best = (scored.groupBy(id_col, "j")
+            .agg(F.min(F.struct("d2", "code")).alias("b"))
+            .select(id_col, "j", F.col("b.code").alias("code")))
+    return (best.groupBy(id_col)
+            .agg(F.expr(
+                "transform(sort_array(collect_list(struct(j, code))), "
+                "x -> cast(x.code as int))").alias("codes")))
+
+
+def pq_adc_topk_exact(df: DataFrame, query_id: int = 0, k: int = 10,
+                      codebooks: list | None = None, m: int = 8,
+                      ksub: int = 256, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """The SQL-expressible twin of `pq_adc_topk` (see `pq_encode_exact`
+    for the why): codes from the exact fold encoder, per-subspace query
+    dots as left-fold expressions, and the m per-subspace scores summed
+    IN SUBSPACE ORDER (sorted collect_list fold) so the final 6dp-rounded
+    ADC score is bit-stable across engines and partitionings. Production
+    retrieval stays on `pq_adc_topk`'s NumPy LUT; the fixture equality of
+    the two is pinned by a unit test."""
+    if codebooks is None:
+        codebooks = pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
+                                 vec_col=vec_col)
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(j, c, [float(v) for v in vec])
+         for j, b in enumerate(codebooks) for c, vec in enumerate(b)],
+        "j int, code int, cvec array<double>")
+    qsubs = (with_norm(df.filter(F.col(id_col) == query_id), vec_col)
+             .select(F.expr(f"transform({vec_col}, "
+                            "v -> cast(v as double) / norm)").alias("ue"))
+             .select(F.posexplode(F.expr(
+                 f"transform(sequence(0, {m - 1}), "
+                 f"j -> slice(ue, j * {subdim} + 1, {subdim}))"))
+                 .alias("j", "qsub")))
+    dot = ("aggregate(zip_with(qsub, cvec, (x, y) -> x * y), "
+           "cast(0.0 as double), (acc, v) -> acc + v)")
+    per = (pq_encode_exact(df, codebooks, id_col=id_col, vec_col=vec_col)
+           .filter(F.col(id_col) != query_id)
+           .select(id_col, F.posexplode("codes").alias("j", "code"))
+           .join(F.broadcast(cents), ["j", "code"])
+           .join(F.broadcast(qsubs), "j")
+           .select(id_col, "j", F.expr(dot).alias("s")))
+    return (per.groupBy(id_col)
+            .agg(F.round(F.expr(
+                "aggregate(transform(sort_array(collect_list(struct(j, s))),"
+                " x -> x.s), cast(0.0 as double), (acc, v) -> acc + v)"), 6)
+                .alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))
 
 
 def pq_adc_topk(df: DataFrame, query_id: int = 0, k: int = 10,

@@ -709,3 +709,20 @@ def test_batch_topk_matches_per_query_brute(spark, vecs):
         want = [(r.vec_id, r.score)
                 for r in S.brute_topk(vecs, query_id=qid, k=3).collect()]
         assert sorted(got[qid], key=lambda t: (-t[1], t[0])) == want
+
+
+def test_pq_exact_twins_match_numpy_paths(spark):
+    """The fold-based SQL twins (the oracle-gated verification paths)
+    produce byte-identical output to the production NumPy paths on real
+    fixture data — codes AND the rounded ADC ranking."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = S.pq_codebooks(embs, m=8, ksub=64)
+    fast = {r.vec_id: list(r.codes) for r in S.pq_encode(embs, cb).collect()}
+    slow = {r.vec_id: list(r.codes)
+            for r in S.pq_encode_exact(embs, cb).collect()}
+    assert fast == slow and len(fast) > 0
+    a = [(r.vec_id, r.score)
+         for r in S.pq_adc_topk(embs, k=10, codebooks=cb).collect()]
+    b = [(r.vec_id, r.score)
+         for r in S.pq_adc_topk_exact(embs, k=10, codebooks=cb).collect()]
+    assert a == b and len(a) == 10

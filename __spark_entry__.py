@@ -839,6 +839,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_dup_groups"] = q_conv_dup_groups
 
+    # conversation-grain NEAR-dup readiness: the document MinHash stack
+    # composed onto the north-rule table — conversations concatenated by
+    # the skew-safe two-stage merge, then per-conversation MinHash
+    # signatures (the LSH banding/pair machinery applies unchanged with
+    # id_col='conv_id'; this corpus has no near-dup conversations, so the
+    # signature relation is the value-checkable surface)
+    def q_conv_minhash_sigs(spark, sf_dir):
+        from pdf_parser_spark.operators.reassemble import (
+            reassemble_conversations)
+        # gate-only turn cap: the sf0.01 mega-conversation concatenates to
+        # a ~10^5-token doc whose shingle stream costs the ORACLE minutes
+        # (DuckDB evaluates the gram comprehension single-threaded); the
+        # cap bounds doc length without changing what the gate checks
+        conv_docs = reassemble_conversations(
+            _transcripts(spark, sf_dir).filter(F.col("turn_idx") < 40),
+            text_col="text", sep="\n")
+        return _longify(D.minhash_signatures(
+            conv_docs, id_col="conv_id", text_col="doc"))
+
+    q["conv_minhash_sigs"] = q_conv_minhash_sigs
+
     def q_conv_sessionize(spark, sf_dir):
         return _longify(CS.conv_sessionize(_aug_tr(spark, sf_dir),
                                            gap_s=3600))
@@ -1728,6 +1749,30 @@ def oracle_sql() -> dict[str, str]:
                    min(conv_id) AS keep_conv_id,
                    max(n_turns)::BIGINT AS n_turns
             FROM fps GROUP BY fp
+        """,
+        "conv_minhash_sigs": f"""
+            WITH conv_docs AS (
+                SELECT conv_id,
+                       string_agg(text, chr(10) ORDER BY turn_idx) AS text
+                FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet')
+                WHERE turn_idx < 40
+                GROUP BY conv_id),
+            canon AS (
+                SELECT conv_id, string_split({_CANON}, ' ') AS toks
+                FROM conv_docs),
+            grams AS (
+                SELECT conv_id,
+                       CASE WHEN len(toks) < 3
+                            THEN [array_to_string(toks, ' ')]
+                            ELSE [array_to_string(toks[i:i+2], ' ')
+                                  FOR i IN range(1, len(toks) - 1)]
+                       END AS gs
+                FROM canon),
+            sh AS (SELECT DISTINCT conv_id, md5(unnest(gs)) AS sh FROM grams)
+            SELECT conv_id, seed::BIGINT AS seed,
+                   min(md5(sh || '#' || seed)) AS minhash
+            FROM sh, (SELECT unnest(range(0, 8)) AS seed) s
+            GROUP BY conv_id, seed
         """,
         "conv_stats": f"""
             WITH a AS (

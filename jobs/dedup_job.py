@@ -27,11 +27,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True, help="documents table/path")
     p.add_argument("--output", required=True, help="kept-documents output")
     p.add_argument("--method", default="minhash",
-                   choices=("minhash", "exact", "simhash"))
+                   choices=("minhash", "exact", "simhash", "semdedup"))
     p.add_argument("--threshold", type=float, default=0.5,
                    help="Jaccard threshold (minhash method)")
     p.add_argument("--max-hamming", type=int, default=1,
                    help="Hamming radius (simhash method)")
+    p.add_argument("--cosine-threshold", type=float, default=0.95,
+                   help="cosine threshold (semdedup method)")
+    p.add_argument("--cells", type=int, default=16,
+                   help="k-means cell count (semdedup method; scale with "
+                        "corpus size to bound cell occupancy)")
+    p.add_argument("--vec-col", default="embedding",
+                   help="embedding column (semdedup method)")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--report-clusters", action="store_true",
@@ -51,7 +58,17 @@ def main(argv=None) -> int:
 
     stats: dict = {}
     clusters = None
-    if args.method == "exact":
+    if args.method == "semdedup":
+        # embedding-space SemDeDup: greedy lowest-id keep inside k-means
+        # cells (corpus/similarity.py); input is an embeddings table
+        from pdf_parser_spark.corpus import similarity as S
+
+        cb = S.kmeans_codebook(docs, n_centroids=args.cells,
+                               id_col=args.id_col, vec_col=args.vec_col)
+        kept = S.semdedup_keep(docs, threshold=args.cosine_threshold,
+                               n_centroids=args.cells, codebook=cb,
+                               id_col=args.id_col, vec_col=args.vec_col)
+    elif args.method == "exact":
         keep = D.exact_dedup(docs, id_col=args.id_col, text_col=args.text_col)
         kept = docs.join(
             keep.select(F.col("keep_id").alias(args.id_col)),

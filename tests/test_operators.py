@@ -467,3 +467,30 @@ def test_curation_job_cli_id_col(spark, tmp_path):
     assert sorted(got) == [10]  # 11 dropped by decontamination
     assert got[10].split in ("train", "val", "test")
     assert got[10].n_seqs >= 1
+
+
+def test_dedup_job_cli_semdedup(spark, tmp_path):
+    """dedup_job --method semdedup: embedding-space greedy keep drops the
+    higher-id member of a near-identical pair, keeps the distinct one."""
+    import math as _math
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    from dedup_job import main as job_main
+
+    from pdf_parser_spark.io import read_table, write_table
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [_math.cos(0.05), _math.sin(0.05)]),   # ~0.999 cosine to 0
+        (2, [0.0, 1.0]),
+    ]
+    src = str(tmp_path / "embs_in")
+    write_table(spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"), src)
+    out = str(tmp_path / "kept_vecs")
+    assert job_main(["--input", src, "--output", out,
+                     "--method", "semdedup", "--id-col", "vec_id",
+                     "--cells", "2", "--cosine-threshold", "0.95"]) == 0
+    kept = sorted(r.vec_id for r in read_table(spark, out).collect())
+    assert kept == [0, 2]

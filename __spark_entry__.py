@@ -156,7 +156,7 @@ _MARKER_SQL = {
 }
 _STOP_SQL = ", ".join(f"'{w}'" for w in TS.STOPWORDS)
 
-_CANON = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_CANON = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
 # winnowing polynomial base powers mod 2^32 (shared with the engine)
 _WPOW = TS.winnow_base_powers(5)
 # shared winnowing CTE chain -> wfp(doc_id, fp): the engine's exact
@@ -1404,7 +1404,7 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(text, ' '))::BIGINT AS n_tokens,
                    round(length(text)::DOUBLE
                          / greatest(len(string_split(text, ' ')), 1), 4) AS mean_token_len,
-                   round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                   round(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]'))::DOUBLE
                          / greatest(length(text), 1), 4) AS punct_ratio,
                    round(len(regexp_extract_all(text, '[0-9]'))::DOUBLE
                          / greatest(length(text), 1), 4) AS digit_ratio,
@@ -1424,8 +1424,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": """
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+                   len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))::BIGINT AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]'))::BIGINT AS bpe_tokens
             FROM documents
         """,
         "doc_fingerprint": f"""
@@ -1712,7 +1712,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
                 SELECT conv_id, turn_idx,
                        string_split(trim(regexp_replace(lower(text),
-                                    '\\s+', ' ', 'g')), ' ') AS w
+                                    '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS w
                 FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet')),
             g AS (
                 SELECT conv_id, turn_idx,
@@ -2102,8 +2102,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs,
                    sum(length(text))::BIGINT AS sum_chars,
                    sum(len(string_split(text, ' ')))::BIGINT AS sum_tokens,
-                   sum(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')))::BIGINT AS sum_punct,
-                   round(sum(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')))::DOUBLE
+                   sum(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')))::BIGINT AS sum_punct,
+                   round(sum(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')))::DOUBLE
                          / sum(length(text)), 6) AS punct_ratio
             FROM documents GROUP BY source
         """,

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from pdf_parser_spark.corpus.dedup import WS, WS_CHARS
+
 # Small deterministic stopword marker lists for the n-gram/marker language
 # heuristic. Ties break by the fixed language order below.
 LANG_MARKERS = {
@@ -32,8 +34,10 @@ LANG_ORDER = ("en", "es", "de", "fr")
 STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
 
 # BPE-ish token classes: letter runs, digit runs, single other-glyphs.
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
-PUNCT_RE = r"[^A-Za-z0-9\s]"
+# Whitespace appears as the explicit dedup.WS_CHARS class, never \s:
+# Java's \s includes \x0B where RE2's does not (cross-engine fork).
+BPE_TOKEN_RE = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]"
+PUNCT_RE = f"[^A-Za-z0-9{WS_CHARS}]"
 
 # Winnowing gram-hash parameters: polynomial rolling hash over Unicode
 # codepoints mod 2^32. The base is a prime; powers are precomputed mod
@@ -100,7 +104,7 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count per document."""
     return df.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
+        F.size(F.split(F.trim(F.col(text_col)), WS + "+")).alias("ws_tokens"),
         F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).alias("bpe_tokens"),
     )
 
@@ -156,7 +160,7 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
     shuffle (the explode + window-function form pushed ~50 grams per char
     through an exchange and was ~10× slower). Only the per-doc distinct
     fingerprints are emitted; the final distinct is the one shuffle."""
-    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
     bpows = winnow_base_powers(k)
 
     @pandas_udf("array<string>")
@@ -227,7 +231,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     identically. Tie-break for the top 2-gram: highest count, then
     lexicographically greatest gram (UTF-8 byte order == codepoint
     order, so Python/Spark/DuckDB agree)."""
-    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
 
     @pandas_udf("struct<n_2grams:long, top2_cnt:long, top2_gram:string,"
                 " n_3grams:long, dup3_occ:long>")
@@ -283,7 +287,7 @@ def quality_filter_keep(df: DataFrame, text_col: str = "text",
     n_stop = _marker_count(text_col, STOPWORDS)
     stopword_ratio = F.round(
         n_stop / F.greatest(n_tokens, F.lit(1)), 4)
-    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
 
     # the UDF emits only exact integers; divisions + 4dp rounding stay
     # JVM-side (F.round, HALF_UP) so boundary comparisons are identical
@@ -407,7 +411,7 @@ def dup_passage_stats(df: DataFrame, win: int = 20, stride: int = 1,
     the DuckDB oracle bit-identical."""
     toks = df.select(
         "doc_id", F.split(F.trim(F.regexp_replace(
-            F.lower(F.col(text_col)), r"\s+", " ")), " ").alias("toks"))
+            F.lower(F.col(text_col)), WS + "+", " ")), " ").alias("toks"))
     wins_expr = F.expr(
         f"""
         case when size(toks) < {win} then array(md5(array_join(toks, ' ')))
@@ -470,7 +474,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 of the lowercased,
     whitespace-collapsed text (the document-granularity analog of the
     snapshot normalization F2)."""
-    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
     return df.select("doc_id", F.md5(canon).alias("fp"))
 
 
@@ -502,7 +506,7 @@ def unigram_surprisal(df: DataFrame, vocab_size: int = 65536,
     toks = df.select(
         "doc_id",
         F.explode(F.split(F.trim(F.regexp_replace(
-            F.lower(F.col(text_col)), r"\s+", " ")), " ")).alias("tok"))
+            F.lower(F.col(text_col)), WS + "+", " ")), " ")).alias("tok"))
     tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = tf.agg(F.sum("cnt")).first()[0]
     vocab = (tf.orderBy(F.col("cnt").desc(), F.col("tok").asc())

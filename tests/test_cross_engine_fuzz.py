@@ -98,3 +98,99 @@ def test_conv_fingerprint_cross_engine(spark, fuzz_pdf):
                                        ORDER BY turn_idx))
         FROM tr GROUP BY conv_id""").fetchall())
     assert got == want
+
+
+_PII_PIECES = [
+    "a@b.co", "x.y+z%w@sub.domain.org", "no-at-sign.com", "a@b", "@b.co",
+    "UPPER@CASE.COM", "tail a@b.co.", "(a@b.co)", "ümlaut@b.co",
+    "a@b.co,b@c.io", "10.0.0.1", "999.999.999.999", "1.2.3.4.5",
+    "10.0.0.256", "v1.2.3", "+12 555-0101", "12 555-0101", "555-0101",
+    "+123 456-7890", "12 555-0101x", "edge@case.co 1.2.3.4 +12 345-6789",
+    "", " ", "text without any pii at all", "٠١٢٣@unicode.digits",
+    "12 555-0101", "wörd 1.2.3.4wörd",
+]
+
+
+def _pii_docs(n=200, seed=13):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        k = rng.randint(0, 6)
+        rows.append((i, " ".join(rng.choice(_PII_PIECES) for _ in range(k))
+                     if k else rng.choice(_PII_PIECES)))
+    return rows
+
+
+def test_pii_scrub_cross_engine(spark):
+    """The ordered email→IP→phone redaction chain (shared regex
+    constants, Java vs RE2 dialects) agrees on hostile inputs: unicode
+    digits/letters at match boundaries, adjacent PII, out-of-range IP
+    octets, partial phones, empty strings."""
+    from pdf_parser_spark.corpus import scrub as SC
+
+    pdf = pd.DataFrame(_pii_docs(), columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf)
+    got = {r.doc_id: (r.text, r.n_emails, r.n_ips, r.n_phones)
+           for r in SC.pii_scrub(df).collect()}
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = {row[0]: (row[1], row[2], row[3], row[4]) for row in con.execute(f"""
+        WITH s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{SC.EMAIL_RE}'))::BIGINT AS ne,
+                   regexp_replace(text, '{SC.EMAIL_RE}',
+                                  '{SC.EMAIL_TOKEN}', 'g') AS t1
+            FROM docs),
+        s2 AS (
+            SELECT doc_id, ne,
+                   len(regexp_extract_all(t1, '{SC.IPV4_RE}'))::BIGINT AS ni,
+                   regexp_replace(t1, '{SC.IPV4_RE}',
+                                  '{SC.IPV4_TOKEN}', 'g') AS t2
+            FROM s1)
+        SELECT doc_id,
+               regexp_replace(t2, '{SC.PHONE_RE}', '{SC.PHONE_TOKEN}', 'g'),
+               ne, ni,
+               len(regexp_extract_all(t2, '{SC.PHONE_RE}'))::BIGINT
+        FROM s2""").fetchall()}
+    diffs = [(k, got[k], want[k]) for k in want if got[k] != want[k]]
+    assert not diffs, diffs[:3]
+
+
+def test_winnow_fingerprints_cross_engine(spark, fuzz_pdf):
+    """The codepoint-polynomial gram hash + rolling min agrees on astral
+    emoji, CJK, combining marks — every char path through ord()/utf-32."""
+    from pdf_parser_spark.corpus import textstats as TS
+    import __spark_entry__ as _entry
+
+    df = spark.createDataFrame(fuzz_pdf)
+    got = {}
+    for r in TS.winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    con = duckdb.connect()
+    con.register("documents", fuzz_pdf)
+    want = {}
+    for doc_id, fp in con.execute(
+            f"WITH {_entry._WINNOW_CTES} SELECT doc_id, fp FROM wfp"
+    ).fetchall():
+        want.setdefault(doc_id, set()).add(fp)
+    assert got == want
+
+
+def test_token_counts_cross_engine(spark, fuzz_pdf):
+    """ws/BPE token counts (trim + explicit-class split, BPE class
+    extract) agree including empty and whitespace-only documents."""
+    from pdf_parser_spark.corpus import textstats as TS
+    from pdf_parser_spark.corpus.dedup import WS_CHARS
+
+    df = spark.createDataFrame(fuzz_pdf)
+    got = {r.doc_id: (r.ws_tokens, r.bpe_tokens)
+           for r in TS.token_counts(df).collect()}
+    con = duckdb.connect()
+    con.register("docs", fuzz_pdf)
+    want = {row[0]: (row[1], row[2]) for row in con.execute(f"""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '[{WS_CHARS}]+'))::BIGINT,
+               len(regexp_extract_all(text, '{TS.BPE_TOKEN_RE}'))::BIGINT
+        FROM docs""").fetchall()}
+    diffs = [(k, got[k], want[k]) for k in want if got[k] != want[k]]
+    assert not diffs, diffs[:5]

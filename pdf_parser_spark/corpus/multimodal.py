@@ -68,14 +68,21 @@ def decode_meta(df: DataFrame, strict: bool = False) -> DataFrame:
                 raise NotImplementedError(
                     "media codec not available in this container; "
                     "integrate PIL/soundfile here")
-            n = pdf["payload"].map(len)
-            w, h, c = zip(*(_fake_dims(int(v)) for v in n))
+            # degrade-don't-fail (D1): a NULL payload (failed fetch,
+            # tombstoned blob) emits a row with null metadata and
+            # ok=False — it must never kill the task (found by the
+            # hostile-gate suite; real media tables carry such rows)
+            n = pdf["payload"].map(
+                lambda p: len(p) if p is not None else None)
+            dims = [_fake_dims(int(v)) if pd.notna(v) else (None,) * 3
+                    for v in n]
+            w, h, c = zip(*dims) if dims else ((), (), ())
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "kind": pdf["kind"],
                 "n_bytes": n,
                 "width": w, "height": h, "channels": c,
-                "ok": True,
+                "ok": n.notna(),
             })
 
     return df.mapInPandas(run, schema=DECODE_SCHEMA)

@@ -44,6 +44,8 @@ from pdf_parser_spark.goldens import ensure_goldens, golden_dir  # noqa: E402
 from pdf_parser_spark.operators import convstats as CS  # noqa: E402
 from pdf_parser_spark.operators import funnel as FN  # noqa: E402
 from pdf_parser_spark.plans import relational as R  # noqa: E402
+from pdf_parser_spark.plans import sketch as SK  # noqa: E402
+from pdf_parser_spark.plans import temporal as TP  # noqa: E402
 from pdf_parser_spark.operators.extract import extract_layouts  # noqa: E402
 from pdf_parser_spark.operators.markdown import to_markdown  # noqa: E402
 from pdf_parser_spark.operators.questions import extract_questions  # noqa: E402
@@ -1096,6 +1098,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_bytes", "width", "height", "kind")
 
     q["multimodal_decode_meta"] = q_multimodal
+
+    # --- temporal joins / rollups / sketches ------------------------------
+    def q_asof_join(spark, sf_dir):
+        return _longify(TP.asof_join_latest(_tbl(spark, sf_dir, "events")))
+
+    q["asof_join_latest"] = q_asof_join
+
+    def q_interval_join(spark, sf_dir):
+        return _longify(TP.interval_join_events(
+            _tbl(spark, sf_dir, "events")))
+
+    q["interval_join_events"] = q_interval_join
+
+    def q_hyper_rollup(spark, sf_dir):
+        return _longify(TP.hyper_rollup(_tbl(spark, sf_dir, "events")))
+
+    q["hyper_rollup"] = q_hyper_rollup
+
+    def q_sales_cube(spark, sf_dir):
+        return _longify(R.sales_cube(_tbl(spark, sf_dir, "lineitem")))
+
+    q["sales_cube"] = q_sales_cube
+
+    def q_distinct_kmv(spark, sf_dir):
+        return _longify(SK.distinct_kmv(
+            _tbl(spark, sf_dir, "events"), "event_type", "user_id"))
+
+    q["distinct_kmv"] = q_distinct_kmv
+
+    def q_dsir_weights(spark, sf_dir):
+        return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
+
+    q["dsir_weights"] = q_dsir_weights
 
     return q
 
@@ -2491,5 +2526,101 @@ def oracle_sql() -> dict[str, str]:
                    ((octet_length(encode(text)) * 7) % 480 + 16)::BIGINT AS height,
                    'fake/v1' AS kind
             FROM documents
+        """,
+        # DuckDB's native ASOF LEFT JOIN is the semantic spec the Spark
+        # union-and-window formulation must reproduce (inclusive on ties).
+        "asof_join_latest": """
+            WITH p AS (SELECT event_id, user_id,
+                              epoch_us(ts)::BIGINT AS t_us
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, epoch_us(ts)::BIGINT AS t_us
+                       FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.t_us,
+                   c.t_us AS asof_t_us, p.t_us - c.t_us AS gap_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.t_us >= c.t_us
+        """,
+        "interval_join_events": """
+            WITH hb AS (
+                SELECT epoch_us(ts)::BIGINT // 3600000000 AS b,
+                       count(*) AS cnt
+                FROM events GROUP BY 1),
+            hot AS (SELECT b FROM hb WHERE cnt >= 20),
+            isl AS (SELECT b, b - row_number() OVER (ORDER BY b) AS g
+                    FROM hot),
+            win AS (SELECT min(b) * 3600000000 AS win_start_us,
+                           (max(b) + 1) * 3600000000 AS win_end_us
+                    FROM isl GROUP BY g),
+            pts AS (SELECT event_id, epoch_us(ts)::BIGINT AS t_us
+                    FROM events WHERE event_type = 'error')
+            SELECT event_id, t_us, win_start_us, win_end_us
+            FROM pts JOIN win
+              ON t_us >= win_start_us AND t_us < win_end_us
+        """,
+        "hyper_rollup": """
+            WITH e AS (
+                SELECT epoch_us(ts)::BIGINT // 86400000000 AS day_idx,
+                       event_type, round(value * 100)::BIGINT AS vc
+                FROM events)
+            SELECT day_idx, event_type, count(*)::BIGINT AS n_events,
+                   round(sum(vc) / 100, 2) AS sum_value,
+                   grouping(day_idx, event_type)::BIGINT AS gid
+            FROM e GROUP BY ROLLUP(day_idx, event_type)
+        """,
+        "sales_cube": """
+            WITH l AS (
+                SELECT l_returnflag, l_linestatus,
+                       round(l_quantity)::BIGINT AS qty,
+                       round(l_extendedprice * 100)::BIGINT AS pc
+                FROM lineitem)
+            SELECT l_returnflag, l_linestatus,
+                   sum(qty)::BIGINT AS sum_qty,
+                   round(sum(pc) / 100, 2) AS sum_base_price,
+                   count(*)::BIGINT AS n_items,
+                   grouping(l_returnflag, l_linestatus)::BIGINT AS gid
+            FROM l GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "distinct_kmv": f"""
+            WITH pairs AS (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5(user_id::VARCHAR || ':kmv'),
+                                       1, 15))::UBIGINT AS h
+                FROM events),
+            exact AS (SELECT event_type, count(*)::BIGINT AS n_exact
+                      FROM pairs GROUP BY 1),
+            km AS (SELECT event_type, h, row_number()
+                       OVER (PARTITION BY event_type ORDER BY h) AS rn
+                   FROM pairs),
+            kk AS (SELECT event_type, count(*) AS nk, max(h) AS hk
+                   FROM km WHERE rn <= 64 GROUP BY 1)
+            SELECT e.event_type, e.n_exact,
+                   round(CASE WHEN kk.nk < 64 THEN e.n_exact::DOUBLE
+                              ELSE {float(63 * (1 << 60))!r} / kk.hk::DOUBLE
+                         END, 2) AS kmv_est
+            FROM exact e JOIN kk USING (event_type)
+        """,
+        "dsir_weights": f"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(string_split({_CANON}, ' ')) AS tok
+                FROM documents),
+            feats AS (
+                SELECT doc_id, (lang = 'en')::BIGINT AS is_t,
+                       ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 1024 AS b
+                FROM toks),
+            model AS (SELECT b, count(*)::DOUBLE AS rc,
+                             sum(is_t)::DOUBLE AS tc
+                      FROM feats GROUP BY 1),
+            tot AS (SELECT sum(rc) AS R, sum(tc) AS T FROM model),
+            ratio AS (
+                SELECT b,
+                       log2((tc + 1) / ((SELECT T FROM tot) + 1024))
+                       - log2((rc + 1) / ((SELECT R FROM tot) + 1024))
+                           AS llr
+                FROM model)
+            SELECT f.doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(llr), 4) AS dsir_logratio
+            FROM feats f JOIN ratio USING (b)
+            GROUP BY 1
         """,
     }

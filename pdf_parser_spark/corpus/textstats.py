@@ -519,3 +519,63 @@ def unigram_surprisal(df: DataFrame, vocab_size: int = 65536,
                  F.round(F.avg(F.when(F.col("cnt").isNull(), 1.0)
                                .otherwise(0.0)), 4).alias("oov_frac"),
                  F.round(F.avg(bits), 4).alias("mean_bits")))
+
+
+def _feat_bucket(tok_col: str = "tok", n_buckets: int = 1024) -> F.Column:
+    """Hashed-feature bucket of a token: first 8 md5 hex digits mod B —
+    the engine-portable hashing-trick (both operands non-negative, so
+    pmod/% agree across engines)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(tok_col)), 1, 8), 16, 10)
+        .cast("long"), F.lit(n_buckets))
+
+
+def dsir_weights(df: DataFrame, target_col: str = "lang",
+                 target_val: str = "en", n_buckets: int = 1024,
+                 text_col: str = "text") -> DataFrame:
+    """DSIR data-selection weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its tokens are under the TARGET
+    distribution than under the RAW corpus distribution, using
+    hashed-unigram bag models — the importance weight that decides
+    whether a crawl document "looks like" the high-quality target set.
+    Here target = documents with ``target_col == target_val``, raw =
+    the whole corpus; real pipelines plug in a curated target corpus.
+
+    Features are tokens hashed into ``n_buckets`` buckets (the hashing
+    trick bounds BOTH models at B rows regardless of vocabulary size —
+    the reason DSIR scales where exact n-gram LMs don't). Bucket
+    probabilities are Laplace-smoothed (c+1)/(C+B); the per-document
+    score is the MEAN log2 probability ratio over its tokens (mean, not
+    sum, so the score is length-independent), rounded to 4dp under the
+    same log2-portability contract as `unigram_surprisal`.
+
+    Scale shape: pass 1 aggregates token counts per bucket — uniform
+    keys, map-side combine, output bounded at B rows — for raw and
+    target in ONE pass (conditional sum, no second scan). The two
+    model totals are B-row reductions. Pass 2 re-explodes tokens and
+    BROADCASTS the B-row log-ratio table onto them; the corpus crosses
+    only the final per-doc rollup exchange. No model state ever
+    exceeds B rows — this is exactly the DSIR paper's memory story,
+    relationally."""
+    toks = df.select(
+        "doc_id",
+        (F.col(target_col) == target_val).cast("long").alias("is_t"),
+        F.explode(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col(text_col)), WS + "+", " ")), " ")).alias("tok"))
+    feats = toks.select("doc_id", "is_t",
+                        _feat_bucket("tok", n_buckets).alias("b"))
+    model = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum("is_t").alias("tc"))
+    totals = model.agg(F.sum("rc").alias("R"),
+                       F.sum("tc").alias("T")).first()
+    r_tot, t_tot = float(totals["R"]), float(totals["T"])
+    llr = (F.log2((F.col("tc") + 1) / F.lit(t_tot + n_buckets))
+           - F.log2((F.col("rc") + 1) / F.lit(r_tot + n_buckets)))
+    ratio = model.select("b", llr.alias("llr"))
+    return (feats
+            .join(F.broadcast(ratio), "b")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg("llr"), 4).alias("dsir_logratio")))

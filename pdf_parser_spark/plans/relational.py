@@ -105,3 +105,30 @@ def top_revenue_orders(customer: DataFrame, orders: DataFrame,
                     F.round(F.col("rev_c2") / 10000, 2).alias("revenue"),
                     _epoch_us("o_orderdate").alias("odate_us"),
                     "o_orderpriority"))
+
+
+def sales_cube(lineitem: DataFrame) -> DataFrame:
+    """Sales summary at all four granularities of (returnflag,
+    linestatus) — per pair, per flag, per status, grand total — in ONE
+    pass via `cube()` grouping sets. The companion to
+    `plans.temporal.hyper_rollup`: rollup is the hierarchy lattice
+    (prefixes only), cube is the full lattice, and both compile to the
+    same Expand + single partial-agg exchange. ``gid`` is
+    `grouping_id()` (0 finest .. 3 grand total, MSB-first — identical
+    to DuckDB's GROUPING()).
+
+    Integer-cents exactness as in `pricing_summary`. Scale: Expand
+    multiplies rows 4x MAP-SIDE, but partial aggregation collapses each
+    replica to at most |key-space| rows before the exchange — with a
+    6-value key space the shuffle carries a few dozen partials no
+    matter how many billion lineitems feed it."""
+    pc = _cents("l_extendedprice")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return (lineitem
+            .select("l_returnflag", "l_linestatus", pc.alias("pc"),
+                    qty.alias("qty"))
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.sum("qty").alias("sum_qty"),
+                 F.round(F.sum("pc") / 100, 2).alias("sum_base_price"),
+                 F.count(F.lit(1)).alias("n_items"),
+                 F.grouping_id().alias("gid")))

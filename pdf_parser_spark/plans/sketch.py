@@ -1,0 +1,75 @@
+"""Deterministic cardinality sketches.
+
+Spark's native approximate-distinct is `approx_count_distinct`
+(HyperLogLog++), which is the right 100 TB answer when cross-engine
+reproducibility doesn't matter — but its register layout is
+implementation-private, so no other engine can replay the estimate and
+a correctness gate can't pin it. The KMV (k-minimum-values) sketch
+here trades a little variance for full auditability: the sketch state
+is just the k smallest md5 hashes of the key, a pure function of the
+data that ANY engine reproduces bit-for-bit (Bar-Yossef et al. 2002,
+"Counting distinct elements in a data stream"; estimator
+(k-1)/U_(k)).
+
+The reference has no sketches (SURVEY.md §2.8) — north-rule addition
+for the analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 15 hex digits = 60 bits: inside both engines' comfortable integer
+# ranges (signed int64 here, UBIGINT in the DuckDB twin).
+_KMV_BITS = 60
+_KMV_KEYSPACE = 1 << _KMV_BITS
+
+
+def kmv_key(key_col: str, salt: str = "kmv") -> F.Column:
+    """Uniform 60-bit hash of ``key:salt`` — the same md5-prefix rule as
+    `corpus.scrub.sample_key`, widened to 60 bits so the kth-minimum
+    statistic has negligible collision probability."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"),
+                       F.lit(":" + salt)))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def distinct_kmv(df: DataFrame, group_col: str, key_col: str,
+                 k: int = 64, salt: str = "kmv") -> DataFrame:
+    """Per-group distinct-count estimate via the KMV sketch, alongside
+    the exact count for error audit. Estimate: if the group holds fewer
+    than ``k`` distinct keys the sketch IS the exact set; otherwise
+    ``(k-1) * keyspace / U_k`` with ``U_k`` the kth smallest hash.
+
+    Both the estimate and the exact count flow from one `distinct` of
+    (group, hash) pairs, so the whole query is: one dedup exchange, one
+    window over the deduped pairs, one tiny per-group rollup. The
+    division is double-on-double from identical integer operands, so
+    the rounded estimate is engine-portable.
+
+    Scale honesty: this formulation shuffles the DISTINCT pairs (same
+    cost class as an exact distinct count) because Spark lacks a native
+    bounded k-min aggregate; the sketch's real 100 TB win — a mergeable
+    k-row state per group replacing the distinct shuffle — needs a
+    custom JVM Aggregator (or `approx_count_distinct` when
+    auditability isn't required). What this operator pins down is the
+    portable SEMANTICS of the sketch: the estimator, the hash contract,
+    and the exact-below-k rule, gate-verified cross-engine."""
+    pairs = (df.select(F.col(group_col).alias("grp"),
+                       kmv_key(key_col, salt).alias("h"))
+             .distinct())
+    w = Window.partitionBy("grp").orderBy("h")
+    kmins = (pairs
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= k))
+    exact = pairs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    sk = kmins.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("nk"), F.max("h").alias("hk"))
+    est = F.when(
+        F.col("nk") < k, F.col("n_exact").cast("double")).otherwise(
+        F.lit(float((k - 1) * _KMV_KEYSPACE)) / F.col("hk").cast("double"))
+    return (exact.join(sk, "grp")
+            .select(F.col("grp").alias(group_col), "n_exact",
+                    F.round(est, 2).alias("kmv_est")))

@@ -1,0 +1,155 @@
+"""Temporal joins, grouping-set rollups, KMV sketch, DSIR weights —
+hand-computed fixtures pinning the semantics the DuckDB gate verifies
+at corpus scale."""
+
+from datetime import datetime, timedelta
+
+from pdf_parser_spark.corpus import textstats as TS
+from pdf_parser_spark.plans import relational as R
+from pdf_parser_spark.plans import sketch as SK
+from pdf_parser_spark.plans import temporal as TP
+
+
+def _t(us):
+    return datetime(2024, 1, 1) + timedelta(microseconds=us)
+
+
+B = 1704067200 * 1_000_000  # epoch micros of 2024-01-01
+EV_SCHEMA = ("event_id long, user_id long, event_type string, "
+             "ts timestamp, value double")
+
+
+def _ev(eid, uid, et, us, value=0.0):
+    return (eid, uid, et, _t(us), value)
+
+
+def test_asof_join_latest(spark):
+    rows = [
+        _ev(1, 1, "click", 10), _ev(2, 1, "click", 20),
+        _ev(3, 1, "purchase", 20),    # tie: inclusive match at 20
+        _ev(4, 1, "purchase", 30),    # latest prior is 20, not 10
+        _ev(5, 2, "purchase", 5),     # no click before -> null
+        _ev(6, 3, "click", 50),       # must not leak across users
+        _ev(7, 1, "view", 25),        # non-participating type is pruned
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {r.event_id: (r.t_us - B, None if r.asof_t_us is None
+                        else r.asof_t_us - B, r.gap_us)
+           for r in TP.asof_join_latest(df).collect()}
+    assert got == {
+        3: (20, 20, 0),      # equal timestamps match (ASOF >= contract)
+        4: (30, 20, 10),     # latest, not first
+        5: (5, None, None),  # left join keeps unmatched purchases
+    }
+
+
+def _congestion_rows():
+    # 1-second buckets, min_events=2:
+    # bucket 0 holds 3 events (hot), bucket 1 holds 2 (hot, merges with
+    # 0), bucket 2 holds 1 (cold, splits the island), bucket 3 holds 2
+    # (hot), bucket 4 holds 1 (cold).
+    s = 1_000_000
+    return [
+        _ev(1, 1, "click", 100_000), _ev(2, 1, "view", 200_000),
+        _ev(3, 1, "error", 500_000),
+        _ev(4, 1, "click", s + 100_000), _ev(5, 1, "click", s + 200_000),
+        _ev(6, 1, "error", 2 * s + 500_000),
+        _ev(7, 1, "error", 3 * s), _ev(8, 1, "view", 3 * s + 200_000),
+        _ev(9, 1, "error", 4 * s),
+    ]
+
+
+def test_congestion_windows_islands(spark):
+    df = spark.createDataFrame(_congestion_rows(), EV_SCHEMA)
+    wins = sorted((r.win_start_us - B, r.win_end_us - B)
+                  for r in TP.congestion_windows(
+                      df, bucket_us=1_000_000, min_events=2).collect())
+    assert wins == [(0, 2_000_000), (3_000_000, 4_000_000)]
+
+
+def test_interval_join_boundaries(spark):
+    df = spark.createDataFrame(_congestion_rows(), EV_SCHEMA)
+    got = {r.event_id: (r.win_start_us - B, r.win_end_us - B)
+           for r in TP.interval_join_events(
+               df, bucket_us=1_000_000, min_events=2).collect()}
+    # error@0.5s inside [0,2s); error@3.0s ON the start (inclusive);
+    # error@2.5s in a cold bucket and error@4.0s past the exclusive end
+    # both unmatched (inner join drops them).
+    assert got == {3: (0, 2_000_000), 7: (3_000_000, 4_000_000)}
+
+
+def test_hyper_rollup_levels_and_cents(spark):
+    day = 86_400_000_000
+    rows = [
+        _ev(1, 1, "click", 10, 1.25), _ev(2, 1, "click", 20, 2.25),
+        _ev(3, 1, "view", 30, 3.10),
+        # 0.1 + 0.2 sums to exactly 0.30 only in integer cents
+        _ev(4, 1, "click", day + 10, 0.10),
+        _ev(5, 1, "click", day + 20, 0.20),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    d0 = (B // day)
+    out = {(r.day_idx, r.event_type, r.gid): (r.n_events, r.sum_value)
+           for r in TP.hyper_rollup(df).collect()}
+    assert out[(d0, "click", 0)] == (2, 3.50)
+    assert out[(d0, "view", 0)] == (1, 3.10)
+    assert out[(d0 + 1, "click", 0)] == (2, 0.30)
+    assert out[(d0, None, 1)] == (3, 6.60)
+    assert out[(d0 + 1, None, 1)] == (2, 0.30)
+    assert out[(None, None, 3)] == (5, 6.90)
+    # rollup (not cube): no per-type-across-days rows
+    assert not any(g == 2 for (_, _, g) in out)
+
+
+def test_sales_cube_full_lattice(spark):
+    li = spark.createDataFrame(
+        [("A", "F", 10.0, 100.50), ("A", "O", 20.0, 200.25),
+         ("R", "F", 30.0, 300.25)],
+        "l_returnflag string, l_linestatus string, l_quantity double, "
+        "l_extendedprice double")
+    out = {(r.l_returnflag, r.l_linestatus, r.gid):
+           (r.sum_qty, r.sum_base_price, r.n_items)
+           for r in R.sales_cube(li).collect()}
+    assert out[("A", "F", 0)] == (10, 100.50, 1)
+    assert out[("A", None, 1)] == (30, 300.75, 2)      # per-flag
+    assert out[(None, "F", 2)] == (40, 400.75, 2)      # per-status
+    assert out[(None, None, 3)] == (60, 601.00, 3)     # grand total
+    assert len(out) == 3 + 2 + 2 + 1
+
+
+def test_distinct_kmv_exact_below_k_and_estimate(spark):
+    rows = ([(i, i, "a", _t(i), 0.0) for i in range(10)]
+            + [(1000 + i, i % 500, "b", _t(i), 0.0) for i in range(2000)])
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {r.event_type: (r.n_exact, r.kmv_est)
+           for r in SK.distinct_kmv(df, "event_type", "user_id",
+                                    k=64).collect()}
+    # below k: the sketch holds the whole set -> estimate IS exact
+    assert out["a"] == (10, 10.0)
+    # above k: (k-1)/U_k estimator; 3-sigma band at k=64 is ~38%
+    n, est = out["b"]
+    assert n == 500
+    assert 300 < est < 750
+    # determinism: md5 keyspace, not RNG — rerun gives the same estimate
+    out2 = {r.event_type: r.kmv_est
+            for r in SK.distinct_kmv(df, "event_type", "user_id",
+                                     k=64).collect()}
+    assert out2["b"] == est
+
+
+def test_dsir_weights_orders_target_likeness(spark):
+    # buckets verified collision-free for these tokens (931/688/215/1016)
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta", "en"),   # pure target-vocabulary doc
+         (2, "gamma gamma delta", "de"),  # pure raw-only vocabulary
+         (3, "gamma delta", "en")],       # target doc, raw-ish tokens
+        "doc_id long, text string, lang string")
+    out = {r.doc_id: (r.n_tokens, r.dsir_logratio)
+           for r in TS.dsir_weights(docs).collect()}
+    assert out[1][0] == 3 and out[2][0] == 3 and out[3][0] == 2
+    # target-looking text must outscore raw-only text
+    assert out[1][1] > out[2][1]
+    # alpha/beta appear ONLY in target docs -> positive log ratio;
+    # gamma/delta are diluted by the non-target doc -> doc2 below doc3
+    assert out[1][1] > 0
+    assert out[2][1] < out[3][1]

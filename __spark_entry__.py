@@ -1132,6 +1132,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_weights"] = q_dsir_weights
 
+    def q_merge_upsert(spark, sf_dir):
+        # CDC changeset synthesized from orders, exercising every merge
+        # rule: %10<3 upserted (the %10==0 keys ALSO get an older upsert
+        # that must lose to latest-wins), %10==3 deleted, %10==4 gets a
+        # same-instant upsert+delete (delete wins). The oracle derives
+        # the expected snapshot independently (CASE/WHERE over base), so
+        # any broken merge rule shows as a hash mismatch.
+        orders = _tbl(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        day1 = F.col("o_orderdate") + F.expr("interval 1 day")
+
+        def chg(pred, op, ts, **sets):
+            df = orders.filter(pred)
+            for col, val in sets.items():
+                df = df.withColumn(col, val)
+            return df.withColumn("op", F.lit(op)).withColumn(
+                "change_ts", ts)
+
+        changes = (
+            chg(k % 10 < 3, "u", day1,
+                o_totalprice=F.col("o_totalprice") + 1,
+                o_orderstatus=F.lit("U"))
+            .unionByName(chg(k % 10 == 0, "u", F.col("o_orderdate"),
+                             o_totalprice=F.lit(0.0)))
+            .unionByName(chg(k % 10 == 3, "d", day1))
+            .unionByName(chg(k % 10 == 4, "u", F.col("o_orderdate"),
+                             o_totalprice=F.lit(1.0)))
+            .unionByName(chg(k % 10 == 4, "d", F.col("o_orderdate"))))
+        out = R.apply_changeset(orders, changes, "o_orderkey", "change_ts")
+        return _longify(out.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            FN._epoch_us("o_orderdate").alias("odate_us"),
+            "o_orderpriority"))
+
+    q["merge_upsert"] = q_merge_upsert
+
+    def q_stream_attrib(spark, sf_dir):
+        # stream-stream time-interval join under a REAL streaming query:
+        # both sides of the attribution join are live streams over the
+        # same event source; availableNow + an effectively-infinite
+        # watermark makes the append-mode result deterministic.
+        from pdf_parser_spark.streaming.pipeline import (
+            stream_click_attribution,
+        )
+
+        path = os.path.join(sf_dir, "events.parquet")
+        sch = spark.read.parquet(path).schema
+        # watermarks require TIMESTAMP (ltz); the op casts back to ntz
+        # on output, so the session-tz shift cancels exactly and the
+        # emitted epochs are tz-independent (driver_sim-proof).
+        # the streaming file source requires a DIRECTORY; the driver's
+        # tables are single read-only files, so stream via a scratch
+        # dir holding a symlink (no data copy)
+        import tempfile
+
+        d = os.path.join(tempfile.gettempdir(),
+                         "stream_attrib_src_"
+                         + os.path.basename(os.path.normpath(sf_dir)))
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        src = (spark.readStream.schema(sch).parquet(d)
+               .withColumn("ts", F.col("ts").cast("timestamp")))
+        out = stream_click_attribution(
+            src.filter(F.col("event_type") == "purchase"),
+            src.filter(F.col("event_type") == "click"),
+            max_gap="6 hours", watermark="3650 days")
+        name = "gate_stream_attrib"
+        spark.catalog.dropTempView(name)
+        qy = (out.writeStream.format("memory").queryName(name)
+              .outputMode("append").trigger(availableNow=True).start())
+        _drain_or_die(qy, "stream_click_attribution")
+        t = spark.table(name)
+
+        def _es(c):
+            return F.expr(
+                "timestampdiff(MICROSECOND, "
+                f"to_timestamp_ntz('1970-01-01 00:00:00'), {c})")
+
+        return _longify(t.select(
+            "purchase_id", "click_id", "user_id",
+            _es("p_ts").alias("p_us"), _es("c_ts").alias("c_us")))
+
+    q["stream_click_attribution"] = q_stream_attrib
+
     return q
 
 
@@ -2622,5 +2708,31 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(llr), 4) AS dsir_logratio
             FROM feats f JOIN ratio USING (b)
             GROUP BY 1
+        """,
+        # Independent derivation of the expected post-merge snapshot
+        # (CASE/WHERE over the base), NOT a mirror of the merge
+        # algorithm — latest-wins, delete, and tie rules each show up
+        # as a hash mismatch if broken.
+        "merge_upsert": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 10 < 3 THEN 'U'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % 10 < 3 THEN o_totalprice + 1
+                        ELSE o_totalprice END AS o_totalprice,
+                   epoch_us(o_orderdate)::BIGINT AS odate_us,
+                   o_orderpriority
+            FROM orders
+            WHERE o_orderkey % 10 NOT IN (3, 4)
+        """,
+        "stream_click_attribution": """
+            SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                   p.user_id,
+                   epoch_us(p.ts)::BIGINT AS p_us,
+                   epoch_us(c.ts)::BIGINT AS c_us
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL 6 HOURS
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         """,
     }

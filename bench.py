@@ -34,6 +34,8 @@ from pdf_parser_spark.generator import sf_from_dir, transcripts_path  # noqa: E4
 from pdf_parser_spark.operators import convstats as CS  # noqa: E402
 from pdf_parser_spark.operators import funnel as FN  # noqa: E402
 from pdf_parser_spark.plans import relational as R  # noqa: E402
+from pdf_parser_spark.plans import sketch as SK  # noqa: E402
+from pdf_parser_spark.plans import temporal as TP  # noqa: E402
 from pdf_parser_spark.operators.extract import extract_layouts  # noqa: E402
 from pdf_parser_spark.operators.markdown import to_markdown  # noqa: E402
 from pdf_parser_spark.operators.questions import extract_questions  # noqa: E402
@@ -124,6 +126,12 @@ def main() -> None:
         "stratified_sample": lambda: force_count(SC.stratified_sample(
             docs, {"en": 0.5, "de": 0.25, "fr": 0.1},
             default_fraction=0.05)),
+        "asof_join_latest": lambda: force_count(
+            TP.asof_join_latest(events)),
+        "hyper_rollup": lambda: force_count(TP.hyper_rollup(events)),
+        "distinct_kmv": lambda: force_count(
+            SK.distinct_kmv(events, "event_type", "user_id")),
+        "dsir_weights": lambda: force_count(TS.dsir_weights(docs)),
     }
 
     # Warm the JVM + python workers outside the timed region.

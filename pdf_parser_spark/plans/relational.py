@@ -19,7 +19,7 @@ side (plan-asserted in PLANS.md).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdf_parser_spark.operators.funnel import _epoch_us
@@ -132,3 +132,37 @@ def sales_cube(lineitem: DataFrame) -> DataFrame:
                  F.round(F.sum("pc") / 100, 2).alias("sum_base_price"),
                  F.count(F.lit(1)).alias("n_items"),
                  F.grouping_id().alias("gid")))
+
+
+def apply_changeset(base: DataFrame, changes: DataFrame, key_col: str,
+                    ts_col: str, op_col: str = "op") -> DataFrame:
+    """MERGE INTO semantics without a table format: apply a CDC
+    changeset (upserts + deletes) to a base snapshot, producing the next
+    snapshot — the maintenance operation every Iceberg/Delta pipeline
+    runs on ingest. ``changes`` rows carry ``op`` ('u' upsert /
+    'd' delete) and a change timestamp; the LATEST change per key wins
+    (ties broken in favor of the delete, so a same-instant upsert+delete
+    deletes — the deterministic rule both engines must share), base rows
+    rank below every change.
+
+    One union + one window shuffle on the key — the same cost class as
+    the shuffle join a MERGE compiles to, but with ONE pass and no
+    join-explosion risk on duplicate change keys (dup keys collapse in
+    the window instead of multiplying through a join). At scale the key
+    is the table's primary key (uniform); AQE's skew split covers a
+    hot-key changeset. Emits the base's columns only.
+    """
+    cols = [f.name for f in base.schema.fields]
+    b = (base.select(*cols)
+         .withColumn("_rank_ts", F.lit(None).cast("long"))
+         .withColumn("_del", F.lit(0)))
+    ch = (changes.select(*cols,
+                         _epoch_us(ts_col).alias("_rank_ts"),
+                         (F.col(op_col) == "d").cast("int").alias("_del")))
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col("_rank_ts").desc_nulls_last(),
+                  F.col("_del").desc()))
+    return (b.unionByName(ch)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("_del") == 0))
+            .select(*cols))

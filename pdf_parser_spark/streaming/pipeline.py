@@ -160,3 +160,46 @@ def stream_contamination_hits(stream: DataFrame, eval_grams: DataFrame,
     grams = toks.select(
         "conv_id", "turn_idx", F.explode(_gram_expr(n)).alias("gh"))
     return grams.join(F.broadcast(eval_grams), "gh", "left_semi")
+
+
+def stream_click_attribution(purchases: DataFrame, clicks: DataFrame,
+                             max_gap: str = "10 minutes",
+                             watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream time-interval join — the attribution query ("which
+    clicks preceded this purchase within N minutes") run BETWEEN two
+    live streams, the capability that separates a streaming engine from
+    a micro-batch wrapper: both sides buffer in the state store, and the
+    join condition's time bound is what lets Spark EVICT state (a click
+    older than purchase-watermark − max_gap can never match again).
+
+    Inner join, append mode. Emits every qualifying (purchase, click)
+    pair — deliberately all-pairs-within-window rather than as-of
+    (argmax over a stream needs the batch `asof_join_latest` downstream
+    or a stateful custom op; the pair stream is the exact input to it).
+
+    State size is bounded by rate × (watermark + max_gap) per side —
+    independent of total stream history. Both watermarks matter: the
+    LEFT side's watermark drives right-state eviction and vice versa.
+    The gate runs this with availableNow + an effectively-infinite
+    watermark (single deterministic batch, no eviction races); the
+    defaults are the production settings."""
+    p = (purchases
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts")))
+    c = (clicks
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts")))
+    return (p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"interval {max_gap}")),
+        "inner")
+        .select("purchase_id", "click_id",
+                F.col("p_user").alias("user_id"),
+                F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+                F.col("c_ts").cast("timestamp_ntz").alias("c_ts")))

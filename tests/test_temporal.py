@@ -153,3 +153,47 @@ def test_dsir_weights_orders_target_likeness(spark):
     # gamma/delta are diluted by the non-target doc -> doc2 below doc3
     assert out[1][1] > 0
     assert out[2][1] < out[3][1]
+
+
+def test_apply_changeset_rules(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, s string, price double")
+    changes = spark.createDataFrame(
+        [   # key 1: two upserts, later ts must win
+            (1, "a", 11.0, "u", _t(100)),
+            (1, "a", 99.0, "u", _t(50)),
+            # key 2: delete
+            (2, "b", 20.0, "d", _t(100)),
+            # key 3: same-instant upsert+delete -> delete wins
+            (3, "c", 31.0, "u", _t(100)),
+            (3, "c", 30.0, "d", _t(100)),
+            # key 5: brand-new key inserts
+            (5, "e", 50.0, "u", _t(100)),
+        ],
+        "id long, s string, price double, op string, change_ts timestamp")
+    out = {r.id: r.price
+           for r in R.apply_changeset(base, changes, "id",
+                                      "change_ts").collect()}
+    assert out == {1: 11.0, 4: 40.0, 5: 50.0}
+
+
+def test_stream_click_attribution_batch_semantics(spark):
+    # withWatermark is a no-op on batch frames, so the join semantics
+    # are testable statically; the gate drives the real streaming query.
+    from pdf_parser_spark.streaming.pipeline import stream_click_attribution
+
+    ev = spark.createDataFrame(
+        [_ev(1, 1, "purchase", 600_000_000),
+         _ev(2, 1, "click", 0),              # exactly max_gap before: kept
+         _ev(3, 1, "click", 400_000_000),    # inside window: kept
+         _ev(4, 1, "click", 700_000_000),    # after purchase: dropped
+         _ev(5, 2, "click", 500_000_000)],   # other user: dropped
+        EV_SCHEMA)
+    got = sorted(
+        (r.purchase_id, r.click_id)
+        for r in stream_click_attribution(
+            ev.filter("event_type = 'purchase'"),
+            ev.filter("event_type = 'click'"),
+            max_gap="10 minutes").collect())
+    assert got == [(1, 2), (1, 3)]

@@ -453,6 +453,80 @@ def main() -> None:
          "No CartesianProduct anywhere (asserted)."),
         compact(sd_plan)))
 
+    from pdf_parser_spark.plans import sketch as SKC
+    from pdf_parser_spark.plans import temporal as TP
+
+    asof_plan_df = TP.asof_join_latest(events)
+    asof_plan = formatted(asof_plan_df)
+    assert len(re.findall(r"^\(\d+\) Exchange", asof_plan, re.M)) == 1, \
+        "asof join: expected exactly one Exchange"
+    assert re.search(r"PushedFilters: .*In\(event_type", asof_plan), \
+        "asof join: side prune not pushed to scan"
+    assert re.search(r"\) Window", asof_plan), "asof join: window missing"
+    sections.append((
+        "As-of join (union-and-window, one shuffle)",
+        ("The naive as-of formulation (theta-join t_r <= t_l + max) is a "
+         "BroadcastNestedLoopJoin with O(right_per_key) candidates per "
+         "left row; this plan is EXACTLY ONE Exchange on user_id "
+         "(asserted) feeding one running-last Window — O(events) total "
+         "work. The two-type prune rides the scan as PushedFilters "
+         "(asserted), so non-participating event types are never "
+         "decoded."),
+        compact(asof_plan)))
+
+    audit(
+        "Interval containment join (bins-as-equi-keys)",
+        TP.interval_join_events(events, min_events=5),
+        requires=[r"BroadcastHashJoin",
+                  r"PushedFilters: .*EqualTo\(event_type,error\)"],
+        forbids=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        note=("Spark compiles raw non-equi time joins to nested-loop "
+              "plans; exploding intervals to covering bins turns the "
+              "containment join into a BroadcastHashJoin on the bin index "
+              "(asserted — the window side is calendar-bounded) with the "
+              "range predicate left as a residual filter. The point side "
+              "never shuffles; its type filter is pushed to the scan "
+              "(asserted)."),
+    )
+
+    audit(
+        "Hypertable rollup (one-pass grouping sets)",
+        TP.hyper_rollup(events),
+        requires=[r"Expand", r"HashAggregate.*Exchange.*HashAggregate"],
+        forbids=[r"\) Exchange.*\) Exchange"],
+        note=("rollup()/cube() compile to Expand (grouping-set replicas "
+              "emitted MAP-side) + ONE partial->final aggregate exchange "
+              "(asserted: no second Exchange) — every granularity in one "
+              "scan. N separate groupBys would cost N scans + N shuffles "
+              "for the same answer. sales_cube shares this exact shape."),
+    )
+
+    audit(
+        "KMV distinct sketch",
+        SKC.distinct_kmv(events, "event_type", "user_id"),
+        requires=[r"HashAggregate.*Exchange.*HashAggregate", r"\) Window"],
+        forbids=[r"SortMergeJoin"],
+        note=("The (group, hash) dedup is a partial->final aggregate "
+              "(asserted) so duplicate keys collapse map-side before the "
+              "exchange; the k-min window then runs over the DEDUPED "
+              "pairs only, and the final exact/sketch join is tiny enough "
+              "that AQE broadcasts it (no SortMergeJoin, asserted)."),
+    )
+
+    audit(
+        "DSIR importance weights (broadcast model join)",
+        TS.dsir_weights(docs),
+        requires=[r"BroadcastHashJoin"],
+        forbids=[r"SortMergeJoin"],
+        note=("The B-row hashed-feature log-ratio model BROADCASTS "
+              "(asserted; never a SortMergeJoin of the token stream "
+              "against the model), so corpus tokens cross only the final "
+              "per-doc rollup exchange. Model building is one "
+              "uniform-key partial agg bounded at B rows regardless of "
+              "corpus size — the hashing trick's memory story, "
+              "relationally."),
+    )
+
     wc_plan_df = TS.winnow_containment_pairs(docs, min_shared=2)
     wc_plan = formatted(wc_plan_df)
     assert not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", wc_plan), \

@@ -55,21 +55,28 @@ def distinct_kmv(df: DataFrame, group_col: str, key_col: str,
     custom JVM Aggregator (or `approx_count_distinct` when
     auditability isn't required). What this operator pins down is the
     portable SEMANTICS of the sketch: the estimator, the hash contract,
-    and the exact-below-k rule, gate-verified cross-engine."""
+    and the exact-below-k rule, gate-verified cross-engine.
+
+    Plan shape: ONE pass over one distinct frame — the k-min rank and
+    the exact group count are both window functions over the same
+    `grp` partitioning, so they share a single exchange (a two-branch
+    exact/sketch formulation recomputed the distinct upstream twice and
+    joined; measured 2x slower at sf1). The dedup itself is a partial
+    aggregate (map-side collapse of duplicate keys)."""
     pairs = (df.select(F.col(group_col).alias("grp"),
                        kmv_key(key_col, salt).alias("h"))
              .distinct())
-    w = Window.partitionBy("grp").orderBy("h")
-    kmins = (pairs
-             .withColumn("rn", F.row_number().over(w))
-             .filter(F.col("rn") <= k))
-    exact = pairs.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n_exact"))
-    sk = kmins.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("nk"), F.max("h").alias("hk"))
+    wk = Window.partitionBy("grp").orderBy("h")
+    wall = Window.partitionBy("grp")
     est = F.when(
-        F.col("nk") < k, F.col("n_exact").cast("double")).otherwise(
+        F.col("n_exact") < k, F.col("n_exact").cast("double")).otherwise(
         F.lit(float((k - 1) * _KMV_KEYSPACE)) / F.col("hk").cast("double"))
-    return (exact.join(sk, "grp")
+    return (pairs
+            .select("grp", "h",
+                    F.row_number().over(wk).alias("rn"),
+                    F.count(F.lit(1)).over(wall).alias("n_exact"))
+            .filter(F.col("rn") <= k)
+            .groupBy("grp", "n_exact")
+            .agg(F.max("h").alias("hk"))
             .select(F.col("grp").alias(group_col), "n_exact",
                     F.round(est, 2).alias("kmv_est")))

@@ -1132,14 +1132,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_weights"] = q_dsir_weights
 
-    def q_merge_upsert(spark, sf_dir):
+    def _orders_changeset(orders):
         # CDC changeset synthesized from orders, exercising every merge
         # rule: %10<3 upserted (the %10==0 keys ALSO get an older upsert
         # that must lose to latest-wins), %10==3 deleted, %10==4 gets a
-        # same-instant upsert+delete (delete wins). The oracle derives
-        # the expected snapshot independently (CASE/WHERE over base), so
-        # any broken merge rule shows as a hash mismatch.
-        orders = _tbl(spark, sf_dir, "orders")
+        # same-instant upsert+delete (delete wins). Shared by the
+        # merge_upsert (snapshot) and scd2_history (version history)
+        # gates; each oracle derives ITS expected output independently.
         k = F.col("o_orderkey")
         day1 = F.col("o_orderdate") + F.expr("interval 1 day")
 
@@ -1150,7 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return df.withColumn("op", F.lit(op)).withColumn(
                 "change_ts", ts)
 
-        changes = (
+        return (
             chg(k % 10 < 3, "u", day1,
                 o_totalprice=F.col("o_totalprice") + 1,
                 o_orderstatus=F.lit("U"))
@@ -1160,6 +1159,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(chg(k % 10 == 4, "u", F.col("o_orderdate"),
                              o_totalprice=F.lit(1.0)))
             .unionByName(chg(k % 10 == 4, "d", F.col("o_orderdate"))))
+
+    def q_merge_upsert(spark, sf_dir):
+        # The oracle derives the expected snapshot independently
+        # (CASE/WHERE over base), so any broken merge rule shows as a
+        # hash mismatch.
+        orders = _tbl(spark, sf_dir, "orders")
+        changes = _orders_changeset(orders)
         out = R.apply_changeset(orders, changes, "o_orderkey", "change_ts")
         return _longify(out.select(
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -1167,6 +1173,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "o_orderpriority"))
 
     q["merge_upsert"] = q_merge_upsert
+
+    def q_scd2_history(spark, sf_dir):
+        # Same changeset, full SCD2 version history. The oracle writes
+        # out every expected version row group-by-group (UNION ALL of
+        # CASE-free SELECTs over base), an independent derivation of
+        # the version/interval rules — zero-length versions, the
+        # base<upsert<delete same-instant order, delete-closes-only —
+        # so any broken rule is a row or hash mismatch.
+        orders = _tbl(spark, sf_dir, "orders")
+        changes = _orders_changeset(orders)
+        out = R.scd2_history(orders, changes, "o_orderkey",
+                             "change_ts", "o_orderdate")
+        return _longify(out.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            "valid_from_us", "valid_to_us", "is_current"))
+
+    q["scd2_history"] = q_scd2_history
 
     def q_stream_attrib(spark, sf_dir):
         # stream-stream time-interval join under a REAL streaming query:
@@ -2723,6 +2746,35 @@ def oracle_sql() -> dict[str, str]:
                    o_orderpriority
             FROM orders
             WHERE o_orderkey % 10 NOT IN (3, 4)
+        """,
+        # Expected SCD2 history written out version-by-version per key
+        # group — NOT a replay of the union+lead algorithm. Groups (see
+        # _orders_changeset): %10==0 base zero-length + price-0 version
+        # + open day1 version; %10 in (1,2) base closed at day1 + open
+        # day1 version; %10==3 base closed at day1 by the delete;
+        # %10==4 base and the price-1 upsert both zero-length (same-
+        # instant delete); %10>=5 base open.
+        "scd2_history": """
+            WITH d AS (
+                SELECT o_orderkey AS k, o_orderstatus AS st,
+                       o_totalprice AS pr,
+                       epoch_us(o_orderdate)::BIGINT AS d0,
+                       epoch_us(o_orderdate + INTERVAL 1 DAY)::BIGINT
+                           AS d1
+                FROM orders)
+            SELECT k AS o_orderkey, st AS o_orderstatus,
+                   pr AS o_totalprice, d0 AS valid_from_us,
+                   CASE WHEN k % 10 IN (0, 4) THEN d0
+                        WHEN k % 10 IN (1, 2, 3) THEN d1
+                        ELSE NULL END AS valid_to_us,
+                   CASE WHEN k % 10 >= 5 THEN 1 ELSE 0 END AS is_current
+            FROM d
+            UNION ALL
+            SELECT k, st, 0.0, d0, d1, 0 FROM d WHERE k % 10 = 0
+            UNION ALL
+            SELECT k, 'U', pr + 1, d1, NULL, 1 FROM d WHERE k % 10 < 3
+            UNION ALL
+            SELECT k, st, 1.0, d0, d0, 0 FROM d WHERE k % 10 = 4
         """,
         "stream_click_attribution": """
             SELECT p.event_id AS purchase_id, c.event_id AS click_id,

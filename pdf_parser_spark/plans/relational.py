@@ -166,3 +166,54 @@ def apply_changeset(base: DataFrame, changes: DataFrame, key_col: str,
             .withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col("_del") == 0))
             .select(*cols))
+
+
+def scd2_history(base: DataFrame, changes: DataFrame, key_col: str,
+                 ts_col: str, base_ts_col: str,
+                 op_col: str = "op") -> DataFrame:
+    """Type-2 slowly-changing-dimension historization: apply the same
+    CDC changeset `apply_changeset` consumes, but instead of the next
+    snapshot emit the FULL version history — one row per (key, version)
+    with ``valid_from_us`` / ``valid_to_us`` (null = still open) and
+    ``is_current``. This is the other half of every warehouse MERGE
+    story: `apply_changeset` maintains the hot snapshot, this maintains
+    the audit/history table.
+
+    Version rules (the deterministic contract both engines share):
+    each upsert opens a version at its change timestamp; the NEXT event
+    on the key (upsert or delete) closes it at that event's timestamp;
+    a delete closes without opening. The base row is version 0, valid
+    from ``base_ts_col``. At equal timestamps the order is
+    base < upsert < delete, so a change landing exactly at the base
+    timestamp supersedes the base row (zero-length base version — kept,
+    because SCD2 history never silently drops a state that existed),
+    and a same-instant upsert+delete yields a closed zero-length
+    version, mirroring `apply_changeset`'s delete-wins tie rule. The
+    changeset must not carry two upserts on one (key, ts) — no total
+    order exists for that; `validate` in the caller should enforce it.
+
+    Plan: ONE union + ONE window shuffle on the key (lead() for the
+    closing timestamp), exactly `apply_changeset`'s cost class — no
+    self-join of versions, no range join, so duplicate-heavy keys cost
+    O(versions log versions) in one partition rather than O(versions²)
+    through a join. History grows monotonically; at 100 TB this runs
+    on the changeset PLUS the previous open versions only (closed
+    versions are immutable and never reread), which is what the
+    one-pass union form enables.
+    """
+    cols = [f.name for f in base.schema.fields]
+    b = (base.select(*cols)
+         .withColumn("_ts", _epoch_us(base_ts_col))
+         .withColumn("_src", F.lit(0)))
+    ch = (changes.select(
+        *cols, _epoch_us(ts_col).alias("_ts"),
+        F.when(F.col(op_col) == "d", F.lit(2)).otherwise(F.lit(1))
+        .alias("_src")))
+    w = Window.partitionBy(key_col).orderBy("_ts", "_src")
+    return (b.unionByName(ch)
+            .withColumn("_to", F.lead("_ts").over(w))
+            .filter(F.col("_src") != 2)
+            .select(*cols,
+                    F.col("_ts").alias("valid_from_us"),
+                    F.col("_to").alias("valid_to_us"),
+                    F.col("_to").isNull().cast("int").alias("is_current")))

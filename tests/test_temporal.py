@@ -178,6 +178,50 @@ def test_apply_changeset_rules(spark):
     assert out == {1: 11.0, 4: 40.0, 5: 50.0}
 
 
+def test_scd2_history_version_rules(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, _t(0)), (2, "b", 20.0, _t(0)),
+         (3, "c", 30.0, _t(0)), (4, "d", 40.0, _t(0))],
+        "id long, s string, price double, loaded_ts timestamp")
+    changes = spark.createDataFrame(
+        [   # key 1: two versions after base
+            (1, "a", 11.0, "u", _t(100), None),
+            (1, "a", 12.0, "u", _t(200), None),
+            # key 2: delete, then REINSERT after a gap
+            (2, "b", 20.0, "d", _t(100), None),
+            (2, "b2", 21.0, "u", _t(300), None),
+            # key 3: same-instant upsert+delete -> zero-length version
+            (3, "c", 31.0, "u", _t(100), None),
+            (3, "c", 30.0, "d", _t(100), None),
+            # key 5: brand-new key (no base version)
+            (5, "e", 50.0, "u", _t(100), None),
+        ],
+        "id long, s string, price double, op string, "
+        "change_ts timestamp, loaded_ts timestamp")
+    rows = R.scd2_history(base, changes, "id", "change_ts",
+                          "loaded_ts").collect()
+    got = sorted((r.id, r.price, r.valid_from_us - B,
+                  None if r.valid_to_us is None else r.valid_to_us - B,
+                  r.is_current) for r in rows)
+    assert got == [
+        (1, 10.0, 0, 100, 0), (1, 11.0, 100, 200, 0),
+        (1, 12.0, 200, None, 1),
+        # delete closes at 100; reinsert opens a NEW version at 300
+        (2, 20.0, 0, 100, 0), (2, 21.0, 300, None, 1),
+        # zero-length version closed by the same-instant delete
+        (3, 30.0, 0, 100, 0), (3, 31.0, 100, 100, 0),
+        (4, 40.0, 0, None, 1),
+        (5, 50.0, 100, None, 1),
+    ]
+    # snapshot consistency: the open versions ARE apply_changeset's
+    # output (restricted to shared semantics)
+    snap = {(r.id, r.price) for r in R.apply_changeset(
+        base.drop("loaded_ts"), changes.drop("loaded_ts"),
+        "id", "change_ts").collect()}
+    open_versions = {(g[0], g[1]) for g in got if g[4] == 1}
+    assert open_versions == snap
+
+
 def test_stream_click_attribution_batch_semantics(spark):
     # withWatermark is a no-op on batch frames, so the join semantics
     # are testable statically; the gate drives the real streaming query.

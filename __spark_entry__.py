@@ -810,6 +810,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = q_pack_sequences
 
+    def q_chunk_documents(spark, sf_dir):
+        return _longify(PK.chunk_documents(
+            _tbl(spark, sf_dir, "documents"), size=32, overlap=8))
+
+    q["chunk_documents"] = q_chunk_documents
+
     def _aug_tr(spark, sf_dir):
         # The generator's turn gap is a constant 37 s and roles alternate
         # perfectly, so the conversation-health gates plant deterministic
@@ -2090,6 +2096,32 @@ def oracle_sql() -> dict[str, str]:
                    ((tok_start + n_tokens - 1) // 256
                     - tok_start // 256 + 1)::BIGINT AS n_seqs
             FROM s
+        """,
+        # stride = size - overlap = 24; expected chunk starts/lengths
+        # and the chunk TEXT itself (list slice clamps at the tail in
+        # both engines) — content equality, not just counts.
+        "chunk_documents": f"""
+            WITH t AS (
+                SELECT doc_id, string_split({_CANON}, ' ') AS toks,
+                       len(string_split({_CANON}, ' ')) AS n
+                FROM documents),
+            c AS (
+                SELECT doc_id, toks, n,
+                       CASE WHEN n <= 32 THEN 1
+                            ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+                FROM t)
+            SELECT doc_id, ch['chunk_idx']::BIGINT AS chunk_idx,
+                   ch['tok_start']::BIGINT AS tok_start,
+                   ch['chunk_tokens']::BIGINT AS chunk_tokens,
+                   ch['chunk_text'] AS chunk_text
+            FROM (
+                SELECT doc_id,
+                       unnest([{{'chunk_idx': i, 'tok_start': i * 24,
+                                 'chunk_tokens': least(32, n - i * 24),
+                                 'chunk_text': array_to_string(
+                                     toks[i * 24 + 1 : i * 24 + 32], ' ')}}
+                               FOR i IN range(0, n_chunks)]) AS ch
+                FROM c)
         """,
         "dup_passage_stats": f"""
             WITH c AS (

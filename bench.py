@@ -119,6 +119,8 @@ def main() -> None:
             docs, docs.filter(F.col("doc_id") % 37 == 0), n=13)),
         "pack_sequences": lambda: force_count(PK.pack_sequences(
             docs, budget=2048, n_buckets=64)),
+        "chunk_documents": lambda: force_count(PK.chunk_documents(
+            docs, size=32, overlap=8)),
         "unigram_surprisal": lambda: force_count(
             TS.unigram_surprisal(docs)),
         "pii_scrub": lambda: SC.pii_scrub(docs)

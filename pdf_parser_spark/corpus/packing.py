@@ -72,6 +72,59 @@ def pack_sequences(df: DataFrame, budget: int = 2048, n_buckets: int = 64,
          - F.floor(F.col("tok_start") / budget) + 1).alias("n_seqs"))
 
 
+def chunk_documents(df: DataFrame, size: int = 128, overlap: int = 32,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Retrieval-style overlapping chunking: split each document into
+    token windows of ``size`` advancing by ``size - overlap``, emitting
+    per chunk its index, token offset, token length, and the chunk
+    text — the layout step in front of every embedding/RAG indexing
+    pipeline (the chunk table is what feeds the ANN operators in
+    `corpus.similarity`).
+
+    Chunk rule: windows start at ``i * stride`` for ``i = 0..n_chunks-1``
+    with ``n_chunks = 1 + ceil(max(0, n - size) / stride)`` — every
+    token is covered, consecutive chunks share ``overlap`` tokens, the
+    final chunk may be short but a tail already fully covered by the
+    previous window never yields an extra chunk. Tokens are the
+    canonical whitespace tokens (the `token_count` contract, empty doc
+    = 1 empty token ⇒ exactly one empty chunk, the degrade-don't-drop
+    floor shared with `pack_sequences`).
+
+    Plan: ONE projection — split once into a materialized array column
+    (the lambda-CSE hazard documented in `dedup.shingles`), then
+    ``explode(sequence(...))`` + ``slice``/``array_join``, all
+    whole-stage codegen, ZERO exchanges and zero Python. Output size is
+    input tokens × (1 + overlap/stride) — the only fan-out, and it's
+    the one the user asked for. At 100 TB this runs map-side against
+    the scan and writes chunk files partition-local; no shuffle exists
+    to skew."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
+    stride = size - overlap
+    toks = df.select(
+        F.col(id_col),
+        F.split(canonical_text(text_col), " ").alias("toks"))
+    n = F.size("toks")
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.floor((n - size + stride - 1) / stride) + 1)
+    return (toks
+            .select(id_col, "toks",
+                    F.explode(F.sequence(F.lit(0),
+                                         (n_chunks - 1).cast("int")))
+                    .alias("chunk_idx"))
+            .select(
+                id_col, "chunk_idx",
+                (F.col("chunk_idx") * stride).cast("long")
+                .alias("tok_start"),
+                F.least(F.lit(size),
+                        F.size("toks") - F.col("chunk_idx") * stride)
+                .cast("long").alias("chunk_tokens"),
+                F.array_join(
+                    F.slice("toks", F.col("chunk_idx") * stride + 1,
+                            size), " ").alias("chunk_text")))
+
+
 def packing_stats(df: DataFrame, budget: int = 2048, n_buckets: int = 64,
                   text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:

@@ -87,3 +87,39 @@ def test_pack_sequences_id_col_threading(spark):
     via_default = {r.doc_id: (r.bucket, r.tok_start, r.seq_id) for r in
                    P.pack_sequences(renamed, budget=10, n_buckets=3).collect()}
     assert via_idcol == via_default and len(via_idcol) == 12
+
+
+def test_chunk_documents_rules(spark):
+    def text(n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [(1, text(10)),   # short doc: one partial chunk
+         (2, text(32)),   # exactly size: one full chunk
+         (3, text(56)),   # tail reaches exactly stride+size: 2 chunks
+         (4, text(57)),   # one token past: third chunk appears
+         (5, "")],        # empty doc: one empty chunk (1-token floor)
+        "doc_id long, text string")
+    rows = P.chunk_documents(df, size=32, overlap=8).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.tok_start, r.chunk_tokens))
+    assert got[1] == [(0, 0, 10)]
+    assert got[2] == [(0, 0, 32)]
+    assert sorted(got[3]) == [(0, 0, 32), (1, 24, 32)]
+    assert sorted(got[4]) == [(0, 0, 32), (1, 24, 32), (2, 48, 9)]
+    assert got[5] == [(0, 0, 1)]
+    by_key = {(r.doc_id, r.chunk_idx): r.chunk_text for r in rows}
+    # consecutive chunks share exactly `overlap` tokens
+    assert by_key[(3, 0)].split(" ")[24:] == by_key[(3, 1)].split(" ")[:8]
+    assert by_key[(4, 2)] == " ".join(f"t{i}" for i in range(48, 57))
+    assert by_key[(5, 0)] == ""
+    # zero overlap tiles the doc exactly
+    tiles = P.chunk_documents(df.filter("doc_id = 4"),
+                              size=19, overlap=0).collect()
+    assert sorted((r.tok_start, r.chunk_tokens) for r in tiles) == \
+        [(0, 19), (19, 19), (38, 19)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        P.chunk_documents(df, size=8, overlap=8)

@@ -715,6 +715,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_sample"] = q_stratified_sample
 
+    def q_mixture_sample(spark, sf_dir):
+        # budget = 25% of total token mass, targets 1/2 en : 1/4 de :
+        # 1/8 fr (binary fractions so share*B is float-exact in both
+        # engines). 'es'/'zh' absent from shares -> kept count 0.
+        return _longify(SC.mixture_sample(
+            _tbl(spark, sf_dir, "documents"),
+            {"en": 0.5, "de": 0.25, "fr": 0.125}, budget_frac=0.25)
+            .select("doc_id", "lang", "n_tokens"))
+
+    q["mixture_sample"] = q_mixture_sample
+
     def q_decontaminate(spark, sf_dir):
         # Eval set = every 37th document — drawn from the corpus itself,
         # so contamination is guaranteed (those docs plus their
@@ -1695,6 +1706,36 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'fr' THEN {int(0.1 * 2 ** 32)}
                         ELSE {int(0.05 * 2 ** 32)}
                     END
+        """,
+        # Mirrors the pinned double-op order exactly: masses/budget in
+        # int64, then floor(least(1, floor(share*B)/tok_s) * 2^32) —
+        # IEEE-identical across engines. DuckDB parses 0.5 as DECIMAL,
+        # so shares are forced ::DOUBLE to match Spark's lit(double).
+        "mixture_sample": f"""
+            WITH c AS (
+                SELECT doc_id, lang,
+                       len(string_split({_CANON}, ' '))::BIGINT
+                           AS n_tokens
+                FROM documents),
+            m AS (SELECT lang, sum(n_tokens)::BIGINT AS tok_s
+                  FROM c GROUP BY 1),
+            b AS (SELECT floor(0.25::DOUBLE * sum(tok_s))::BIGINT AS B
+                  FROM m),
+            thr AS (
+                SELECT lang,
+                       floor(least(1.0,
+                                   floor(CASE lang
+                                             WHEN 'en' THEN 0.5::DOUBLE
+                                             WHEN 'de' THEN 0.25::DOUBLE
+                                             WHEN 'fr' THEN 0.125::DOUBLE
+                                             ELSE 0.0::DOUBLE
+                                         END * B) / tok_s)
+                             * 4294967296.0)::BIGINT AS thr
+                FROM m, b)
+            SELECT c.doc_id, c.lang, c.n_tokens
+            FROM c JOIN thr USING (lang)
+            WHERE ('0x' || substr(md5(c.doc_id || ':mix'), 1, 8))::UBIGINT
+                  < thr.thr
         """,
         "pricing_summary": """
             WITH l AS (

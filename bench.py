@@ -128,6 +128,9 @@ def main() -> None:
         "stratified_sample": lambda: force_count(SC.stratified_sample(
             docs, {"en": 0.5, "de": 0.25, "fr": 0.1},
             default_fraction=0.05)),
+        "mixture_sample": lambda: force_count(SC.mixture_sample(
+            docs, {"en": 0.5, "de": 0.25, "fr": 0.125},
+            budget_frac=0.25)),
         "asof_join_latest": lambda: force_count(
             TP.asof_join_latest(events)),
         "hyper_rollup": lambda: force_count(TP.hyper_rollup(events)),

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pdf_parser_spark.corpus.dedup import canonical_text
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 # \b sits AFTER the optional plus (a "+" preceded by a space has no word
@@ -105,6 +107,61 @@ def stratified_sample(df: DataFrame, fractions: dict,
         thr = F.when(F.col(strata_col) == value,
                      F.lit(int(frac * _KEYSPACE))).otherwise(thr)
     return df.filter(sample_key(key_col, salt) < thr)
+
+
+def mixture_sample(df: DataFrame, shares: dict, budget_frac: float,
+                   strata_col: str = "lang", key_col: str = "doc_id",
+                   text_col: str = "text",
+                   salt: str = "mix") -> DataFrame:
+    """Budget-driven mixture resampling: keep a deterministic subset
+    whose per-stratum TOKEN mass approximates a target mixture — the
+    rebalancing step (DoReMi / data-mixture tuning lineage) that
+    `stratified_sample` can't express, because there the caller fixes
+    keep-FRACTIONS a priori while here the keep fractions are DERIVED
+    from the measured corpus: with total token mass ``T``, budget
+    ``B = floor(budget_frac * T)`` and per-stratum mass ``tok_s``, each
+    stratum keeps ``p_s = min(1, floor(share_s * B) / tok_s)`` of its
+    documents by the md5-keyspace rule (strata absent from ``shares``
+    keep nothing). Tokens are the canonical whitespace tokens with the
+    1-token empty-doc floor (the `pack_sequences` contract).
+
+    Two passes by necessity (thresholds are a function of global
+    masses): pass 1 is a partial-agg rollup to ONE long per stratum;
+    pass 2 re-scans with the thresholds joined back via a broadcast of
+    the n_strata-row frame — corpus rows never shuffle in either pass,
+    so at 100 TB this costs two scans and moves kilobytes. The
+    threshold arithmetic (exact int64 masses; double ops in a pinned
+    order: ``floor(least(1, floor(share*B)/tok_s) * 2^32)``) is
+    IEEE-correctly-rounded identically in any engine; pass
+    binary-fraction shares (0.5, 0.25, ...) so ``share*B`` is exact.
+
+    Emits the kept rows of ``df`` plus ``n_tokens`` — downstream
+    packing/tokenization consumes the mixture directly."""
+    ntok = F.size(F.split(canonical_text(text_col), " ")).cast("long")
+    base = df.withColumn("n_tokens", ntok)
+    masses = (base.groupBy(F.col(strata_col).alias("_s"))
+              .agg(F.sum("n_tokens").alias("_tok_s")))
+    total = masses.agg(F.sum("_tok_s").alias("_T"))
+    # default share is an explicit 0.0, NOT null: least()/greatest()
+    # IGNORE nulls in both Spark and DuckDB, so a null share would
+    # silently become p=1 inside least(1.0, null/tok) and absent
+    # strata would be fully kept instead of dropped.
+    share = F.lit(0.0)
+    for value, sh in sorted(shares.items()):
+        share = F.when(F.col("_s") == value, F.lit(float(sh))) \
+            .otherwise(share)
+    budget = F.floor(F.lit(float(budget_frac)) * F.col("_T"))
+    target = F.floor(share * budget)
+    thr = (masses.crossJoin(F.broadcast(total))
+           .select("_s",
+                   F.floor(F.least(F.lit(1.0),
+                                   target / F.col("_tok_s"))
+                           * F.lit(float(_KEYSPACE)))
+                   .alias("_thr")))
+    return (base.join(F.broadcast(thr),
+                      base[strata_col] == thr["_s"], "inner")
+            .filter(sample_key(key_col, salt) < F.col("_thr"))
+            .drop("_s", "_thr"))
 
 
 def split_assign(df: DataFrame, val_frac: float = 0.01,

@@ -119,3 +119,33 @@ def test_split_assign_band_edge_matches_oracle_convention(spark):
         .analyzed().toString()
     assert str(int(0.2 * 2 ** 32)) in plan          # 858993459
     assert str(int(0.1 * 2 ** 32) * 2) not in plan  # 858993458
+
+
+def test_mixture_sample_budget_rule(spark):
+    # lang a: 10 docs x 10 tokens; lang b: 5 docs x 20 tokens;
+    # lang c: 2 docs x 5 tokens (absent from shares -> dropped).
+    rows = ([(i, "a", "w " * 9 + "w") for i in range(10)]
+            + [(100 + i, "b", "w " * 19 + "w") for i in range(5)]
+            + [(200 + i, "c", "w " * 4 + "w") for i in range(2)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # T = 210, B = floor(0.5*210) = 105;
+    # a: target floor(0.5*105)=52, p=52/100; b: floor(0.25*105)=26, p=26/100
+    out = {r.doc_id: r.n_tokens for r in SC.mixture_sample(
+        df, {"a": 0.5, "b": 0.25}, budget_frac=0.5).collect()}
+
+    def key(doc_id):
+        h = hashlib.md5(f"{doc_id}:mix".encode()).hexdigest()
+        return int(h[:8], 16)
+
+    exp = {i for i, lang, _ in rows
+           if (lang == "a" and key(i) < int(0.52 * 2 ** 32))
+           or (lang == "b" and key(i) < int(0.26 * 2 ** 32))}
+    assert set(out) == exp and all(v in (10, 20) for v in out.values())
+    # a stratum whose mass is under budget keeps everything (p capped 1)
+    all_kept = SC.mixture_sample(df, {"c": 1.0}, budget_frac=1.0)
+    assert {r.doc_id for r in all_kept.collect()} == {200, 201}
+    # stable under repartitioning (hash rule, not per-partition RNG)
+    out2 = {r.doc_id for r in SC.mixture_sample(
+        df.repartition(7), {"a": 0.5, "b": 0.25},
+        budget_frac=0.5).collect()}
+    assert out2 == set(out)

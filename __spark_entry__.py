@@ -1077,6 +1077,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cross-engine float reassociation could flip one); compression
     # accuracy is evidenced in tools/ann_recall.py. The k-means IVF
     # gates above DO have full oracles via tools/annoracle.py.
+    def q_sq8_encode(spark, sf_dir):
+        return _longify(S.sq8_encode(_tbl(spark, sf_dir, "embeddings")))
+
+    q["ann_sq8_encode"] = q_sq8_encode
+
+    def q_sq8_topk(spark, sf_dir):
+        return _longify(S.sq8_topk(_tbl(spark, sf_dir, "embeddings"),
+                                   k=10))
+
+    q["ann_sq8_topk"] = q_sq8_topk
+
     # PQ gates run the fold-based exact twins (pq_encode_exact /
     # pq_adc_topk_exact) whose arithmetic an ANSI-SQL engine reproduces
     # term-for-term, upgrading all three from rows-only to full
@@ -2437,6 +2448,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    round(list_inner_product(e, qe) / (norm * qn), 4) AS score
             FROM nrm, q
+            WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id ASC
+            LIMIT 10
+        """,
+        # floor(x + 0.5) is the SQ8 tie contract (round() forks:
+        # Spark half-away vs DuckDB half-even); the ADC dot runs over
+        # the codes list in order (list_inner_product ≡ the Spark fold).
+        "ann_sq8_encode": f"""
+            WITH {_VEC_CTES}
+            SELECT vec_id,
+                   [floor(x / norm * 127.0 + 0.5)::INT FOR x IN e]
+                       AS codes
+            FROM nrm
+        """,
+        "ann_sq8_topk": f"""
+            WITH {_VEC_CTES},
+            codes AS (
+                SELECT vec_id,
+                       [floor(x / norm * 127.0 + 0.5)::DOUBLE FOR x IN e]
+                           AS cd
+                FROM nrm),
+            q AS (SELECT [x / norm FOR x IN e] AS qv
+                  FROM nrm WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_inner_product(cd, qv) / 127.0, 6) AS score
+            FROM codes, q
             WHERE vec_id <> 0
             ORDER BY score DESC, vec_id ASC
             LIMIT 10

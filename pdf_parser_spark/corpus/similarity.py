@@ -413,6 +413,56 @@ def ivf_pq_topk(df: DataFrame, query_id: int = 0, k: int = 10,
                        id_col=id_col, vec_col=vec_col, qvec=qrow[vec_col])
 
 
+def sq8_encode(df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Scalar int8 quantization: each unit-normalized component maps to
+    ``floor(u * 127 + 0.5)`` — an integer in [-127, 127], i.e. 1 byte
+    per dimension (4× smaller than float32, the standard memory lever
+    between full-precision and PQ's m-bytes-per-VECTOR). Max component
+    error 0.5/127 ≈ 0.4%, so SQ8 top-k tracks exact cosine far closer
+    than PQ (recall measured in BASELINE.md).
+
+    Unlike `pq_encode` there is no codebook search, so the encoder is a
+    single whole-stage-codegen `transform` — zero Python, zero shuffle,
+    no separate "exact twin" needed: this IS the SQL-expressible form.
+    The tie rule is floor(x + 0.5) (round-half-up), NOT round(): Spark
+    rounds doubles half-away-from-zero and other engines half-to-even,
+    so round() is exactly the kind of silent cross-engine fork this
+    repo's contracts exclude. Degenerate (null/empty/zero-norm) vectors
+    are excluded per the module contract (`with_norm`)."""
+    base = with_norm(df, vec_col)
+    return base.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, v -> cast(floor("
+               "cast(v as double) / norm * 127.0 + 0.5) as int))")
+        .alias("codes"))
+
+
+def sq8_topk(df: DataFrame, query_id: int = 0, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric top-k over SQ8 codes: the full-precision unit query
+    against quantized corpus vectors, ``score = dot(q_unit, codes)/127``
+    ≈ cosine. Plan shape is `brute_topk`'s — broadcast one query row,
+    score JVM-side with the order-stable left-fold dot, TakeOrdered for
+    the global k — but the corpus side reads 1-byte codes instead of
+    4-byte floats: at 100 TB the scan is 4× lighter, which is the whole
+    point of SQ8 (the codes table is what you'd keep hot in memory/SSD
+    while the float originals stay cold)."""
+    base = with_norm(df, vec_col)
+    q = (base.filter(F.col(id_col) == query_id)
+         .select(F.expr(f"transform({vec_col}, "
+                        "v -> cast(v as double) / norm)").alias("qvec")))
+    scored = (sq8_encode(df, id_col, vec_col)
+              .filter(F.col(id_col) != query_id)
+              .crossJoin(F.broadcast(q))
+              .select(F.col(id_col),
+                      F.round(
+                          F.expr(_DOT.format(a="codes", b="qvec"))
+                          / F.lit(127.0), 6).alias("score")))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()) \
+        .limit(k)
+
+
 def pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 256, iters: int = 10,
                  sample_cap: int = 4096, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> list:

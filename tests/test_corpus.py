@@ -726,3 +726,45 @@ def test_pq_exact_twins_match_numpy_paths(spark):
     b = [(r.vec_id, r.score)
          for r in S.pq_adc_topk_exact(embs, k=10, codebooks=cb).collect()]
     assert a == b and len(a) == 10
+
+
+def test_sq8_encode_contract(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(v) for v in rng.randn(16)]) for i in range(20)]
+    vecs += [(100, [0.0] * 16), (101, None), (102, [])]  # excluded
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.codes for r in S.sq8_encode(df).collect()}
+    assert set(out) == set(range(20))
+    for i, emb in vecs[:20]:
+        # the column is array<float>: the engine sees float32-rounded
+        # values promoted to double — recompute identically
+        x = np.array(emb, dtype=np.float32).astype(np.float64)
+        u = x / math.sqrt(sum(v * v for v in x))
+        codes = np.array(out[i], dtype=np.float64)
+        assert codes.min() >= -127 and codes.max() <= 127
+        # floor(u*127+0.5) within 1 of u*127 always; dequant error bound
+        assert np.abs(codes / 127.0 - u).max() <= 0.5 / 127 + 1e-9
+        assert np.array_equal(codes, np.floor(u * 127.0 + 0.5))
+
+
+def test_sq8_topk_tracks_exact_cosine(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(8)
+    rows = [(0, [float(v) for v in base])]
+    # ids 1..5: increasingly rotated away from the query
+    for i in range(1, 6):
+        v = base + i * 0.8 * rng.randn(8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = [r.vec_id for r in S.brute_topk(df, query_id=0, k=3).collect()]
+    sq8 = [r.vec_id for r in S.sq8_topk(df, query_id=0, k=3).collect()]
+    assert sq8 == exact  # 0.4% max component error keeps this ranking
+    scores = {r.vec_id: r.score for r in S.sq8_topk(df, 0, k=5).collect()}
+    ex_scores = {r.vec_id: r.score
+                 for r in S.brute_topk(df, 0, k=5).collect()}
+    for vid, s in scores.items():
+        assert abs(s - ex_scores[vid]) < 0.01

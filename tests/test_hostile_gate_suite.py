@@ -21,6 +21,7 @@ import pytest
 from tests.test_cross_engine_fuzz import _PIECES
 
 DOC_GATES = [
+    "chunk_documents", "mixture_sample",
     "contamination_spans", "decontaminate", "dedup_clusters", "dedup_exact",
     "dedup_jaccard_lsh", "dedup_keep_docs", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprint",
@@ -33,6 +34,7 @@ DOC_GATES = [
     "winnow_fingerprints",
 ]
 EMB_GATES = [
+    "ann_sq8_encode", "ann_sq8_topk",
     "ann_batch_topk", "ann_ivf_assign", "ann_ivf_topk",
     "ann_ivf_topk_probe2", "ann_lsh_buckets", "ann_lsh_topk",
     "ann_topk_cosine", "centroid_by_label", "embedding_cosine_dups",

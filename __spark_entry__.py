@@ -1077,6 +1077,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cross-engine float reassociation could flip one); compression
     # accuracy is evidenced in tools/ann_recall.py. The k-means IVF
     # gates above DO have full oracles via tools/annoracle.py.
+    def q_kmeans_refine(spark, sf_dir):
+        return _longify(S.kmeans_refine_df(
+            _tbl(spark, sf_dir, "embeddings"), iters=2))
+
+    q["ann_kmeans_refine"] = q_kmeans_refine
+
     def q_sq8_encode(spark, sf_dir):
         return _longify(S.sq8_encode(_tbl(spark, sf_dir, "embeddings")))
 
@@ -1333,6 +1339,49 @@ def oracle_sql() -> dict[str, str]:
                 SELECT centroid_id, cvec,
                        sqrt(list_inner_product(cvec, cvec)) AS cnorm
                 FROM kraw)"""
+    def _refine_iter(i: int, prev: str) -> str:
+        """One unrolled Lloyd iteration over the `nrm` relation: 6dp
+        fold-dot assignment with lower-id ties, 6dp per-dim means,
+        renormalize over the rounded means in dim order (the exact
+        `kmeans_refine` contract). Empty / zero-norm-mean cells keep
+        the previous centroid."""
+        return f"""
+            s{i} AS (
+                SELECT n.vec_id, c.centroid_id,
+                       round(list_inner_product([x / norm FOR x IN e],
+                                                c.cvec), 6) AS sc
+                FROM nrm n, {prev} c),
+            a{i} AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY sc DESC, centroid_id ASC) AS rn
+                    FROM s{i}) WHERE rn = 1),
+            m{i} AS (
+                SELECT a.centroid_id, ds.d AS dim,
+                       round(avg(n.e[ds.d] / n.norm), 6) AS m,
+                       count(*) AS cnt
+                FROM a{i} a JOIN nrm n USING (vec_id),
+                     (SELECT unnest(range(1, 65)) AS d) ds
+                GROUP BY 1, 2),
+            g{i} AS (
+                SELECT centroid_id, list(m ORDER BY dim) AS marr,
+                       max(cnt) AS cnt
+                FROM m{i} GROUP BY 1),
+            c{i} AS (
+                SELECT p.centroid_id,
+                       CASE WHEN g.centroid_id IS NULL
+                                 OR list_inner_product(g.marr, g.marr)
+                                    <= 0
+                            THEN p.cvec
+                            ELSE [round(mv / sqrt(
+                                      list_inner_product(g.marr,
+                                                         g.marr)), 6)
+                                  FOR mv IN g.marr] END AS cvec,
+                       coalesce(g.cnt, 0) AS cnt
+                FROM {prev} p LEFT JOIN g{i} g USING (centroid_id))"""
+
     kw_clause = " OR ".join(
         f"contains(lower(text), '{k}')" for k in _KW)
     lang_scores = ",\n".join(
@@ -2580,6 +2629,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id <> 0
             ORDER BY score DESC, vec_id ASC
             LIMIT 10
+        """,
+        # two UNROLLED distributed-Lloyd iterations from the same
+        # annoracle-reproduced seed codebook kmeans_refine_df uses;
+        # the 6dp rounding at every stage boundary is the shared
+        # contract that makes the iterative state engine-portable.
+        "ann_kmeans_refine": f"""
+            WITH {_VEC_CTES},
+            c0 AS (SELECT centroid_id, cvec FROM {km_values}),
+            {_refine_iter(1, "c0")},
+            {_refine_iter(2, "c1")}
+            SELECT centroid_id, cnt::BIGINT AS n_members,
+                   cvec AS centroid
+            FROM c2
         """,
         "ann_ivf_kmeans_assign": f"""
             WITH {_VEC_CTES},

@@ -86,6 +86,8 @@ def main() -> None:
         .agg(F.sum("n_tokens")).first()[0],
         "ann_lsh_topk": lambda: force_count(S.lsh_topk(embs, k=10)),
         "ann_sq8_topk": lambda: force_count(S.sq8_topk(embs, k=10)),
+        "kmeans_refine": lambda: force_count(
+            S.kmeans_refine_df(embs, iters=2)),
         "centroid_by_label": lambda: force_count(S.centroid_by_label(embs)),
         "semdedup_keep": lambda: force_count(S.semdedup_keep(
             embs, threshold=0.3, codebook=S.kmeans_codebook(embs))),

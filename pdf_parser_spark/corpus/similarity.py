@@ -289,6 +289,100 @@ def lloyd_spherical(x: "np.ndarray", n_centroids: int, iters: int) -> list:
     return [[float(v) for v in c] for c in cents]
 
 
+def kmeans_refine(df: DataFrame, codebook: list, iters: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> tuple:
+    """Distributed Lloyd refinement over the FULL corpus — the step
+    after `kmeans_codebook`: the sampled driver-side codebook seeds it,
+    then each iteration re-assigns every vector and recomputes the
+    centroids from all members, not just the sample (Spark MLlib's
+    KMeans runs exactly this loop shape).
+
+    Per-iteration plan: assignment is a pure map — the k×d codebook is
+    a LITERAL array-of-arrays in the plan, each row computes its k
+    rounded fold-dot scores and takes `array_position(scores,
+    array_max(scores))` (first match ⇒ ties toward the lower centroid
+    id, `lloyd_spherical`'s np.argmax rule) — so NO N×k frame ever
+    exists and the big side never shuffles. The update is one
+    posexplode → (cell, dim) partial-agg exchange carrying at most
+    k×d group summaries per map task (`centroid_by_label`'s shape),
+    and the driver collects exactly k×d (mean, count) scalars to build
+    the next codebook — the same bounded-collect class as
+    `kmeans_codebook` itself. At 100 TB each iteration is one scan +
+    one kilobyte-scale exchange.
+
+    Cross-engine contract (the gate runs an UNROLLED SQL twin of the
+    same iterations): scores round to 6dp before argmax; per-dim means
+    round to 6dp after the distributed avg (the `centroid_by_label`
+    reassociation caveat applies at the rounding boundary); the
+    renormalization runs over the rounded means in dim order; unit
+    components round to 6dp again. Empty cells and zero-norm means
+    keep their previous centroid. Returns (centroids, member_counts)
+    after ``iters`` iterations."""
+    import math
+
+    cents = [[float(v) for v in c] for c in codebook]
+    counts = [0] * len(cents)
+    base = with_norm(df, vec_col)
+    for _ in range(iters):
+        cents_lit = F.array(*[
+            F.array(*[F.lit(v) for v in c]) for c in cents])
+        # nullif keeps the division ANSI-safe: InferFiltersFromGenerate
+        # clones this expression into a predicate inferred from the
+        # posexplode below and evaluates it on rows the norm>0 filter
+        # would reject — with a bare `/ norm` a zero-norm row throws
+        # DIVIDE_BY_ZERO from inside the inferred filter. nullif turns
+        # that evaluation into a null array the filter drops instead.
+        u = F.expr(f"transform({vec_col}, v -> cast(v as double) "
+                   "/ nullif(norm, cast(0.0 as double)))")
+        rows = (base
+                .withColumn("_u", u)
+                .withColumn("_cents", cents_lit)
+                .withColumn("_sc", F.expr(
+                    "transform(_cents, c -> round(aggregate("
+                    "zip_with(_u, c, (x, y) -> x * y), "
+                    "cast(0.0 as double), (acc, v) -> acc + v), 6))"))
+                .withColumn("cell",
+                            (F.array_position("_sc", F.array_max("_sc"))
+                             - 1).cast("int"))
+                .select("cell", F.posexplode("_u").alias("dim", "val"))
+                .groupBy("cell", "dim")
+                .agg(F.round(F.avg("val"), 6).alias("m"),
+                     F.count(F.lit(1)).alias("cnt"))
+                .collect())
+        by_cell: dict = {}
+        for r in rows:
+            by_cell.setdefault(r.cell, {})[r.dim] = (r.m, r.cnt)
+        counts = [0] * len(cents)
+        for c in range(len(cents)):
+            dims = by_cell.get(c)
+            if not dims:
+                continue  # empty cell keeps its previous centroid
+            counts[c] = dims[0][1]
+            m = [dims[d][0] for d in range(len(cents[c]))]
+            norm = math.sqrt(sum(v * v for v in m))
+            if norm > 0:
+                cents[c] = [round(v / norm, 6) for v in m]
+    return cents, counts
+
+
+def kmeans_refine_df(df: DataFrame, iters: int = 2,
+                     n_centroids: int = 16,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Gate surface for `kmeans_refine`: seed with the production
+    sampled-k-means codebook and emit the refined centroids as a k-row
+    frame (centroid_id, n_members, centroid) — driver-resident by
+    construction (k×d scalars)."""
+    cb = kmeans_codebook(df, n_centroids=n_centroids,
+                         id_col=id_col, vec_col=vec_col)
+    cents, counts = kmeans_refine(df, cb, iters=iters,
+                                  id_col=id_col, vec_col=vec_col)
+    return df.sparkSession.createDataFrame(
+        [(i, counts[i], cents[i]) for i in range(len(cents))],
+        "centroid_id long, n_members long, centroid array<double>")
+
+
 def _ivf_parts(df: DataFrame, n_centroids: int, id_col: str, vec_col: str,
                codebook: list | None = None):
     """Shared IVF building blocks: (normed base, centroid set, assignment)

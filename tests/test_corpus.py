@@ -768,3 +768,30 @@ def test_sq8_topk_tracks_exact_cosine(spark):
                  for r in S.brute_topk(df, 0, k=5).collect()}
     for vid, s in scores.items():
         assert abs(s - ex_scores[vid]) < 0.01
+
+
+def test_kmeans_refine_lloyd_semantics(spark):
+    import numpy as np
+
+    # two clean clusters around +x and +y, a third seed with no members
+    rows = [(0, [1.0, 0.1]), (1, [0.9, -0.1]), (2, [1.1, 0.0]),
+            (10, [0.1, 1.0]), (11, [-0.1, 0.9]), (12, [0.0, 1.1]),
+            (99, [0.0, 0.0])]  # zero-norm: excluded
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seed = [[1.0, 0.0], [0.0, 1.0], [0.0, -1.0]]
+    cents, counts = S.kmeans_refine(df, seed, iters=1)
+    assert counts == [3, 3, 0]
+    assert cents[2] == seed[2]  # empty cell keeps its centroid
+
+    def expected(members):
+        x = np.array(members, dtype=np.float32).astype(np.float64)
+        u = x / np.sqrt((x * x).sum(axis=1))[:, None]
+        m = np.round(u.mean(axis=0), 6)
+        m = m / np.sqrt((m * m).sum())
+        return [round(float(v), 6) for v in m]
+
+    assert cents[0] == expected([r[1] for r in rows[:3]])
+    assert cents[1] == expected([r[1] for r in rows[3:6]])
+    # a second iteration from an already-converged state is a fixpoint
+    cents2, counts2 = S.kmeans_refine(df, seed, iters=2)
+    assert counts2 == counts and cents2 == cents

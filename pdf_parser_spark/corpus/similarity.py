@@ -325,31 +325,7 @@ def kmeans_refine(df: DataFrame, codebook: list, iters: int = 2,
     counts = [0] * len(cents)
     base = with_norm(df, vec_col)
     for _ in range(iters):
-        cents_lit = F.array(*[
-            F.array(*[F.lit(v) for v in c]) for c in cents])
-        # nullif keeps the division ANSI-safe: InferFiltersFromGenerate
-        # clones this expression into a predicate inferred from the
-        # posexplode below and evaluates it on rows the norm>0 filter
-        # would reject — with a bare `/ norm` a zero-norm row throws
-        # DIVIDE_BY_ZERO from inside the inferred filter. nullif turns
-        # that evaluation into a null array the filter drops instead.
-        u = F.expr(f"transform({vec_col}, v -> cast(v as double) "
-                   "/ nullif(norm, cast(0.0 as double)))")
-        rows = (base
-                .withColumn("_u", u)
-                .withColumn("_cents", cents_lit)
-                .withColumn("_sc", F.expr(
-                    "transform(_cents, c -> round(aggregate("
-                    "zip_with(_u, c, (x, y) -> x * y), "
-                    "cast(0.0 as double), (acc, v) -> acc + v), 6))"))
-                .withColumn("cell",
-                            (F.array_position("_sc", F.array_max("_sc"))
-                             - 1).cast("int"))
-                .select("cell", F.posexplode("_u").alias("dim", "val"))
-                .groupBy("cell", "dim")
-                .agg(F.round(F.avg("val"), 6).alias("m"),
-                     F.count(F.lit(1)).alias("cnt"))
-                .collect())
+        rows = _refine_update_frame(base, cents, vec_col).collect()
         by_cell: dict = {}
         for r in rows:
             by_cell.setdefault(r.cell, {})[r.dim] = (r.m, r.cnt)
@@ -364,6 +340,39 @@ def kmeans_refine(df: DataFrame, codebook: list, iters: int = 2,
             if norm > 0:
                 cents[c] = [round(v / norm, 6) for v in m]
     return cents, counts
+
+
+def _refine_update_frame(base: DataFrame, cents: list,
+                         vec_col: str = "embedding") -> DataFrame:
+    """One Lloyd iteration's distributed work as a frame: assign each
+    row to its argmax cell against the LITERAL codebook, posexplode the
+    unit vector, and partial-agg the per-(cell, dim) means — at most
+    k×d summary rows cross the single exchange. Factored out so
+    tools/plan_audit.py can assert the shape `kmeans_refine` collects."""
+    cents_lit = F.array(*[
+        F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+    # nullif keeps the division ANSI-safe: InferFiltersFromGenerate
+    # clones this expression into a predicate inferred from the
+    # posexplode below and evaluates it on rows the norm>0 filter
+    # would reject — with a bare `/ norm` a zero-norm row throws
+    # DIVIDE_BY_ZERO from inside the inferred filter. nullif turns
+    # that evaluation into a null array the filter drops instead.
+    u = F.expr(f"transform({vec_col}, v -> cast(v as double) "
+               "/ nullif(norm, cast(0.0 as double)))")
+    return (base
+            .withColumn("_u", u)
+            .withColumn("_cents", cents_lit)
+            .withColumn("_sc", F.expr(
+                "transform(_cents, c -> round(aggregate("
+                "zip_with(_u, c, (x, y) -> x * y), "
+                "cast(0.0 as double), (acc, v) -> acc + v), 6))"))
+            .withColumn("cell",
+                        (F.array_position("_sc", F.array_max("_sc"))
+                         - 1).cast("int"))
+            .select("cell", F.posexplode("_u").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"),
+                 F.count(F.lit(1)).alias("cnt")))
 
 
 def kmeans_refine_df(df: DataFrame, iters: int = 2,

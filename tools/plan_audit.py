@@ -508,9 +508,12 @@ def main() -> None:
         forbids=[r"SortMergeJoin"],
         note=("The (group, hash) dedup is a partial->final aggregate "
               "(asserted) so duplicate keys collapse map-side before the "
-              "exchange; the k-min window then runs over the DEDUPED "
-              "pairs only, and the final exact/sketch join is tiny enough "
-              "that AQE broadcasts it (no SortMergeJoin, asserted)."),
+              "exchange; the k-min rank and the exact group count are "
+              "BOTH window functions over the same grp partitioning on "
+              "the deduped pairs — one shared window pass, no join at "
+              "all (no SortMergeJoin, asserted; the earlier two-branch "
+              "form recomputed the distinct twice and joined, measured "
+              "2x slower at sf1)."),
     )
 
     audit(
@@ -525,6 +528,84 @@ def main() -> None:
               "uniform-key partial agg bounded at B rows regardless of "
               "corpus size — the hashing trick's memory story, "
               "relationally."),
+    )
+
+    from pdf_parser_spark.corpus import packing as PKA
+    from pdf_parser_spark.corpus import scrub as SCA
+    from pdf_parser_spark.plans import relational as RA
+
+    scd2_df = RA.scd2_history(
+        events.select("event_id", "user_id", "ts"),
+        events.select("event_id", "user_id", "ts")
+        .withColumn("op", F.lit("u")).withColumn("cts", F.col("ts")),
+        "event_id", "cts", "ts")
+    audit(
+        "SCD2 historization (union + lead window)",
+        scd2_df,
+        requires=[r"\) Window", r"Union"],
+        forbids=[r"SortMergeJoin", r"CartesianProduct",
+                 r"Exchange.*Exchange.*Exchange"],
+        note=("Version intervals come from ONE union + ONE key-window "
+              "pass (lead closes each version) — apply_changeset's cost "
+              "class; a versions self-join would be O(versions^2) on "
+              "duplicate-heavy keys and appears nowhere (asserted)."),
+    )
+
+    audit(
+        "Document chunking (overlapping token windows)",
+        PKA.chunk_documents(docs, size=32, overlap=8),
+        requires=[r"\) Generate", r"explode", r"Scan parquet"],
+        forbids=[r"Exchange", r"Python|ArrowEval"],
+        note=("split once into a materialized array column, then "
+              "explode(sequence)+slice/array_join: ZERO exchanges and "
+              "zero Python (asserted) — the chunk fan-out runs map-side "
+              "against the scan and writes partition-local at any "
+              "corpus size."),
+    )
+
+    mix_plan_df = SCA.mixture_sample(
+        docs, {"en": 0.5, "de": 0.25}, budget_frac=0.25)
+    mix_plan = formatted(mix_plan_df)
+    assert len(re.findall(r"BroadcastHashJoin", mix_plan)) >= 1, \
+        "mixture_sample: threshold join must broadcast"
+    assert not re.search(r"SortMergeJoin", mix_plan), \
+        "mixture_sample: corpus rows shuffled through a join"
+    sections.append((
+        "Mixture resampling (budget-driven thresholds, broadcast back)",
+        ("Pass 1 partial-aggs token mass to ONE long per stratum; the "
+         "derived thresholds re-enter as a BroadcastHashJoin (asserted "
+         "— never a SortMergeJoin of corpus rows) so pass 2 is a "
+         "map-side filter: two scans, kilobytes moved, zero corpus "
+         "shuffle."),
+        compact(mix_plan)))
+
+    audit(
+        "SQ8 encode (scalar int8 quantization)",
+        S.sq8_encode(embs),
+        requires=[r"Scan parquet"],
+        forbids=[r"Exchange", r"Python|ArrowEval"],
+        note=("No codebook -> no search: one whole-stage-codegen "
+              "transform per row, zero Python, zero shuffle (asserted). "
+              "The codes table is 4x smaller than the float32 scan it "
+              "replaces in sq8_topk's broadcast-query retrieval."),
+    )
+
+    refine_df = S._refine_update_frame(
+        S.with_norm(embs), [[0.1] * 64, [-0.1] * 64])
+    audit(
+        "k-means refine iteration (literal codebook, k x d summaries)",
+        refine_df,
+        requires=[r"HashAggregate.*Exchange.*HashAggregate",
+                  r"\) Generate", r"posexplode"],
+        forbids=[r"Join", r"CartesianProduct"],
+        note=("Assignment is a pure map — the k x d codebook is a plan "
+              "LITERAL and argmax is array_position over per-row fold "
+              "dots, so no N x k frame and NO join exists anywhere "
+              "(asserted); the update posexplodes into ONE partial->"
+              "final aggregate (asserted) whose exchange carries at "
+              "most k x d group summaries per task. Driver collects "
+              "k x d scalars per iteration — the bounded-collect class "
+              "kmeans_codebook already documents."),
     )
 
     wc_plan_df = TS.winnow_containment_pairs(docs, min_shared=2)

@@ -1077,6 +1077,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cross-engine float reassociation could flip one); compression
     # accuracy is evidenced in tools/ann_recall.py. The k-means IVF
     # gates above DO have full oracles via tools/annoracle.py.
+    def q_hashed_bow(spark, sf_dir):
+        return _longify(TS.hashed_bow_embeddings(
+            _tbl(spark, sf_dir, "documents")))
+
+    q["hashed_bow"] = q_hashed_bow
+
+    def q_rag_chunk_topk(spark, sf_dir):
+        # end-to-end in-engine retrieval: chunk -> feature-hash embed ->
+        # exact cosine top-k, three operators composed under one full
+        # value-hash oracle; chunk uid = doc_id*1000 + chunk_idx.
+        ch = PK.chunk_documents(
+            _tbl(spark, sf_dir, "documents"), size=32, overlap=8).select(
+            (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
+            "chunk_text")
+        bow = TS.hashed_bow_embeddings(ch, dims=64, id_col="cid",
+                                       text_col="chunk_text")
+        return _longify(S.brute_topk(bow, query_id=7000, k=10,
+                                     id_col="cid"))
+
+    q["rag_chunk_topk"] = q_rag_chunk_topk
+
     def q_kmeans_refine(spark, sf_dir):
         return _longify(S.kmeans_refine_df(
             _tbl(spark, sf_dir, "embeddings"), iters=2))
@@ -1339,6 +1360,58 @@ def oracle_sql() -> dict[str, str]:
                 SELECT centroid_id, cvec,
                        sqrt(list_inner_product(cvec, cvec)) AS cnorm
                 FROM kraw)"""
+    def _bow_ctes(src: str, idc: str) -> str:
+        """Hashed bag-of-words CTE chain over ``src`` (a (id, txt)
+        relation with txt already canonical): md5-bucket counts →
+        dense 64-dim vector → 6dp-rounded unit embedding, mirroring
+        `textstats.hashed_bow_embeddings` term for term."""
+        return f"""
+            btoks AS (
+                SELECT {idc}, unnest(string_split(txt, ' ')) AS tok
+                FROM {src}),
+            bcnt AS (
+                SELECT {idc},
+                       (('0x' || substr(md5(tok), 1, 8))::UBIGINT
+                        % 64)::BIGINT AS b,
+                       count(*)::BIGINT AS c
+                FROM btoks GROUP BY 1, 2),
+            bvecs AS (
+                SELECT {idc}, list(b ORDER BY b) AS bs,
+                       list(c ORDER BY b) AS cs
+                FROM bcnt GROUP BY 1),
+            braw AS (
+                SELECT {idc},
+                       [coalesce(cs[list_position(bs, d)], 0)::DOUBLE
+                        FOR d IN range(0, 64)] AS r
+                FROM bvecs),
+            bemb AS (
+                SELECT {idc},
+                       [round(x / sqrt(list_inner_product(r, r)), 6)
+                        FOR x IN r] AS embedding
+                FROM braw)"""
+
+    _CHUNK_CTES = f"""
+            ct AS (
+                SELECT doc_id, string_split({_CANON}, ' ') AS toks,
+                       len(string_split({_CANON}, ' ')) AS n
+                FROM documents),
+            cc AS (
+                SELECT doc_id, toks, n,
+                       CASE WHEN n <= 32 THEN 1
+                            ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+                FROM ct),
+            chunks AS (
+                SELECT doc_id, ch['chunk_idx'] AS chunk_idx,
+                       ch['chunk_text'] AS chunk_text
+                FROM (
+                    SELECT doc_id,
+                           unnest([{{'chunk_idx': i,
+                                     'chunk_text': array_to_string(
+                                         toks[i * 24 + 1 : i * 24 + 32],
+                                         ' ')}}
+                                   FOR i IN range(0, n_chunks)]) AS ch
+                    FROM cc))"""
+
     def _refine_iter(i: int, prev: str) -> str:
         """One unrolled Lloyd iteration over the `nrm` relation: 6dp
         fold-dot assignment with lower-id ties, 6dp per-dim means,
@@ -2499,6 +2572,37 @@ def oracle_sql() -> dict[str, str]:
             FROM nrm, q
             WHERE vec_id <> 0
             ORDER BY score DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "hashed_bow": f"""
+            WITH src AS (SELECT doc_id, {_CANON} AS txt FROM documents),
+            {_bow_ctes("src", "doc_id")}
+            SELECT doc_id, embedding FROM bemb
+        """,
+        # three composed operators under one oracle: the chunk layout,
+        # the hashed-BoW featurizer, and exact cosine top-k — scored on
+        # the ROUNDED unit embeddings with their own fold norms, exactly
+        # as brute_topk does over any embedding relation.
+        "rag_chunk_topk": f"""
+            WITH {_CHUNK_CTES},
+            src AS (SELECT doc_id * 1000 + chunk_idx AS cid,
+                           chunk_text AS txt
+                    FROM chunks),
+            {_bow_ctes("src", "cid")},
+            nrm2 AS (
+                SELECT cid, embedding AS e,
+                       sqrt(list_inner_product(embedding, embedding))
+                           AS norm
+                FROM bemb
+                WHERE len(embedding) > 0
+                  AND sqrt(list_inner_product(embedding, embedding)) > 0),
+            q2 AS (SELECT e AS qe, norm AS qn FROM nrm2 WHERE cid = 7000)
+            SELECT cid,
+                   round(list_inner_product(e, qe) / (norm * qn), 4)
+                       AS score
+            FROM nrm2, q2
+            WHERE cid <> 7000
+            ORDER BY score DESC, cid ASC
             LIMIT 10
         """,
         # floor(x + 0.5) is the SQ8 tie contract (round() forks:

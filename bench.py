@@ -140,6 +140,14 @@ def main() -> None:
         "distinct_kmv": lambda: force_count(
             SK.distinct_kmv(events, "event_type", "user_id")),
         "dsir_weights": lambda: force_count(TS.dsir_weights(docs)),
+        "hashed_bow": lambda: force_count(TS.hashed_bow_embeddings(docs)),
+        "rag_chunk_topk": lambda: force_count(S.brute_topk(
+            TS.hashed_bow_embeddings(
+                PK.chunk_documents(docs, size=32, overlap=8).select(
+                    (F.col("doc_id") * 1000
+                     + F.col("chunk_idx")).alias("cid"), "chunk_text"),
+                id_col="cid", text_col="chunk_text"),
+            query_id=7000, k=10, id_col="cid")),
     }
 
     # Warm the JVM + python workers outside the timed region.

@@ -530,6 +530,51 @@ def _feat_bucket(tok_col: str = "tok", n_buckets: int = 1024) -> F.Column:
         .cast("long"), F.lit(n_buckets))
 
 
+def hashed_bow_embeddings(df: DataFrame, dims: int = 64,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Feature-hashed bag-of-words embeddings: tokens hash into
+    ``dims`` buckets (`_feat_bucket`, the DSIR hashing trick), counts
+    assemble into a dense vector, L2-normalized and rounded to 6dp —
+    a deterministic, engine-portable featurizer that turns ANY text
+    relation into an `embedding array<double>` the whole
+    `corpus.similarity` stack (brute/LSH/IVF/PQ/SQ8, SemDeDup,
+    centroids) consumes directly. Real pipelines swap in a neural
+    encoder behind the same (id, embedding) contract; this one exists
+    so retrieval compositions are testable END TO END in-engine with
+    full value-hash oracles (see the `rag_chunk_topk` gate: chunk →
+    embed → top-k with no Python anywhere).
+
+    Shape: explode → (id, bucket) partial-agg → per-id map assembly
+    (collect_list of at most ``dims`` entries) — two bounded shuffles,
+    no vocabulary state (the hashing trick's memory story), output
+    dims doubles per document. Empty documents yield the ''-token
+    vector (one bucket set), never a zero vector, so downstream
+    cosine ops keep them."""
+    counts = (df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col(text_col)), WS + "+", " ")), " ")).alias("tok"))
+        .groupBy(id_col, _feat_bucket("tok", dims).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c")))
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("b", "c"))))
+    return (counts.groupBy(id_col)
+            .agg(m.alias("_m"))
+            .select(
+                F.col(id_col),
+                F.expr(
+                    f"transform(sequence(0, {dims - 1}), "
+                    "d -> cast(coalesce(element_at(_m, d), 0) as double))")
+                .alias("_raw"))
+            .select(
+                F.col(id_col),
+                F.expr(
+                    "transform(_raw, x -> round(x / sqrt(aggregate(_raw, "
+                    "cast(0.0 as double), (acc, v) -> acc + v * v)), 6))")
+                .alias("embedding")))
+
+
 def dsir_weights(df: DataFrame, target_col: str = "lang",
                  target_val: str = "en", n_buckets: int = 1024,
                  text_col: str = "text") -> DataFrame:

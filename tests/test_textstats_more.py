@@ -27,3 +27,55 @@ def test_unigram_surprisal_matches_brute_force(spark):
     assert got == exp
     # sanity: the all-rare doc is the most surprising
     assert got[2][2] > got[0][2] and got[2][1] == 1.0
+
+
+def test_hashed_bow_matches_python(spark):
+    import hashlib
+    import math
+    from pdf_parser_spark.corpus import textstats as TS
+
+    rows = [(0, "apple banana apple"), (1, "Apple  CHERRY"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.embedding
+           for r in TS.hashed_bow_embeddings(df, dims=16).collect()}
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 16
+
+    for doc_id, text in rows:
+        toks = " ".join(text.lower().split()).split(" ")
+        raw = [0.0] * 16
+        for t in toks:
+            raw[bucket(t)] += 1.0
+        n = math.sqrt(sum(v * v for v in raw))
+        exp = [round(v / n, 6) for v in raw]
+        assert got[doc_id] == exp, doc_id
+    # empty doc: the ''-token vector, unit norm, never zero
+    assert abs(sum(v * v for v in got[2]) - 1.0) < 1e-9
+
+
+def test_rag_composition_retrieves_shared_vocabulary(spark):
+    from pyspark.sql import functions as F
+    from pdf_parser_spark.corpus import similarity as S
+    from pdf_parser_spark.corpus import textstats as TS
+    from pdf_parser_spark.corpus.packing import chunk_documents
+
+    common = "alpha beta gamma delta " * 16        # 64 tokens
+    rows = [(0, common + "epsilon zeta " * 8),     # overlaps the query doc
+            (1, common),                           # the query doc
+            (2, "uno dos tres quatro " * 20)]      # disjoint vocabulary
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ch = chunk_documents(df, size=32, overlap=8).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
+        "chunk_text")
+    bow = TS.hashed_bow_embeddings(ch, dims=32, id_col="cid",
+                                   text_col="chunk_text")
+    top = [r.cid for r in S.brute_topk(bow, query_id=1000, k=4,
+                                       id_col="cid").collect()]
+    # every retrieved chunk shares the query's vocabulary: docs 0/1 only
+    assert top and all(c // 1000 in (0, 1) for c in top)
+    scores = {r.cid: r.score for r in S.brute_topk(
+        bow, query_id=1000, k=20, id_col="cid").collect()}
+    dis = [s for c, s in scores.items() if c // 1000 == 2]
+    shared = [s for c, s in scores.items() if c // 1000 in (0, 1)]
+    assert min(shared) > max(dis)

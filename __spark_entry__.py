@@ -1246,6 +1246,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scd2_history"] = q_scd2_history
 
+    def q_stream_merge(spark, sf_dir):
+        # the SAME changeset, applied as a LIVE CDC stream split across
+        # micro-batches (maxFilesPerTrigger=1 over a multi-file source,
+        # so cross-batch latest-wins/tombstone rules really execute);
+        # the final snapshot must equal the batch merge_upsert oracle.
+        import tempfile
+
+        from pdf_parser_spark.streaming.pipeline import (
+            merged_snapshot, stream_merge_changes,
+        )
+
+        orders = _tbl(spark, sf_dir, "orders")
+        changes = _orders_changeset(orders)
+        root = tempfile.mkdtemp(prefix="stream_merge_")
+        src = os.path.join(root, "changes")
+        changes.repartition(4).write.mode("overwrite").parquet(src)
+        sch = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(sch)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        qy = stream_merge_changes(
+            stream, orders,
+            state_dir=os.path.join(root, "state"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            key_col="o_orderkey", ts_col="change_ts")
+        _drain_or_die(qy, "stream_merge_upsert")
+        # the scratch root stays on disk until the OS tmp reaper runs:
+        # the returned frame reads the state files lazily, after this
+        # callable has returned.
+        snap = merged_snapshot(spark, os.path.join(root, "state"))
+        return _longify(snap.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            FN._epoch_us("o_orderdate").alias("odate_us"),
+            "o_orderpriority"))
+
+    q["stream_merge_upsert"] = q_stream_merge
+
     def q_stream_attrib(spark, sf_dir):
         # stream-stream time-interval join under a REAL streaming query:
         # both sides of the attribution join are live streams over the
@@ -3013,6 +3049,20 @@ def oracle_sql() -> dict[str, str]:
         # algorithm — latest-wins, delete, and tie rules each show up
         # as a hash mismatch if broken.
         "merge_upsert": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 10 < 3 THEN 'U'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % 10 < 3 THEN o_totalprice + 1
+                        ELSE o_totalprice END AS o_totalprice,
+                   epoch_us(o_orderdate)::BIGINT AS odate_us,
+                   o_orderpriority
+            FROM orders
+            WHERE o_orderkey % 10 NOT IN (3, 4)
+        """,
+        # The streaming merge must converge to the SAME snapshot the
+        # batch merge produces, whatever the micro-batch split — so its
+        # oracle IS the independent CASE/WHERE derivation above.
+        "stream_merge_upsert": """
             SELECT o_orderkey, o_custkey,
                    CASE WHEN o_orderkey % 10 < 3 THEN 'U'
                         ELSE o_orderstatus END AS o_orderstatus,

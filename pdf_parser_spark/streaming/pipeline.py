@@ -203,3 +203,94 @@ def stream_click_attribution(purchases: DataFrame, clicks: DataFrame,
                 F.col("p_user").alias("user_id"),
                 F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
                 F.col("c_ts").cast("timestamp_ntz").alias("c_ts")))
+
+
+def stream_merge_changes(changes: DataFrame, base: DataFrame,
+                         state_dir: str, checkpoint_dir: str,
+                         key_col: str, ts_col: str, op_col: str = "op",
+                         available_now: bool = True):
+    """Streaming MERGE INTO: maintain a latest-wins snapshot of a base
+    table under a live CDC changeset stream — `plans.relational.
+    apply_changeset` run INCREMENTALLY via foreachBatch, the continuous
+    form of the same maintenance operation.
+
+    Correctness across micro-batches: the state keeps the winning row
+    PER KEY including delete tombstones and its (`_rank_ts`, `_del`)
+    rank, and each batch re-runs the one-window merge over
+    state ∪ batch. Per-key winner selection is an argmax over a total
+    order — associative and commutative — so the final state is
+    independent of how the changeset splits into batches and of batch
+    arrival order (a late out-of-order upsert cannot resurrect a
+    deleted key: the tombstone outranks it). Replayed batches (failure
+    recovery) re-merge the same rows into the same winners —
+    idempotent, which together with the checkpoint gives exactly-once
+    state.
+
+    State storage is a versioned parquet directory per epoch with an
+    atomically renamed pointer file (`_LATEST`): plain files have no
+    transactional row-level update, so each batch rewrites the state —
+    honest cost: O(|state|) per batch. At cluster scale this operator
+    is exactly what Iceberg MERGE INTO / row-level deletes replace
+    (`io.py`'s catalog seam); the per-key window logic stays identical,
+    only the sink changes. Read the live snapshot with
+    `merged_snapshot`."""
+    import os
+
+    from pdf_parser_spark.operators.funnel import _epoch_us
+
+    spark = changes.sparkSession
+    cols = [f.name for f in base.schema.fields]
+    ptr = os.path.join(state_dir, "_LATEST")
+    if not os.path.exists(ptr):
+        os.makedirs(state_dir, exist_ok=True)
+        v0 = os.path.join(state_dir, "v0")
+        (base.select(*cols)
+         .withColumn("_rank_ts", F.lit(None).cast("long"))
+         .withColumn("_del", F.lit(0))
+         .write.mode("overwrite").parquet(v0))
+        tmp = ptr + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("v0")
+        os.replace(tmp, ptr)
+
+    def _merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        with open(ptr, encoding="utf-8") as f:
+            cur = f.read().strip()
+        state = spark.read.parquet(os.path.join(state_dir, cur))
+        ch = batch.select(
+            *cols, _epoch_us(ts_col).alias("_rank_ts"),
+            (F.col(op_col) == "d").cast("int").alias("_del"))
+        w = (Window.partitionBy(key_col)
+             .orderBy(F.col("_rank_ts").desc_nulls_last(),
+                      F.col("_del").desc()))
+        nxt = (state.unionByName(ch)
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn"))
+        out = os.path.join(state_dir, f"v{epoch_id + 1}")
+        nxt.write.mode("overwrite").parquet(out)
+        tmp = ptr + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(f"v{epoch_id + 1}")
+        os.replace(tmp, ptr)
+
+    writer = (changes.writeStream
+              .foreachBatch(_merge_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merged_snapshot(spark: SparkSession, state_dir: str,
+                    cols: list | None = None) -> DataFrame:
+    """The live table `stream_merge_changes` maintains: latest state
+    version minus delete tombstones and rank bookkeeping."""
+    import os
+
+    with open(os.path.join(state_dir, "_LATEST"), encoding="utf-8") as f:
+        cur = f.read().strip()
+    df = (spark.read.parquet(os.path.join(state_dir, cur))
+          .filter(F.col("_del") == 0).drop("_rank_ts", "_del"))
+    return df.select(*cols) if cols else df

@@ -486,3 +486,43 @@ def test_stream_contamination_hits_matches_batch(spark, transcripts_sf0001):
         spark.read.parquet(transcripts_sf0001), ev)
         .select("conv_id", "turn_idx").distinct().collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_merge_tombstone_out_of_order(spark, tmp_path):
+    """A delete tombstone must survive micro-batch boundaries: an OLDER
+    upsert arriving in a LATER batch cannot resurrect the key, and a
+    NEWER one can — the cross-batch latest-wins/tombstone contract of
+    stream_merge_changes (three sequential availableNow runs = three
+    real foreachBatch merges against the same state)."""
+    from datetime import datetime, timedelta
+
+    from pdf_parser_spark.streaming.pipeline import (
+        merged_snapshot, stream_merge_changes,
+    )
+
+    def t(us):
+        return datetime(2024, 1, 1) + timedelta(microseconds=us)
+
+    base = spark.createDataFrame([(1, 10.0, t(0)), (2, 20.0, t(0))],
+                                 "id long, price double, loaded timestamp")
+    state = str(tmp_path / "state")
+    sch = ("id long, price double, loaded timestamp, "
+           "op string, cts timestamp")
+
+    def run(n, rows):
+        src = str(tmp_path / f"src{n}")
+        spark.createDataFrame(rows, sch).write.parquet(src)
+        q = stream_merge_changes(
+            spark.readStream.schema(sch).parquet(src), base,
+            state_dir=state, checkpoint_dir=str(tmp_path / f"ck{n}"),
+            key_col="id", ts_col="cts")
+        q.awaitTermination(120)
+        return {r.id: r.price
+                for r in merged_snapshot(spark, state).collect()}
+
+    # batch 1: delete key 1 at ts=200
+    assert run(1, [(1, 10.0, t(0), "d", t(200))]) == {2: 20.0}
+    # batch 2: LATE upsert at ts=100 -> tombstone wins, stays deleted
+    assert run(2, [(1, 11.0, t(0), "u", t(100))]) == {2: 20.0}
+    # batch 3: genuinely newer upsert at ts=300 -> key resurrects
+    assert run(3, [(1, 12.0, t(0), "u", t(300))]) == {1: 12.0, 2: 20.0}

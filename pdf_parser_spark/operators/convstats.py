@@ -147,3 +147,50 @@ def conv_exact_dup_groups(tr: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_convs"),
                  F.min("conv_id").alias("keep_conv_id"),
                  F.max("n_turns").alias("n_turns")))
+
+
+def conv_context_windows(tr: DataFrame, n_turns: int = 4,
+                         stride: int = 2) -> DataFrame:
+    """Sliding context windows over conversations — the transcript-grain
+    sibling of `corpus.packing.chunk_documents`: every training example
+    built from a multi-turn dialog is "the last N turns of context",
+    and this materializes that layout declaratively — windows of
+    ``n_turns`` consecutive turns advancing by ``stride``, rendered as
+    a `role: text` transcript block per window.
+
+    Window rule mirrors the chunking contract exactly: starts at
+    ``i * stride`` for ``i < 1 + ceil(max(0, T - n_turns) / stride)``
+    (every turn covered, final window may be short, a tail already
+    covered by the previous window never yields an extra one). Null
+    role/text render as '' (degrade-don't-drop). Emits (conv_id,
+    win_idx, first_turn, n_in_win, win_text).
+
+    Plan: ONE conv_id Exchange shared by the row-number, the total
+    count, and the forward collect_list frame (same-partitioning
+    windows reuse the sort), then a codegen filter/projection — no
+    join, no second shuffle. A conversation costs one window partition;
+    the mega-conversation note in the module docstring applies
+    unchanged."""
+    if not 1 <= stride <= n_turns:
+        raise ValueError(
+            f"need 1 <= stride <= n_turns, got {stride=} {n_turns=}")
+    w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    w_fwd = w_ord.rowsBetween(Window.currentRow, n_turns - 1)
+    line = F.concat(F.coalesce(F.col("role"), F.lit("")), F.lit(": "),
+                    F.coalesce(F.col("text"), F.lit("")))
+    base = (tr.select("conv_id", "turn_idx", line.alias("_line"))
+            .withColumn("_rn", F.row_number().over(w_ord))
+            .withColumn("_total", F.count(F.lit(1)).over(w_all))
+            .withColumn("_win", F.collect_list("_line").over(w_fwd)))
+    start = F.col("_rn") - 1
+    n_wins = F.when(F.col("_total") <= n_turns, F.lit(1)).otherwise(
+        F.floor((F.col("_total") - n_turns + stride - 1) / stride) + 1)
+    return (base
+            .filter((start % stride == 0)
+                    & (F.floor(start / stride) < n_wins))
+            .select("conv_id",
+                    F.floor(start / stride).cast("long").alias("win_idx"),
+                    F.col("turn_idx").alias("first_turn"),
+                    F.size("_win").cast("long").alias("n_in_win"),
+                    F.array_join("_win", "\n").alias("win_text")))

@@ -75,3 +75,36 @@ def test_conv_fingerprint_dedup_and_order_invariance(spark):
               for r in CS.conv_exact_dup_groups(df).collect()}
     assert groups[fps["a"]] == (2, "a")
     assert groups[fps["c"]] == (1, "c")
+
+
+def test_conv_context_windows_rules(spark):
+    import pytest as _pt
+    from pdf_parser_spark.operators import convstats as CS
+
+    def conv(cid, n):
+        return [(cid, i, "user" if i % 2 == 0 else "assistant",
+                 f"t{i}", None, None) for i in range(n)]
+
+    rows = conv("a", 3) + conv("b", 6) + conv("c", 7) + conv("d", 1)
+    rows.append(("e", 0, None, None, None, None))  # null role+text
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = CS.conv_context_windows(df, n_turns=6, stride=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.conv_id, []).append(
+            (r.win_idx, r.first_turn, r.n_in_win))
+    assert got["a"] == [(0, 0, 3)]          # short conv: one window
+    assert got["b"] == [(0, 0, 6)]          # exactly n_turns: one window
+    assert sorted(got["c"]) == [(0, 0, 6), (1, 3, 4)]  # tail window
+    assert got["d"] == [(0, 0, 1)]
+    assert got["e"] == [(0, 0, 1)]
+    texts = {(r.conv_id, r.win_idx): r.win_text for r in out}
+    assert texts[("b", 0)] == "\n".join(
+        f"{'user' if i % 2 == 0 else 'assistant'}: t{i}" for i in range(6))
+    assert texts[("c", 1)] == "\n".join(
+        f"{'user' if i % 2 == 0 else 'assistant'}: t{i}" for i in range(3, 7))
+    assert texts[("e", 0)] == ": "          # null role/text degrade to ''
+    with _pt.raises(ValueError):
+        CS.conv_context_windows(df, n_turns=4, stride=5)

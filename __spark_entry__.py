@@ -746,6 +746,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unigram_surprisal"] = q_unigram_surprisal
 
+    def q_curriculum_bins(spark, sf_dir):
+        return _longify(TS.curriculum_bins(
+            _tbl(spark, sf_dir, "documents"), n_bins=4, vocab_size=16))
+
+    q["curriculum_bins"] = q_curriculum_bins
+
     def q_contamination_spans(spark, sf_dir):
         docs = _tbl(spark, sf_dir, "documents")
         ev = docs.filter(F.col("doc_id") % 37 == 0)
@@ -1402,6 +1408,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT centroid_id, cvec,
                        sqrt(list_inner_product(cvec, cvec)) AS cnorm
                 FROM kraw)"""
+    _SURPRISAL_CTES = f"""
+            toks AS (
+                SELECT doc_id, unnest(string_split({_CANON}, ' ')) AS tok
+                FROM documents),
+            tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+            tot AS (SELECT sum(cnt)::DOUBLE AS total FROM tf),
+            vocab AS (SELECT tok, cnt FROM tf
+                      ORDER BY cnt DESC, tok ASC LIMIT 16)"""
+
     def _bow_ctes(src: str, idc: str) -> str:
         """Hashed bag-of-words CTE chain over ``src`` (a (id, txt)
         relation with txt already canonical): md5-bucket counts →
@@ -2238,13 +2253,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY 1, 2
         """,
         "unigram_surprisal": f"""
-            WITH toks AS (
-                SELECT doc_id, unnest(string_split({_CANON}, ' ')) AS tok
-                FROM documents),
-            tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
-            tot AS (SELECT sum(cnt)::DOUBLE AS total FROM tf),
-            vocab AS (SELECT tok, cnt FROM tf
-                      ORDER BY cnt DESC, tok ASC LIMIT 16)
+            WITH {_SURPRISAL_CTES}
             SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
                    round(avg(CASE WHEN v.cnt IS NULL
                                   THEN 1.0 ELSE 0.0 END), 4) AS oov_frac,
@@ -2253,6 +2262,26 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_bits
             FROM toks t LEFT JOIN vocab v USING (tok)
             GROUP BY 1
+        """,
+        # equal-population tiers over the 4dp surprisal scores:
+        # quantile_cont ≡ Spark's exact percentile (linear interp),
+        # thresholds rounded 4dp, strict-less bin rule.
+        "curriculum_bins": f"""
+            WITH {_SURPRISAL_CTES},
+            sc AS (
+                SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                       round(avg(log2((SELECT total FROM tot))
+                                 - log2(coalesce(v.cnt, 1)::DOUBLE)), 4)
+                           AS mean_bits
+                FROM toks t LEFT JOIN vocab v USING (tok)
+                GROUP BY 1),
+            th AS (
+                SELECT [round(x, 4) FOR x IN
+                        quantile_cont(mean_bits, [0.25, 0.5, 0.75])] AS q
+                FROM sc)
+            SELECT doc_id, n_tokens, mean_bits,
+                   len([t FOR t IN q IF t < mean_bits])::BIGINT AS bin
+            FROM sc, th
         """,
         "decontaminate": f"""
             WITH c AS (

@@ -128,6 +128,8 @@ def main() -> None:
             docs, size=32, overlap=8)),
         "unigram_surprisal": lambda: force_count(
             TS.unigram_surprisal(docs)),
+        "curriculum_bins": lambda: force_count(
+            TS.curriculum_bins(docs)),
         "pii_scrub": lambda: SC.pii_scrub(docs)
         .agg(F.sum("n_emails")).first()[0],
         "stratified_sample": lambda: force_count(SC.stratified_sample(

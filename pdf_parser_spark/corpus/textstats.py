@@ -521,6 +521,40 @@ def unigram_surprisal(df: DataFrame, vocab_size: int = 65536,
                  F.round(F.avg(bits), 4).alias("mean_bits")))
 
 
+def curriculum_bins(df: DataFrame, n_bins: int = 4,
+                    vocab_size: int = 65536,
+                    text_col: str = "text") -> DataFrame:
+    """Quality-curriculum binning: documents ranked into ``n_bins``
+    equal-population difficulty tiers by their `unigram_surprisal`
+    score — curriculum schedules (easy→hard, or filter-the-tails) are
+    standard practice in LLM data pipelines, and the bin column is the
+    knob they key on.
+
+    Rule: thresholds are the exact ``i/n_bins`` percentiles (linear
+    interpolation — ANSI percentile_cont ≡ DuckDB quantile_cont) of the
+    4dp-rounded scores, themselves rounded to 4dp; a document's bin is
+    the number of thresholds STRICTLY below its score, so boundary
+    scores fall in the lower bin deterministically in any engine.
+
+    Scale shape: scoring is `unigram_surprisal`'s broadcast-model pass;
+    the threshold aggregate reduces to ONE row of n_bins-1 doubles that
+    re-enters as a broadcast — the same two-pass derive-then-broadcast
+    pattern as `scrub.mixture_sample`, and like there the corpus never
+    shuffles for it. Exact percentile buffers per-group values at the
+    final reducer — one group, corpus-count doubles; at true 100 TB
+    swap `approx_percentile`'s mergeable t-digest (the
+    `value_percentiles` tradeoff, documented there)."""
+    ps = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    s = unigram_surprisal(df, vocab_size, text_col).select(
+        "doc_id", "n_tokens", "mean_bits")
+    thr = (s.agg(F.expr(f"percentile(mean_bits, array({ps}))").alias("q"))
+           .select(F.expr("transform(q, t -> round(t, 4))").alias("q")))
+    return (s.crossJoin(F.broadcast(thr))
+            .select("doc_id", "n_tokens", "mean_bits",
+                    F.expr("size(filter(q, t -> t < mean_bits))")
+                    .cast("long").alias("bin")))
+
+
 def _feat_bucket(tok_col: str = "tok", n_buckets: int = 1024) -> F.Column:
     """Hashed-feature bucket of a token: first 8 md5 hex digits mod B —
     the engine-portable hashing-trick (both operands non-negative, so

@@ -79,3 +79,22 @@ def test_rag_composition_retrieves_shared_vocabulary(spark):
     dis = [s for c, s in scores.items() if c // 1000 == 2]
     shared = [s for c, s in scores.items() if c // 1000 in (0, 1)]
     assert min(shared) > max(dis)
+
+
+def test_curriculum_bins_equal_population(spark):
+    from pdf_parser_spark.corpus import textstats as TS
+
+    # 8 docs mixing one common token with i rare tokens -> 8 distinct
+    # surprisal scores rising with i
+    rows = [(i, "common " * (8 - i) + " ".join(f"rare{i}x{j}"
+                                               for j in range(i + 1)))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.mean_bits, r.bin)
+           for r in TS.curriculum_bins(df, n_bins=4,
+                                       vocab_size=1).collect()}
+    assert len(out) == 8
+    scores = sorted(out.values())
+    assert len({s for s, _ in scores}) == 8  # distinct scores
+    # equal population: 2 docs per bin, bins monotone in score
+    assert [b for _, b in scores] == [0, 0, 1, 1, 2, 2, 3, 3]

@@ -593,19 +593,27 @@ def hashed_bow_embeddings(df: DataFrame, dims: int = 64,
         .agg(F.count(F.lit(1)).alias("c")))
     m = F.map_from_entries(
         F.sort_array(F.collect_list(F.struct("b", "c"))))
+    # The norm is an exact INT64 aggregate (sum of squared counts —
+    # order-independent, bit-equal to the oracle's fold over the dense
+    # array since zeros contribute nothing), computed IN the same
+    # HashAggregate, and the embedding is ONE transform with O(1) work
+    # per element. The first draft folded the norm inside the transform
+    # lambda — the `dedup.shingles` lambda-CSE hazard: no common-
+    # subexpression elimination inside lambda bodies, so the O(dims)
+    # fold re-ran per element, and every downstream re-reference
+    # (with_norm's filter, the cosine dot) multiplied the O(dims^2)
+    # again — measured 30 s vs 1 s on the sf0.1 rag_chunk_topk
+    # composition.
     return (counts.groupBy(id_col)
-            .agg(m.alias("_m"))
+            .agg(m.alias("_m"),
+                 F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double"))
+                 .alias("_n"))
             .select(
                 F.col(id_col),
                 F.expr(
                     f"transform(sequence(0, {dims - 1}), "
-                    "d -> cast(coalesce(element_at(_m, d), 0) as double))")
-                .alias("_raw"))
-            .select(
-                F.col(id_col),
-                F.expr(
-                    "transform(_raw, x -> round(x / sqrt(aggregate(_raw, "
-                    "cast(0.0 as double), (acc, v) -> acc + v * v)), 6))")
+                    "d -> round(cast(coalesce(element_at(_m, d), 0) "
+                    "as double) / _n, 6))")
                 .alias("embedding")))
 
 

@@ -494,3 +494,41 @@ def test_dedup_job_cli_semdedup(spark, tmp_path):
                      "--cells", "2", "--cosine-threshold", "0.95"]) == 0
     kept = sorted(r.vec_id for r in read_table(spark, out).collect())
     assert kept == [0, 2]
+
+
+def test_index_job_cli(spark, tmp_path):
+    """The retrieval-index CLI: chunks, embeddings, SQ8 codes, and IVF
+    cell assignments all line up row-for-row, and a query through the
+    stored index retrieves the shared-vocabulary chunk first."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    from index_job import main as job_main
+
+    from pdf_parser_spark.corpus import similarity as S
+    from pdf_parser_spark.io import read_table, write_table
+
+    rows = [
+        (0, "alpha beta gamma delta " * 12),
+        (1, "alpha beta gamma delta epsilon zeta " * 10),
+        (2, "uno dos tres quatro cinco " * 12),
+    ]
+    src = str(tmp_path / "docs_in")
+    write_table(spark.createDataFrame(rows, "doc_id long, text string"), src)
+    root = str(tmp_path / "index")
+    assert job_main(["--input", src, "--output", root,
+                     "--size", "24", "--overlap", "8",
+                     "--dims", "32", "--cells", "2"]) == 0
+
+    chunks = read_table(spark, f"{root}/chunks")
+    emb = read_table(spark, f"{root}/embeddings")
+    codes = read_table(spark, f"{root}/codes")
+    cells = read_table(spark, f"{root}/cells")
+    n = chunks.count()
+    assert n == emb.count() == codes.count() == cells.count() > 3
+    assert set(r.centroid_id for r in cells.collect()) <= {0, 1}
+    # query the stored index: doc 0 chunk 0 must retrieve doc 0/1
+    # chunks (shared vocabulary) ahead of the disjoint doc 2
+    top = [r.chunk_id for r in S.sq8_topk(
+        emb, query_id=0, k=2, id_col="chunk_id").collect()]
+    assert top and all(c // 100000 in (0, 1) for c in top)

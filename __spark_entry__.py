@@ -985,6 +985,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = q_clusters
 
+    def q_leakage_split(spark, sf_dir):
+        return _longify(SC.leakage_safe_split(
+            _tbl(spark, sf_dir, "documents"), 0.1, 0.1,
+            threshold=JACCARD_THRESHOLD))
+
+    q["leakage_safe_split"] = q_leakage_split
+
     def q_near_dedup(spark, sf_dir):
         docs = _tbl(spark, sf_dir, "documents")
         return _longify(
@@ -2602,6 +2609,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.source, d.n_chars
             FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        # family = near-dup component min-id (threshold-filtered Jaccard
+        # pairs, same chain as near_dedup_keep), singletons their own;
+        # split bands = split_assign's md5 rule applied to the FAMILY,
+        # so every member of a family must carry the same label.
+        "leakage_safe_split": f"""
+            WITH RECURSIVE {_SHINGLE_CTES},
+            {_MINHASH_CTES},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT p.id_a, p.id_b, count(*) AS i
+                FROM mh_pairs p
+                JOIN sh a ON a.doc_id = p.id_a
+                JOIN sh b ON b.doc_id = p.id_b AND b.sh = a.sh
+                GROUP BY 1, 2),
+            jac AS (
+                SELECT p.id_a, p.id_b
+                FROM mh_pairs p
+                LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b
+                JOIN sizes sa ON sa.doc_id = p.id_a
+                JOIN sizes sb ON sb.doc_id = p.id_b
+                WHERE round(coalesce(i, 0)::DOUBLE
+                            / (sa.sz + sb.sz - coalesce(i, 0)), 4)
+                      >= {JACCARD_THRESHOLD}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM jac
+                UNION
+                SELECT id_b, id_a FROM jac),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            fam AS (
+                SELECT d.doc_id,
+                       coalesce((SELECT least(r.src, min(r.dst))
+                                 FROM reach r WHERE r.src = d.doc_id
+                                 GROUP BY r.src),
+                                d.doc_id) AS family
+                FROM documents d)
+            SELECT doc_id, family,
+                   CASE WHEN ('0x' || substr(md5(family || ':split'), 1, 8))
+                                 ::UBIGINT < {int(0.1 * 2 ** 32)}
+                        THEN 'val'
+                        WHEN ('0x' || substr(md5(family || ':split'), 1, 8))
+                                 ::UBIGINT < {int(0.2 * 2 ** 32)}
+                        THEN 'test'
+                        ELSE 'train' END AS split
+            FROM fam
         """,
         "token_df_stats": f"""
             WITH toks AS (

@@ -111,6 +111,8 @@ def main() -> None:
             FN.retention_cohorts(events)),
         "split_assign": lambda: force_count(
             SC.split_assign(docs, 0.1, 0.1)),
+        "leakage_safe_split": lambda: force_count(
+            SC.leakage_safe_split(docs, 0.1, 0.1, threshold=0.3)),
         "conv_stats": lambda: force_count(CS.conv_stats(transcripts)),
         "conv_dup_groups": lambda: force_count(
             CS.conv_exact_dup_groups(transcripts)),

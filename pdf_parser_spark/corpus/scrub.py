@@ -109,6 +109,44 @@ def stratified_sample(df: DataFrame, fractions: dict,
     return df.filter(sample_key(key_col, salt) < thr)
 
 
+def leakage_safe_split(df: DataFrame, val_frac: float = 0.1,
+                       test_frac: float = 0.1,
+                       pairs: DataFrame | None = None,
+                       threshold: float = 0.5,
+                       key_col: str = "doc_id", text_col: str = "text",
+                       salt: str = "split") -> DataFrame:
+    """Train/val/test assignment by duplicate FAMILY, not by document —
+    the leakage-safe split every pretraining eval depends on: under
+    `split_assign`'s per-document hash, a near-duplicate of a test
+    document lands in train with probability ~(1 - test_frac) and the
+    eval silently measures memorization (Lee et al. 2021 measured
+    exactly this). Here connected near-dup components (`dup_clusters`
+    over `near_dedup_pairs`, or caller-supplied ``pairs``) are banded
+    as a UNIT: the split key is the family id (component min-id;
+    singletons are their own family), so every member of a family gets
+    the same label by construction.
+
+    Scale shape: the pair/cluster stages are the bucketed near-dedup
+    pipeline (no all-pairs anywhere); the family attach is one left
+    join against the O(duplicate docs) cluster frame (AQE-sized, same
+    class as `keep_from_pairs`' anti-join); the banding itself is the
+    zero-shuffle md5 rule of `split_assign`, applied to the family
+    column. Emits (key, family, split)."""
+    from pdf_parser_spark.corpus.dedup import dup_clusters, near_dedup_pairs
+
+    if pairs is None:
+        pairs = near_dedup_pairs(df, threshold=threshold,
+                                 id_col=key_col, text_col=text_col)
+    clusters = dup_clusters(pairs).select(
+        F.col("doc_id").alias(key_col), F.col("cluster_id"))
+    fam = (df.select(key_col)
+           .join(clusters, key_col, "left")
+           .select(F.col(key_col),
+                   F.coalesce("cluster_id", key_col).alias("family")))
+    return split_assign(fam, val_frac, test_frac, key_col="family",
+                        salt=salt)
+
+
 def mixture_sample(df: DataFrame, shares: dict, budget_frac: float,
                    strata_col: str = "lang", key_col: str = "doc_id",
                    text_col: str = "text",

@@ -149,3 +149,32 @@ def test_mixture_sample_budget_rule(spark):
         df.repartition(7), {"a": 0.5, "b": 0.25},
         budget_frac=0.5).collect()}
     assert out2 == set(out)
+
+
+def test_leakage_safe_split_families_share_labels(spark):
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(0, text_a), (1, text_a),                     # exact family
+            (2, text_a + " tail"),                        # near-dup of 0/1
+            (3, "completely different words about spark engines today"),
+            (4, "another unrelated document with its own vocabulary set")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.family, r.split)
+           for r in SC.leakage_safe_split(df, 0.2, 0.2,
+                                          threshold=0.3).collect()}
+    assert len(out) == 5
+    # the whole near-dup family carries ONE family id and ONE label
+    assert out[0] == out[1] == out[2]
+    assert out[0][0] == 0
+    # singletons are their own family
+    assert out[3][0] == 3 and out[4][0] == 4
+
+    def band(family):
+        h = int(hashlib.md5(f"{family}:split".encode()).hexdigest()[:8], 16)
+        if h < int(0.2 * 2 ** 32):
+            return "val"
+        if h < int(0.4 * 2 ** 32):
+            return "test"
+        return "train"
+
+    for doc_id, (family, split) in out.items():
+        assert split == band(family), doc_id

@@ -1155,6 +1155,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_pq_adc_topk"] = q_pq_adc_topk
 
+    def q_ivf_sq8_topk(spark, sf_dir):
+        return _longify(S.ivf_sq8_topk(
+            _tbl(spark, sf_dir, "embeddings"), k=10, n_probe=1))
+
+    q["ann_ivf_sq8_topk"] = q_ivf_sq8_topk
+
     def q_ivf_pq_topk(spark, sf_dir):
         embs = _tbl(spark, sf_dir, "embeddings")
         return _longify(S.ivf_pq_topk(
@@ -2821,6 +2827,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT vec_id, centroid_id::BIGINT AS centroid_id
             FROM best WHERE rn = 1
+        """,
+        # IVF probe-1 restriction, then the SQ8 asymmetric score over
+        # the cell's codes (same floor(x+0.5) / fold-dot contracts as
+        # the full-scan sq8 gates)
+        "ann_ivf_sq8_topk": f"""
+            WITH {_VEC_CTES},
+            cents AS (
+                SELECT vec_id AS centroid_id, e AS cvec, norm AS cnorm
+                FROM nrm ORDER BY vec_id LIMIT 16),
+            scored AS (
+                SELECT n.vec_id, c.centroid_id,
+                       round(list_inner_product(n.e, c.cvec)
+                             / (n.norm * c.cnorm), 6) AS cscore
+                FROM nrm n, cents c),
+            best AS (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cscore DESC,
+                                                   centroid_id ASC) AS rn
+                FROM scored),
+            assign AS (SELECT vec_id, centroid_id FROM best WHERE rn = 1),
+            qc AS (SELECT centroid_id AS qcent FROM assign
+                   WHERE vec_id = 0),
+            cand AS (
+                SELECT n.vec_id, n.e, n.norm
+                FROM nrm n JOIN assign a ON n.vec_id = a.vec_id, qc
+                WHERE a.centroid_id = qc.qcent),
+            ccodes AS (
+                SELECT vec_id,
+                       [floor(x / norm * 127.0 + 0.5)::DOUBLE FOR x IN e]
+                           AS cd
+                FROM cand),
+            q AS (SELECT [x / norm FOR x IN e] AS qv
+                  FROM cand WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_inner_product(cd, qv) / 127.0, 6) AS score
+            FROM ccodes, q
+            WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id ASC
+            LIMIT 10
         """,
         "ann_ivf_topk": f"""
             WITH {_VEC_CTES},

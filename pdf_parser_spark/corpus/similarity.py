@@ -484,6 +484,22 @@ def ivf_topk(df: DataFrame, query_id: int = 0, k: int = 10,
     return brute_topk(cand, query_id=query_id, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_sq8_topk(df: DataFrame, query_id: int = 0, k: int = 10,
+                 n_centroids: int = 16, n_probe: int = 1,
+                 codebook: list | None = None, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF + SQ8: cell restriction, then int8 asymmetric scoring within
+    the probed cells — the third point of the quantization×IVF matrix
+    (exact rescore = `ivf_topk`, 8-byte PQ codes = `ivf_pq_topk`, this
+    is the 1-byte/dim middle): ~n_probe·N/C candidates touched, each at
+    a quarter of the float32 bytes, with SQ8's near-exact ranking
+    (recall table in BASELINE.md). ``codebook`` as in `ivf_assign`."""
+    cand = _ivf_probe_candidates(df, query_id, n_centroids, n_probe,
+                                 id_col, vec_col, codebook)
+    return sq8_topk(cand, query_id=query_id, k=k, id_col=id_col,
+                    vec_col=vec_col)
+
+
 def ivf_pq_topk(df: DataFrame, query_id: int = 0, k: int = 10,
                 n_centroids: int = 16, n_probe: int = 2,
                 codebook: list | None = None, pq_cb: list | None = None,

@@ -795,3 +795,20 @@ def test_kmeans_refine_lloyd_semantics(spark):
     # a second iteration from an already-converged state is a fixpoint
     cents2, counts2 = S.kmeans_refine(df, seed, iters=2)
     assert counts2 == counts and cents2 == cents
+
+
+def test_ivf_sq8_topk_matches_sq8_on_probed_cell(spark):
+    """Probe-1 IVF+SQ8 == SQ8 over exactly the query's cell members."""
+    rows = VECS + [(5, [0.95, 0.05, 0.0, 0.0]),   # joins the query's cell
+                   (6, [0.99, -0.02, 0.0, 0.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assign = {r.vec_id: r.centroid_id
+              for r in S.ivf_assign(vecs, n_centroids=2).collect()}
+    cell_ids = {v for v, c in assign.items() if c == assign[0]}
+    sub = vecs.filter(F.col("vec_id").isin(list(cell_ids)))
+    want = [(r.vec_id, r.score)
+            for r in S.sq8_topk(sub, query_id=0, k=3).collect()]
+    got = [(r.vec_id, r.score)
+           for r in S.ivf_sq8_topk(vecs, query_id=0, k=3,
+                                   n_centroids=2, n_probe=1).collect()]
+    assert got == want and len(got) >= 1

@@ -181,3 +181,29 @@ def read_table(spark: SparkSession, target: str) -> DataFrame:
 
 def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
     get_table_io().write(df, target, mode=mode)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 32, sort_cols: tuple = ()) -> None:
+    """Write a BUCKETED table: rows hash-partitioned into ``n_buckets``
+    files per partition by ``key`` at WRITE time, with the layout
+    recorded in the catalog — the storage-side half of the shuffle
+    story. A join or aggregation keyed on ``key`` between bucketed
+    tables needs NO Exchange at read time (plan-asserted in PLANS.md
+    and tests): the shuffle was paid once, at ingest, instead of once
+    per downstream query. At 100 TB this is the difference between
+    re-shuffling the transcript table for every conv_id-grain job
+    (reassembly, conv_stats, sessionize, context windows) and reading
+    co-located buckets; the Iceberg-side equivalent is a
+    `bucket(N, key)` partition transform on the same seam.
+
+    ``sort_cols`` additionally sorts within each bucket file
+    (e.g. turn_idx), letting the window/merge stages start from sorted
+    runs. Bucketed writes go through ``saveAsTable`` (the layout must
+    live in the catalog — a bare parquet path cannot carry it; this is
+    Spark's own constraint, not this repo's)."""
+    w = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(n_buckets, key)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -532,3 +532,32 @@ def test_index_job_cli(spark, tmp_path):
     top = [r.chunk_id for r in S.sq8_topk(
         emb, query_id=0, k=2, id_col="chunk_id").collect()]
     assert top and all(c // 100000 in (0, 1) for c in top)
+
+
+def test_write_bucketed_eliminates_shuffles(spark, transcripts_sf0001):
+    """Bucketed-table layout: conv_id-keyed aggregation and self-join
+    over the bucketed table run with ZERO shuffle exchanges — the
+    shuffle is paid once at write time (the 100 TB ingest-layout
+    story; Iceberg's bucket(N, key) transform on the same seam)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.io import write_bucketed
+
+    tr = spark.read.parquet(transcripts_sf0001)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(tr, "t_bucket_test", "conv_id",
+                       n_buckets=8, sort_cols=("conv_id", "turn_idx"))
+        b = spark.table("t_bucket_test")
+        agg = b.groupBy("conv_id").agg(F.count("*").alias("n"))
+        p1 = agg._jdf.queryExecution().executedPlan().toString()
+        assert p1.count("Exchange") == 0
+        assert agg.count() == tr.select("conv_id").distinct().count()
+        j = b.alias("a").join(b.alias("c"), "conv_id") \
+            .groupBy("conv_id").count()
+        p2 = j._jdf.queryExecution().executedPlan().toString()
+        assert p2.count("Exchange hashpartitioning") == 0
+        assert "SortMergeJoin" in p2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_test")

@@ -77,6 +77,19 @@ def main(argv=None) -> int:
         write_table(chunks, f"{root}/chunks")
         chunks = read_table(spark, f"{root}/chunks")
         n_chunks = chunks.count()
+        # the chunk_id scheme packs chunk_idx into the low decimal
+        # digits; it is injective only for non-negative doc ids and
+        # < 100000 chunks per doc (~9.6M tokens at the defaults) —
+        # fail loudly instead of silently aliasing into a neighbor's
+        # key range
+        bad = chunks.filter((F.col("chunk_idx") >= 100000)
+                            | (F.col(args.id_col) < 0)).count()
+        if bad:
+            raise SystemExit(
+                f"index-job: {bad} chunks overflow the "
+                f"doc_id*100000+chunk_idx key scheme (doc_id < 0 or "
+                f">=100000 chunks in one doc); re-chunk with a larger "
+                f"--size or remap ids first")
         emb = TS.hashed_bow_embeddings(
             chunks, dims=args.dims, id_col="chunk_id",
             text_col="chunk_text")
@@ -86,6 +99,11 @@ def main(argv=None) -> int:
     write_table(emb, f"{root}/embeddings")
     emb = read_table(spark, f"{root}/embeddings")
     n_emb = emb.count()
+    # codes/cells index only the VALID vectors: with_norm drops
+    # null/empty/zero-norm embeddings (failed embedding jobs commonly
+    # emit them), so the consistency check is against that count, and
+    # the skipped rows are reported rather than crashing post-hoc
+    n_valid = S.with_norm(emb).count()
 
     codes = S.sq8_encode(emb, id_col="chunk_id")
     write_table(codes, f"{root}/codes")
@@ -99,9 +117,11 @@ def main(argv=None) -> int:
     write_table(cells, f"{root}/cells")
     n_cells = read_table(spark, f"{root}/cells").count()
     n_codes = read_table(spark, f"{root}/codes").count()
-    assert n_codes == n_emb and n_cells == n_emb, (n_codes, n_cells, n_emb)
+    assert n_codes == n_valid and n_cells == n_valid, \
+        (n_codes, n_cells, n_valid)
 
     print(f"index-job done: chunks={n_chunks} embeddings={n_emb} "
+          f"valid={n_valid} skipped_degenerate={n_emb - n_valid} "
           f"sq8_codes={n_codes} ivf_cells={n_cells} cells_k={args.cells}")
     return 0
 

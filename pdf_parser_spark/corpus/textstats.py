@@ -544,6 +544,10 @@ def curriculum_bins(df: DataFrame, n_bins: int = 4,
     final reducer — one group, corpus-count doubles; at true 100 TB
     swap `approx_percentile`'s mergeable t-digest (the
     `value_percentiles` tradeoff, documented there)."""
+    if n_bins < 2:
+        # n_bins=1 would make percentile(array()) a NULL q and every
+        # bin silently NULL; a one-bin curriculum is also meaningless
+        raise ValueError(f"need n_bins >= 2, got {n_bins}")
     ps = ", ".join(str(i / n_bins) for i in range(1, n_bins))
     s = unigram_surprisal(df, vocab_size, text_col).select(
         "doc_id", "n_tokens", "mean_bits")

@@ -226,15 +226,23 @@ def stream_merge_changes(changes: DataFrame, base: DataFrame,
     idempotent, which together with the checkpoint gives exactly-once
     state.
 
-    State storage is a versioned parquet directory per epoch with an
-    atomically renamed pointer file (`_LATEST`): plain files have no
-    transactional row-level update, so each batch rewrites the state —
-    honest cost: O(|state|) per batch. At cluster scale this operator
-    is exactly what Iceberg MERGE INTO / row-level deletes replace
-    (`io.py`'s catalog seam); the per-key window logic stays identical,
-    only the sink changes. Read the live snapshot with
+    State storage is a versioned parquet directory with an atomically
+    renamed pointer file (`_LATEST`): plain files have no transactional
+    row-level update, so each batch rewrites the state — honest cost:
+    O(|state|) per batch. Versions advance from the POINTER, never from
+    the stream's epoch_id: epoch ids restart at 0 under a fresh
+    checkpoint, so an epoch-keyed layout would overwrite the live
+    directory it is reading (a crash mid-overwrite then loses the only
+    copy). Pointer-derived versions always write to a fresh directory;
+    the pointer swap is the commit point, and superseded versions other
+    than the newly committed one and its predecessor (kept as the
+    crash-recovery fallback) are pruned after the swap. At cluster
+    scale this operator is exactly what Iceberg MERGE INTO / row-level
+    deletes replace (`io.py`'s catalog seam); the per-key window logic
+    stays identical, only the sink changes. Read the live snapshot with
     `merged_snapshot`."""
     import os
+    import shutil
 
     from pdf_parser_spark.operators.funnel import _epoch_us
 
@@ -268,12 +276,21 @@ def stream_merge_changes(changes: DataFrame, base: DataFrame,
         nxt = (state.unionByName(ch)
                .withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") == 1).drop("_rn"))
-        out = os.path.join(state_dir, f"v{epoch_id + 1}")
-        nxt.write.mode("overwrite").parquet(out)
+        cur_n = int(cur[1:])
+        nxt_name = f"v{cur_n + 1}"
+        nxt.write.mode("overwrite").parquet(
+            os.path.join(state_dir, nxt_name))
         tmp = ptr + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
-            f.write(f"v{epoch_id + 1}")
+            f.write(nxt_name)
         os.replace(tmp, ptr)
+        # prune superseded versions, keeping the committed one and its
+        # predecessor (readers that grabbed `cur` before the swap)
+        for name in os.listdir(state_dir):
+            if (name.startswith("v") and name[1:].isdigit()
+                    and int(name[1:]) < cur_n):
+                shutil.rmtree(os.path.join(state_dir, name),
+                              ignore_errors=True)
 
     writer = (changes.writeStream
               .foreachBatch(_merge_batch)

@@ -526,3 +526,10 @@ def test_stream_merge_tombstone_out_of_order(spark, tmp_path):
     assert run(2, [(1, 11.0, t(0), "u", t(100))]) == {2: 20.0}
     # batch 3: genuinely newer upsert at ts=300 -> key resurrects
     assert run(3, [(1, 12.0, t(0), "u", t(300))]) == {1: 12.0, 2: 20.0}
+    # versions derive from the POINTER (fresh checkpoints restart
+    # epoch ids at 0 — an epoch-keyed layout would overwrite the live
+    # dir), and superseded versions are pruned to committed+predecessor
+    import os
+
+    vdirs = sorted(n for n in os.listdir(state) if n.startswith("v"))
+    assert vdirs == ["v2", "v3"], vdirs

@@ -860,6 +860,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conv_context_windows"] = q_conv_windows
 
+    def q_conv_windows_salted(spark, sf_dir):
+        # chunk=16 forces real multi-chunk salting on the fixture's
+        # conversations; the oracle is conv_context_windows' — the
+        # salted plan must produce IDENTICAL output
+        return _longify(CS.conv_context_windows_salted(
+            _transcripts(spark, sf_dir), n_turns=6, stride=3, chunk=16))
+
+    q["conv_windows_salted"] = q_conv_windows_salted
+
     def q_conv_fingerprints(spark, sf_dir):
         return _longify(CS.conv_fingerprint(_transcripts(spark, sf_dir)))
 
@@ -2169,6 +2178,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY conv_id, seed
         """,
         "conv_context_windows": f"""
+            WITH b AS (
+                SELECT conv_id, turn_idx,
+                       coalesce(role, '') || ': ' || coalesce(text, '')
+                           AS line
+                FROM read_parquet(
+                    '{transcripts_path(ORACLE_SF)}/*.parquet')),
+            s AS (
+                SELECT conv_id, turn_idx,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx) AS rn,
+                       count(*) OVER (PARTITION BY conv_id) AS total,
+                       list(line) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx
+                                        ROWS BETWEEN CURRENT ROW
+                                        AND 5 FOLLOWING) AS win
+                FROM b)
+            SELECT conv_id, ((rn - 1) // 3)::BIGINT AS win_idx,
+                   turn_idx AS first_turn,
+                   len(win)::BIGINT AS n_in_win,
+                   array_to_string(win, chr(10)) AS win_text
+            FROM s
+            WHERE (rn - 1) % 3 = 0
+              AND (rn - 1) // 3 < CASE WHEN total <= 6 THEN 1
+                                       ELSE (total - 6 + 2) // 3 + 1 END
+        """,
+"conv_windows_salted": f"""
             WITH b AS (
                 SELECT conv_id, turn_idx,
                        coalesce(role, '') || ': ' || coalesce(text, '')

@@ -120,6 +120,9 @@ def main() -> None:
             CS.session_stats(transcripts, gap_s=3600)),
         "conv_context_windows": lambda: force_count(
             CS.conv_context_windows(transcripts, n_turns=6, stride=3)),
+        "conv_windows_salted": lambda: force_count(
+            CS.conv_context_windows_salted(
+                transcripts, n_turns=6, stride=3)),
         "decontaminate": lambda: force_count(DC.decontaminate(
             docs, docs.filter(F.col("doc_id") % 37 == 0), n=13)),
         "contamination_spans": lambda: force_count(DC.contamination_spans(

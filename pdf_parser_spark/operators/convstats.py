@@ -194,3 +194,71 @@ def conv_context_windows(tr: DataFrame, n_turns: int = 4,
                     F.col("turn_idx").alias("first_turn"),
                     F.size("_win").cast("long").alias("n_in_win"),
                     F.array_join("_win", "\n").alias("win_text")))
+
+
+def conv_context_windows_salted(tr: DataFrame, n_turns: int = 4,
+                                stride: int = 2,
+                                chunk: int = 4096) -> DataFrame:
+    """`conv_context_windows` with the mega-conversation skew handled
+    EXPLICITLY (the module docstring defers skew to the extraction
+    phase; this is the window-op version of that salting): each
+    conversation splits into salt chunks of ``chunk`` turns, each turn
+    additionally REPLICATES into the previous chunk when it sits in
+    that chunk's ``n_turns - 1`` lookahead margin, and the forward
+    window runs per (conv, salt-chunk) — so no partition ever holds
+    more than ``chunk + n_turns - 1`` rows, whatever the conversation
+    size. Replicated rows feed windows but never emit them, and window
+    starts/counts derive from ``turn_idx`` arithmetic plus one tiny
+    per-conv total (partial-agg, joined back AQE-sized), so the output
+    is IDENTICAL to the unsalted form — the gate value-hashes both
+    against the same oracle.
+
+    Contract: requires DENSE turn indices (0..T-1 per conversation,
+    the transcript-table invariant) — salting keys off ``turn_idx``
+    directly, which is exactly what removes the need for a global
+    per-conversation row_number. Use the unsalted form when indices
+    may be sparse. Cost vs unsalted: one extra tiny aggregate + a
+    ≤ (n_turns-1)/chunk row-replication factor, bought once; the win
+    is that a 10^7-turn conversation becomes ~2,400 bounded partitions
+    instead of one straggler."""
+    if not 1 <= stride <= n_turns:
+        raise ValueError(
+            f"need 1 <= stride <= n_turns, got {stride=} {n_turns=}")
+    if chunk < n_turns:
+        raise ValueError(
+            f"need chunk >= n_turns, got {chunk=} {n_turns=}")
+    totals = tr.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("_total"))
+    line = F.concat(F.coalesce(F.col("role"), F.lit("")), F.lit(": "),
+                    F.coalesce(F.col("text"), F.lit("")))
+    g = F.floor(F.col("turn_idx") / chunk)
+    # native chunk always; the lookahead margin also mirrors into the
+    # previous chunk (emit-flag 0)
+    base = (tr.select("conv_id", "turn_idx", line.alias("_line"))
+            .select("conv_id", "turn_idx", "_line",
+                    F.explode(F.when(
+                        (g > 0) & (F.col("turn_idx") % chunk
+                                   <= n_turns - 2),
+                        F.array(F.struct(g.alias("g"),
+                                         F.lit(1).alias("emit")),
+                                F.struct((g - 1).alias("g"),
+                                         F.lit(0).alias("emit"))))
+                        .otherwise(F.array(F.struct(
+                            g.alias("g"), F.lit(1).alias("emit")))))
+                    .alias("_s")))
+    w_fwd = (Window.partitionBy("conv_id", "_s.g").orderBy("turn_idx")
+             .rowsBetween(Window.currentRow, n_turns - 1))
+    start = F.col("turn_idx")
+    n_wins = F.when(F.col("_total") <= n_turns, F.lit(1)).otherwise(
+        F.floor((F.col("_total") - n_turns + stride - 1) / stride) + 1)
+    return (base
+            .withColumn("_win", F.collect_list("_line").over(w_fwd))
+            .filter(F.col("_s.emit") == 1)
+            .join(totals, "conv_id")
+            .filter((start % stride == 0)
+                    & (F.floor(start / stride) < n_wins))
+            .select("conv_id",
+                    F.floor(start / stride).cast("long").alias("win_idx"),
+                    F.col("turn_idx").alias("first_turn"),
+                    F.size("_win").cast("long").alias("n_in_win"),
+                    F.array_join("_win", "\n").alias("win_text")))

@@ -108,3 +108,34 @@ def test_conv_context_windows_rules(spark):
     assert texts[("e", 0)] == ": "          # null role/text degrade to ''
     with _pt.raises(ValueError):
         CS.conv_context_windows(df, n_turns=4, stride=5)
+
+
+def test_conv_context_windows_salted_equals_unsalted(spark):
+    from pdf_parser_spark.operators import convstats as CS
+
+    def conv(cid, n):
+        return [(cid, i, "user" if i % 2 == 0 else "assistant",
+                 f"t{i}", None, None) for i in range(n)]
+
+    # 37-turn conversation with chunk=8: five salt chunks, windows
+    # crossing every boundary; plus small/edge conversations
+    rows = conv("big", 37) + conv("a", 3) + conv("b", 8) + conv("d", 1)
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    for n_turns, stride, chunk in [(6, 3, 8), (4, 2, 4), (6, 6, 16)]:
+        plain = {(r.conv_id, r.win_idx): (r.first_turn, r.n_in_win,
+                                          r.win_text)
+                 for r in CS.conv_context_windows(
+                     df, n_turns=n_turns, stride=stride).collect()}
+        salted = {(r.conv_id, r.win_idx): (r.first_turn, r.n_in_win,
+                                           r.win_text)
+                  for r in CS.conv_context_windows_salted(
+                      df, n_turns=n_turns, stride=stride,
+                      chunk=chunk).collect()}
+        assert salted == plain, (n_turns, stride, chunk)
+    # bounded partitions: no (conv, salt-chunk) group exceeds
+    # chunk + n_turns - 1 rows
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        CS.conv_context_windows_salted(df, n_turns=8, stride=2, chunk=4)

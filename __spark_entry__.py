@@ -1205,6 +1205,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hyper_rollup"] = q_hyper_rollup
 
+    def q_local_supplier_volume(spark, sf_dir):
+        return _longify(R.local_supplier_volume(
+            _tbl(spark, sf_dir, "region"), _tbl(spark, sf_dir, "nation"),
+            _tbl(spark, sf_dir, "customer"),
+            _tbl(spark, sf_dir, "supplier"),
+            _tbl(spark, sf_dir, "orders"),
+            _tbl(spark, sf_dir, "lineitem")))
+
+    q["local_supplier_volume"] = q_local_supplier_volume
+
     def q_sales_cube(spark, sf_dir):
         return _longify(R.sales_cube(_tbl(spark, sf_dir, "lineitem")))
 
@@ -1948,6 +1958,37 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN thr USING (lang)
             WHERE ('0x' || substr(md5(c.doc_id || ':mix'), 1, 8))::UBIGINT
                   < thr.thr
+        """,
+        # Q5: same integer-cents² revenue policy as the Spark side
+        "local_supplier_volume": """
+            WITH nat AS (
+                SELECT n_nationkey, n_name
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'),
+            cust AS (
+                SELECT c_custkey, c_nationkey, n_name
+                FROM customer JOIN nat ON c_nationkey = n_nationkey),
+            supp AS (
+                SELECT s_suppkey, s_nationkey
+                FROM supplier JOIN nat ON s_nationkey = n_nationkey),
+            ords AS (
+                SELECT o_orderkey, o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'),
+            items AS (
+                SELECT l_orderkey, s_nationkey,
+                       round(l_extendedprice * 100)::BIGINT
+                       * (100 - round(l_discount * 100)::BIGINT)
+                           AS rev_c2
+                FROM lineitem JOIN supp ON l_suppkey = s_suppkey)
+            SELECT n_name,
+                   round(sum(rev_c2) / 10000, 2) AS revenue
+            FROM ords
+            JOIN cust ON o_custkey = c_custkey
+            JOIN items ON o_orderkey = l_orderkey
+                      AND c_nationkey = s_nationkey
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
         """,
         "pricing_summary": """
             WITH l AS (

@@ -107,6 +107,11 @@ def main() -> None:
             TS.dup_passage_stats(docs, win=20)),
         "funnel_stages": lambda: force_count(FN.funnel_stages(events)),
         "pricing_summary": lambda: force_count(R.pricing_summary(lineitem)),
+        "local_supplier_volume": lambda: force_count(
+            R.local_supplier_volume(
+                *[spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+                  for t in ("region", "nation", "customer", "supplier",
+                            "orders", "lineitem")])),
         "retention_cohorts": lambda: force_count(
             FN.retention_cohorts(events)),
         "split_assign": lambda: force_count(

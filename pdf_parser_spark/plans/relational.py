@@ -107,6 +107,61 @@ def top_revenue_orders(customer: DataFrame, orders: DataFrame,
                     "o_orderpriority"))
 
 
+def local_supplier_volume(region: DataFrame, nation: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          orders: DataFrame, lineitem: DataFrame,
+                          region_name: str = "ASIA",
+                          date: str = "1996-01-01") -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue per nation from orders
+    where the CUSTOMER and the line's SUPPLIER sit in the same nation
+    of one region, for a one-year order window — the classic 6-way
+    join that exercises join ORDERING, which Catalyst gets right here
+    without hand-scheduling precisely because the plan is declared
+    relationally.
+
+    Join shape at scale (plan-asserted in PLANS.md): every dimension
+    chain is a BROADCAST — region→nation→customer collapses to a
+    customer-key set that broadcasts into orders; supplier⋈nation
+    broadcasts into lineitem — so the ONLY wide exchange is the
+    orders⋈lineitem equi-join on orderkey (uniform key, AQE-planned).
+    Date predicates push to the orders scan. Revenue is exact integer
+    cents² (the module's money policy), divided back once at the end;
+    the same-nation predicate is applied as the Q5 join condition
+    c_nationkey = s_nationkey, and output rows order by revenue desc
+    with the nation-name tiebreak so the result is total-ordered."""
+    d0 = F.lit(date).cast("timestamp")
+    d1 = F.lit(date).cast("timestamp") + F.expr("interval 1 year")
+    nat = (nation.join(F.broadcast(
+        region.filter(F.col("r_name") == region_name)),
+        nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name"))
+    cust = (customer.join(F.broadcast(nat),
+                          customer.c_nationkey == nat.n_nationkey)
+            .select("c_custkey", F.col("n_nationkey").alias("c_nat"),
+                    "n_name"))
+    ords = (orders
+            .filter((F.col("o_orderdate") >= d0)
+                    & (F.col("o_orderdate") < d1))
+            .select("o_orderkey", "o_custkey"))
+    supp = (supplier.join(F.broadcast(nat.select("n_nationkey")),
+                          supplier.s_nationkey == nat.n_nationkey)
+            .select("s_suppkey", F.col("s_nationkey").alias("s_nat")))
+    items = (lineitem
+             .join(F.broadcast(supp),
+                   lineitem.l_suppkey == supp.s_suppkey)
+             .select("l_orderkey", "s_nat",
+                     (_cents("l_extendedprice")
+                      * (100 - F.round(F.col("l_discount") * 100)
+                         .cast("long"))).alias("rev_c2")))
+    return (ords.join(F.broadcast(cust),
+                      ords.o_custkey == cust.c_custkey)
+            .join(items, ords.o_orderkey == items.l_orderkey)
+            .filter(F.col("c_nat") == F.col("s_nat"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum("rev_c2") / 10000, 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("n_name").asc()))
+
+
 def sales_cube(lineitem: DataFrame) -> DataFrame:
     """Sales summary at all four granularities of (returnflag,
     linestatus) — per pair, per flag, per status, grand total — in ONE

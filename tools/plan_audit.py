@@ -608,6 +608,30 @@ def main() -> None:
               "kmeans_codebook already documents."),
     )
 
+    q5_tables = {t: spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+                 for t in ("region", "nation", "customer", "supplier",
+                           "orders", "lineitem")}
+    q5 = RA.local_supplier_volume(
+        q5_tables["region"], q5_tables["nation"], q5_tables["customer"],
+        q5_tables["supplier"], q5_tables["orders"], q5_tables["lineitem"])
+    q5_plan = formatted(q5)
+    assert len(re.findall(r"BroadcastHashJoin", q5_plan)) >= 4, \
+        "Q5: dimension chains must broadcast"
+    assert not re.search(r"CartesianProduct|BroadcastNestedLoopJoin",
+                         q5_plan), "Q5: non-equi join crept in"
+    assert re.search(r"PushedFilters: .*GreaterThanOrEqual\(o_orderdate",
+                     q5_plan), "Q5: date range not pushed to orders scan"
+    sections.append((
+        "TPC-H Q5 local supplier volume (6-way join ordering)",
+        ("Every dimension chain (region→nation→customer; supplier⋈"
+         "nation) is a BroadcastHashJoin (>=4 asserted), so the only "
+         "wide work is the orders⋈lineitem equi-join — Catalyst "
+         "derives the classic Q5 join order from the declarative "
+         "plan, no hand-scheduling. The one-year window rides the "
+         "orders scan as PushedFilters (asserted); revenue is exact "
+         "int64 cents-squared, divided once at the end."),
+        compact(q5_plan)))
+
     from pdf_parser_spark.io import write_bucketed
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

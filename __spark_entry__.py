@@ -1200,6 +1200,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["interval_join_events"] = q_interval_join
 
+    def q_rate_anomaly(spark, sf_dir):
+        return _longify(TP.rate_anomaly(_tbl(spark, sf_dir, "events")))
+
+    q["rate_anomaly"] = q_rate_anomaly
+
     def q_hyper_rollup(spark, sf_dir):
         return _longify(TP.hyper_rollup(_tbl(spark, sf_dir, "events")))
 
@@ -3215,6 +3220,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, t_us, win_start_us, win_end_us
             FROM pts JOIN win
               ON t_us >= win_start_us AND t_us < win_end_us
+        """,
+        # trailing moments are INTEGER sums; mean/var derive in the
+        # same pinned double-op order as the Spark side
+        "rate_anomaly": """
+            WITH counts AS (
+                SELECT event_type,
+                       floor(epoch_us(ts) / 3600000000.0)::BIGINT
+                           AS bucket,
+                       count(*)::BIGINT AS c
+                FROM events GROUP BY 1, 2),
+            stats AS (
+                SELECT event_type, bucket, c,
+                       count(*) OVER w AS n,
+                       sum(c) OVER w AS s,
+                       sum(c * c) OVER w AS q
+                FROM counts
+                WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, bucket, c,
+                   round(s / n, 4) AS trailing_mean,
+                   CASE WHEN (q - s * s / n) / (n - 1) > 0
+                        THEN round((c - s / n)
+                                   / sqrt((q - s * s / n) / (n - 1)), 4)
+                   END AS z
+            FROM stats WHERE n >= 12
         """,
         "hyper_rollup": """
             WITH e AS (

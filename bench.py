@@ -151,6 +151,7 @@ def main() -> None:
         "asof_join_latest": lambda: force_count(
             TP.asof_join_latest(events)),
         "hyper_rollup": lambda: force_count(TP.hyper_rollup(events)),
+        "rate_anomaly": lambda: force_count(TP.rate_anomaly(events)),
         "distinct_kmv": lambda: force_count(
             SK.distinct_kmv(events, "event_type", "user_id")),
         "dsir_weights": lambda: force_count(TS.dsir_weights(docs)),

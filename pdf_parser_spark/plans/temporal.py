@@ -196,3 +196,46 @@ def hyper_rollup(events: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("vc") / 100, 2).alias("sum_value"),
                  F.grouping_id().alias("gid")))
+
+
+def rate_anomaly(events: DataFrame, window: int = 24,
+                 min_hist: int = 12, type_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Event-rate anomaly scores: hourly counts per type, z-scored
+    against the trailing ``window`` OBSERVED buckets — the monitoring
+    rollup that sits on every ingest pipeline ("did the error rate
+    spike this hour"). Emits one row per (type, hour bucket) with at
+    least ``min_hist`` trailing buckets: the count, trailing mean, and
+    the 4dp z-score.
+
+    Engine-exact variance: the trailing moments are INTEGER sums
+    (sum c, sum c², n — order-independent, bit-identical anywhere),
+    and mean/variance derive from them in one pinned double-op order
+    (var = (sumsq - sum*sum/n) / (n-1)), so the z-score is portable
+    without the accepted-reassociation caveat the float aggregates
+    carry. Buckets with zero events are NOT materialized — the z is
+    over observed buckets (a dense-spine variant would sequence() the
+    calendar; at 100 TB the observed form is also the one whose state
+    is bounded by activity, not by time).
+
+    Scale: one partial-agg exchange to (type, bucket) counts —
+    cardinality = types × active hours, tiny — then one window per
+    type over that tiny frame. The raw events never hit a window."""
+    b = F.floor(_epoch_us(ts_col) / US_PER_HOUR).alias("bucket")
+    counts = (events.groupBy(F.col(type_col).alias("event_type"), b)
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = (Window.partitionBy("event_type").orderBy("bucket")
+         .rowsBetween(-window, -1))
+    stats = (counts
+             .withColumn("_n", F.count(F.lit(1)).over(w))
+             .withColumn("_s", F.sum("c").over(w))
+             .withColumn("_q", F.sum(F.col("c") * F.col("c")).over(w)))
+    mean = F.col("_s") / F.col("_n")
+    var = (F.col("_q") - F.col("_s") * F.col("_s") / F.col("_n")) \
+        / (F.col("_n") - 1)
+    return (stats.filter(F.col("_n") >= min_hist)
+            .select("event_type", "bucket", "c",
+                    F.round(mean, 4).alias("trailing_mean"),
+                    F.when(var > 0,
+                           F.round((F.col("c") - mean) / F.sqrt(var), 4))
+                    .alias("z")))

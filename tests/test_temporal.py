@@ -241,3 +241,42 @@ def test_stream_click_attribution_batch_semantics(spark):
             ev.filter("event_type = 'click'"),
             max_gap="10 minutes").collect())
     assert got == [(1, 2), (1, 3)]
+
+
+def test_rate_anomaly_zscore_math(spark):
+    import math
+
+    # one type, 14 hourly buckets: 12 quiet (count 2), one spike (20),
+    # plus enough history rows before the spike
+    rows = []
+    eid = 0
+    for h in range(13):
+        n = 20 if h == 12 else 2
+        for i in range(n):
+            rows.append(_ev(eid, 1, "error", h * 3_600_000_000 + i))
+            eid += 1
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {r.bucket: r for r in TP.rate_anomaly(
+        df, window=24, min_hist=12).collect()}
+    base_bucket = 1704067200 // 3600  # 2024-01-01 epoch hours
+    spike = out[base_bucket + 12]
+    assert spike.c == 20
+    # trailing 12 buckets all count 2: mean 2, var 0 -> z is NULL-safe?
+    # var==0 -> z None; perturb: recompute expectations directly
+    assert spike.trailing_mean == 2.0
+    assert spike.z is None  # zero-variance history: no finite z
+    # now add one noisy history bucket so variance > 0
+    rows += [(eid + i, 1, "error", _t(5 * 3_600_000_000 + 2_000_000 + i),
+              0.0) for i in range(2)]
+    df2 = spark.createDataFrame(rows, EV_SCHEMA)
+    out2 = {r.bucket: r for r in TP.rate_anomaly(
+        df2, window=24, min_hist=12).collect()}
+    spike2 = out2[base_bucket + 12]
+    hist = [2] * 12
+    hist[5] = 4
+    n = len(hist)
+    s, q = sum(hist), sum(v * v for v in hist)
+    mean = s / n
+    var = (q - s * s / n) / (n - 1)
+    want = round((20 - mean) / math.sqrt(var), 4)
+    assert spike2.z == want and spike2.z > 3

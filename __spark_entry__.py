@@ -3229,7 +3229,7 @@ def oracle_sql() -> dict[str, str]:
                        floor(epoch_us(ts) / 3600000000.0)::BIGINT
                            AS bucket,
                        count(*)::BIGINT AS c
-                FROM events GROUP BY 1, 2),
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
             stats AS (
                 SELECT event_type, bucket, c,
                        count(*) OVER w AS n,
@@ -3269,24 +3269,29 @@ def oracle_sql() -> dict[str, str]:
                    grouping(l_returnflag, l_linestatus)::BIGINT AS gid
             FROM l GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
+        # fused single-window form, mirroring the engine: no
+        # exact⋈sketch join (USING on a nullable group drops the NULL
+        # group — hostile-suite finding), and null KEYS are excluded
+        # per the count-distinct contract
         "distinct_kmv": f"""
             WITH pairs AS (
                 SELECT DISTINCT event_type,
                        ('0x' || substr(md5(user_id::VARCHAR || ':kmv'),
                                        1, 15))::UBIGINT AS h
-                FROM events),
-            exact AS (SELECT event_type, count(*)::BIGINT AS n_exact
-                      FROM pairs GROUP BY 1),
-            km AS (SELECT event_type, h, row_number()
-                       OVER (PARTITION BY event_type ORDER BY h) AS rn
-                   FROM pairs),
-            kk AS (SELECT event_type, count(*) AS nk, max(h) AS hk
-                   FROM km WHERE rn <= 64 GROUP BY 1)
-            SELECT e.event_type, e.n_exact,
-                   round(CASE WHEN kk.nk < 64 THEN e.n_exact::DOUBLE
-                              ELSE {float(63 * (1 << 60))!r} / kk.hk::DOUBLE
+                FROM events WHERE user_id IS NOT NULL),
+            km AS (SELECT event_type, h,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY h) AS rn,
+                          count(*) OVER (PARTITION BY event_type)
+                              AS n_exact
+                   FROM pairs)
+            SELECT event_type, n_exact::BIGINT AS n_exact,
+                   round(CASE WHEN n_exact < 64 THEN n_exact::DOUBLE
+                              ELSE {float(63 * (1 << 60))!r}
+                                   / max(h)::DOUBLE
                          END, 2) AS kmv_est
-            FROM exact e JOIN kk USING (event_type)
+            FROM km WHERE rn <= 64
+            GROUP BY event_type, n_exact
         """,
         "dsir_weights": f"""
             WITH toks AS (

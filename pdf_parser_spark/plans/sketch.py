@@ -62,9 +62,17 @@ def distinct_kmv(df: DataFrame, group_col: str, key_col: str,
     `grp` partitioning, so they share a single exchange (a two-branch
     exact/sketch formulation recomputed the distinct upstream twice and
     joined; measured 2x slower at sf1). The dedup itself is a partial
-    aggregate (map-side collapse of duplicate keys)."""
-    pairs = (df.select(F.col(group_col).alias("grp"),
-                       kmv_key(key_col, salt).alias("h"))
+    aggregate (map-side collapse of duplicate keys).
+
+    Null contract (pinned by the hostile events suite): NULL keys are
+    EXCLUDED — `count(distinct key)` ignores nulls in every engine,
+    and a null key also hashes to a null rank that Spark sorts first
+    while SQL engines sort last, so including it would fork the kth
+    minimum. NULL groups are kept (standard GROUP BY semantics); a
+    group whose keys are all null vanishes in both engines."""
+    pairs = (df.filter(F.col(key_col).isNotNull())
+             .select(F.col(group_col).alias("grp"),
+                     kmv_key(key_col, salt).alias("h"))
              .distinct())
     wk = Window.partitionBy("grp").orderBy("h")
     wall = Window.partitionBy("grp")

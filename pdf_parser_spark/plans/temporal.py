@@ -220,9 +220,16 @@ def rate_anomaly(events: DataFrame, window: int = 24,
 
     Scale: one partial-agg exchange to (type, bucket) counts —
     cardinality = types × active hours, tiny — then one window per
-    type over that tiny frame. The raw events never hit a window."""
+    type over that tiny frame. The raw events never hit a window.
+
+    Null contract (hostile events suite): null-timestamp events are
+    EXCLUDED — they have no bucket, and a null bucket row would sit
+    FIRST in Spark's window order but LAST in SQL engines', silently
+    shifting every early bucket's trailing moments. Null types are a
+    legitimate group and are kept."""
     b = F.floor(_epoch_us(ts_col) / US_PER_HOUR).alias("bucket")
-    counts = (events.groupBy(F.col(type_col).alias("event_type"), b)
+    counts = (events.filter(F.col(ts_col).isNotNull())
+              .groupBy(F.col(type_col).alias("event_type"), b)
               .agg(F.count(F.lit(1)).alias("c")))
     w = (Window.partitionBy("event_type").orderBy("bucket")
          .rowsBetween(-window, -1))

@@ -1561,7 +1561,7 @@ def oracle_sql() -> dict[str, str]:
             for lang in TS.LANG_ORDER)
         + " END")
 
-    return {
+    oracles = {
         "layout_extract_a003": _layout_oracle("layouts"),
         "layout_extract_a002": _layout_oracle("layouts_a002"),
         "layout_extract_a004": _layout_oracle("layouts_a004"),
@@ -2224,32 +2224,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY conv_id, seed
         """,
         "conv_context_windows": f"""
-            WITH b AS (
-                SELECT conv_id, turn_idx,
-                       coalesce(role, '') || ': ' || coalesce(text, '')
-                           AS line
-                FROM read_parquet(
-                    '{transcripts_path(ORACLE_SF)}/*.parquet')),
-            s AS (
-                SELECT conv_id, turn_idx,
-                       row_number() OVER (PARTITION BY conv_id
-                                          ORDER BY turn_idx) AS rn,
-                       count(*) OVER (PARTITION BY conv_id) AS total,
-                       list(line) OVER (PARTITION BY conv_id
-                                        ORDER BY turn_idx
-                                        ROWS BETWEEN CURRENT ROW
-                                        AND 5 FOLLOWING) AS win
-                FROM b)
-            SELECT conv_id, ((rn - 1) // 3)::BIGINT AS win_idx,
-                   turn_idx AS first_turn,
-                   len(win)::BIGINT AS n_in_win,
-                   array_to_string(win, chr(10)) AS win_text
-            FROM s
-            WHERE (rn - 1) % 3 = 0
-              AND (rn - 1) // 3 < CASE WHEN total <= 6 THEN 1
-                                       ELSE (total - 6 + 2) // 3 + 1 END
-        """,
-"conv_windows_salted": f"""
             WITH b AS (
                 SELECT conv_id, turn_idx,
                        coalesce(role, '') || ': ' || coalesce(text, '')
@@ -3387,3 +3361,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         """,
     }
+    # one oracle, two plans: the salted window operator is DEFINED to
+    # produce the unsalted operator's output — aliasing (not copying)
+    # the SQL makes that invariant structural
+    oracles["conv_windows_salted"] = oracles["conv_context_windows"]
+    return oracles

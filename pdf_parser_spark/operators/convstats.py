@@ -149,6 +149,21 @@ def conv_exact_dup_groups(tr: DataFrame) -> DataFrame:
                  F.max("n_turns").alias("n_turns")))
 
 
+def _win_line() -> F.Column:
+    """The shared window rendering rule: `role: text`, nulls as '' —
+    one definition, because a gate asserts the salted and unsalted
+    window operators are identical."""
+    return F.concat(F.coalesce(F.col("role"), F.lit("")), F.lit(": "),
+                    F.coalesce(F.col("text"), F.lit("")))
+
+
+def _n_wins(total: F.Column, n_turns: int, stride: int) -> F.Column:
+    """The shared covered-tail window count: 1 window for short
+    conversations, else ceil((T - n) / stride) + 1."""
+    return F.when(total <= n_turns, F.lit(1)).otherwise(
+        F.floor((total - n_turns + stride - 1) / stride) + 1)
+
+
 def conv_context_windows(tr: DataFrame, n_turns: int = 4,
                          stride: int = 2) -> DataFrame:
     """Sliding context windows over conversations — the transcript-grain
@@ -177,15 +192,12 @@ def conv_context_windows(tr: DataFrame, n_turns: int = 4,
     w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
     w_all = Window.partitionBy("conv_id")
     w_fwd = w_ord.rowsBetween(Window.currentRow, n_turns - 1)
-    line = F.concat(F.coalesce(F.col("role"), F.lit("")), F.lit(": "),
-                    F.coalesce(F.col("text"), F.lit("")))
-    base = (tr.select("conv_id", "turn_idx", line.alias("_line"))
+    base = (tr.select("conv_id", "turn_idx", _win_line().alias("_line"))
             .withColumn("_rn", F.row_number().over(w_ord))
             .withColumn("_total", F.count(F.lit(1)).over(w_all))
             .withColumn("_win", F.collect_list("_line").over(w_fwd)))
     start = F.col("_rn") - 1
-    n_wins = F.when(F.col("_total") <= n_turns, F.lit(1)).otherwise(
-        F.floor((F.col("_total") - n_turns + stride - 1) / stride) + 1)
+    n_wins = _n_wins(F.col("_total"), n_turns, stride)
     return (base
             .filter((start % stride == 0)
                     & (F.floor(start / stride) < n_wins))
@@ -194,6 +206,28 @@ def conv_context_windows(tr: DataFrame, n_turns: int = 4,
                     F.col("turn_idx").alias("first_turn"),
                     F.size("_win").cast("long").alias("n_in_win"),
                     F.array_join("_win", "\n").alias("win_text")))
+
+
+def _salted_stage(tr: DataFrame, n_turns: int, chunk: int) -> DataFrame:
+    """The salt-chunk staging frame: every turn in its native chunk
+    (emit=1), plus a mirror of the ``n_turns - 1`` lookahead margin
+    into the previous chunk (emit=0, feed-only). Factored out so the
+    bounded-partition property — no (conv, chunk) group larger than
+    ``chunk + n_turns - 1`` rows — is asserted on the OPERATOR's own
+    frame by the tests, not on a re-derivation."""
+    g = F.floor(F.col("turn_idx") / chunk)
+    return (tr.select("conv_id", "turn_idx", _win_line().alias("_line"))
+            .select("conv_id", "turn_idx", "_line",
+                    F.explode(F.when(
+                        (g > 0) & (F.col("turn_idx") % chunk
+                                   <= n_turns - 2),
+                        F.array(F.struct(g.alias("g"),
+                                         F.lit(1).alias("emit")),
+                                F.struct((g - 1).alias("g"),
+                                         F.lit(0).alias("emit"))))
+                        .otherwise(F.array(F.struct(
+                            g.alias("g"), F.lit(1).alias("emit")))))
+                    .alias("_s")))
 
 
 def conv_context_windows_salted(tr: DataFrame, n_turns: int = 4,
@@ -229,28 +263,11 @@ def conv_context_windows_salted(tr: DataFrame, n_turns: int = 4,
             f"need chunk >= n_turns, got {chunk=} {n_turns=}")
     totals = tr.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("_total"))
-    line = F.concat(F.coalesce(F.col("role"), F.lit("")), F.lit(": "),
-                    F.coalesce(F.col("text"), F.lit("")))
-    g = F.floor(F.col("turn_idx") / chunk)
-    # native chunk always; the lookahead margin also mirrors into the
-    # previous chunk (emit-flag 0)
-    base = (tr.select("conv_id", "turn_idx", line.alias("_line"))
-            .select("conv_id", "turn_idx", "_line",
-                    F.explode(F.when(
-                        (g > 0) & (F.col("turn_idx") % chunk
-                                   <= n_turns - 2),
-                        F.array(F.struct(g.alias("g"),
-                                         F.lit(1).alias("emit")),
-                                F.struct((g - 1).alias("g"),
-                                         F.lit(0).alias("emit"))))
-                        .otherwise(F.array(F.struct(
-                            g.alias("g"), F.lit(1).alias("emit")))))
-                    .alias("_s")))
+    base = _salted_stage(tr, n_turns, chunk)
     w_fwd = (Window.partitionBy("conv_id", "_s.g").orderBy("turn_idx")
              .rowsBetween(Window.currentRow, n_turns - 1))
     start = F.col("turn_idx")
-    n_wins = F.when(F.col("_total") <= n_turns, F.lit(1)).otherwise(
-        F.floor((F.col("_total") - n_turns + stride - 1) / stride) + 1)
+    n_wins = _n_wins(F.col("_total"), n_turns, stride)
     return (base
             .withColumn("_win", F.collect_list("_line").over(w_fwd))
             .filter(F.col("_s.emit") == 1)

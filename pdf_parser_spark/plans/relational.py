@@ -121,9 +121,15 @@ def local_supplier_volume(region: DataFrame, nation: DataFrame,
 
     Join shape at scale (plan-asserted in PLANS.md): every dimension
     chain is a BROADCAST — region→nation→customer collapses to a
-    customer-key set that broadcasts into orders; supplier⋈nation
-    broadcasts into lineitem — so the ONLY wide exchange is the
-    orders⋈lineitem equi-join on orderkey (uniform key, AQE-planned).
+    customer-key set joined into orders; supplier⋈nation feeds
+    lineitem — so the ONLY wide exchange is the orders⋈lineitem
+    equi-join on orderkey (uniform key, AQE-planned). Only nation
+    (bounded at 25 rows forever) carries an explicit broadcast HINT;
+    the customer and supplier slices are left to the size-based
+    planner, because a hint is unconditional — those dimensions GROW
+    with the scale factor, and past Spark's broadcast hard limits a
+    hinted plan ABORTS where the stats-based one degrades to a
+    shuffle join.
     Date predicates push to the orders scan. Revenue is exact integer
     cents² (the module's money policy), divided back once at the end;
     the same-nation predicate is applied as the Q5 join condition
@@ -147,14 +153,12 @@ def local_supplier_volume(region: DataFrame, nation: DataFrame,
                           supplier.s_nationkey == nat.n_nationkey)
             .select("s_suppkey", F.col("s_nationkey").alias("s_nat")))
     items = (lineitem
-             .join(F.broadcast(supp),
-                   lineitem.l_suppkey == supp.s_suppkey)
+             .join(supp, lineitem.l_suppkey == supp.s_suppkey)
              .select("l_orderkey", "s_nat",
                      (_cents("l_extendedprice")
                       * (100 - F.round(F.col("l_discount") * 100)
                          .cast("long"))).alias("rev_c2")))
-    return (ords.join(F.broadcast(cust),
-                      ords.o_custkey == cust.c_custkey)
+    return (ords.join(cust, ords.o_custkey == cust.c_custkey)
             .join(items, ords.o_orderkey == items.l_orderkey)
             .filter(F.col("c_nat") == F.col("s_nat"))
             .groupBy("n_name")

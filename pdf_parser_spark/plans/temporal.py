@@ -209,11 +209,16 @@ def rate_anomaly(events: DataFrame, window: int = 24,
     the 4dp z-score.
 
     Engine-exact variance: the trailing moments are INTEGER sums
-    (sum c, sum c², n — order-independent, bit-identical anywhere),
-    and mean/variance derive from them in one pinned double-op order
+    (sum c, sum c², n — order-independent), and mean/variance derive
+    from them in one pinned double-op order
     (var = (sumsq - sum*sum/n) / (n-1)), so the z-score is portable
     without the accepted-reassociation caveat the float aggregates
-    carry. Buckets with zero events are NOT materialized — the z is
+    carry. Exactness domain: int64 moments hold while every bucket
+    count stays under ~3.0e9 (c² < 2^63) and the trailing sum's square
+    does too — beyond that, pre-aggregate to finer buckets or per-type
+    shards before scoring; engines FORK past the bound (Spark wraps
+    silently with ANSI off, SQL engines promote to 128-bit), so the
+    bound is the contract, not a soft limit. Buckets with zero events are NOT materialized — the z is
     over observed buckets (a dense-spine variant would sequence() the
     calendar; at 100 TB the observed form is also the one whose state
     is bounded by activity, not by time).

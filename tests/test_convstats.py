@@ -134,8 +134,19 @@ def test_conv_context_windows_salted_equals_unsalted(spark):
                       df, n_turns=n_turns, stride=stride,
                       chunk=chunk).collect()}
         assert salted == plain, (n_turns, stride, chunk)
-    # bounded partitions: no (conv, salt-chunk) group exceeds
-    # chunk + n_turns - 1 rows
+    # bounded partitions: the OPERATOR's own staging frame never puts
+    # more than chunk + n_turns - 1 rows into any (conv, salt-chunk)
+    # group — the scale property that justifies the salted form
+    from pyspark.sql import functions as F
+
+    n_turns, chunk = 6, 8
+    sizes = (CS._salted_stage(df, n_turns, chunk)
+             .groupBy("conv_id", F.col("_s.g").alias("g"))
+             .count().collect())
+    assert max(r["count"] for r in sizes) <= chunk + n_turns - 1
+    # and the hot conversation really did split across salt chunks
+    assert sum(1 for r in sizes if r.conv_id == "big") == 5
+
     import pytest as _pt
     with _pt.raises(ValueError):
         CS.conv_context_windows_salted(df, n_turns=8, stride=2, chunk=4)

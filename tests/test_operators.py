@@ -561,3 +561,38 @@ def test_write_bucketed_eliminates_shuffles(spark, transcripts_sf0001):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bucket_test")
+
+
+def test_analytics_job_cli(spark, tmp_path):
+    """The event-analytics CLI writes each selected report and rejects
+    unknown names upfront."""
+    import sys as _sys
+    from datetime import datetime, timedelta
+
+    import pytest as _pt
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    from analytics_job import main as job_main
+
+    from pdf_parser_spark.io import read_table, write_table
+
+    def t(h):
+        return datetime(2024, 1, 1) + timedelta(hours=h)
+
+    rows = [(i, t(i % 40), i % 7,
+             ["click", "view", "purchase"][i % 3], float(i), None)
+            for i in range(300)]
+    src = str(tmp_path / "events_in")
+    write_table(spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"), src)
+    root = str(tmp_path / "reports")
+    assert job_main(["--events", src, "--output", root,
+                     "--reports", "rollup,kmv,anomaly"]) == 0
+    assert read_table(spark, f"{root}/kmv").count() == 3
+    assert read_table(spark, f"{root}/rollup").count() > 3
+    import os
+    assert not os.path.exists(f"{root}/funnel")  # unselected: not built
+    with _pt.raises(SystemExit):
+        job_main(["--events", src, "--output", root,
+                  "--reports", "nope"])

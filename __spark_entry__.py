@@ -43,6 +43,7 @@ from pdf_parser_spark.generator import sf_from_dir, transcripts_path  # noqa: E4
 from pdf_parser_spark.goldens import ensure_goldens, golden_dir  # noqa: E402
 from pdf_parser_spark.operators import convstats as CS  # noqa: E402
 from pdf_parser_spark.operators import funnel as FN  # noqa: E402
+from pdf_parser_spark.plans import bloomjoin as BJ  # noqa: E402
 from pdf_parser_spark.plans import relational as R  # noqa: E402
 from pdf_parser_spark.plans import sketch as SK  # noqa: E402
 from pdf_parser_spark.plans import temporal as TP  # noqa: E402
@@ -1009,6 +1010,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["near_dedup_keep"] = q_near_dedup
 
+    def q_dedup_incremental(spark, sf_dir):
+        docs = _tbl(spark, sf_dir, "documents")
+        batch = docs.filter(F.col("doc_id") % 3 == 0)
+        history = docs.filter(F.col("doc_id") % 3 != 0)
+        return _longify(
+            D.incremental_dedup_keep(batch, history,
+                                     threshold=JACCARD_THRESHOLD)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+    q["dedup_incremental"] = q_dedup_incremental
+
     def q_df_stats(spark, sf_dir):
         return _longify(TS.token_df_stats(_tbl(spark, sf_dir, "documents")))
 
@@ -1219,6 +1231,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _tbl(spark, sf_dir, "lineitem")))
 
     q["local_supplier_volume"] = q_local_supplier_volume
+
+    def q_bloom_prune_join(spark, sf_dir):
+        lineitem = _tbl(spark, sf_dir, "lineitem")
+        urgent = _tbl(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        joined = BJ.bloom_prune_join(
+            lineitem, urgent, "l_orderkey", "o_orderkey")
+        pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+        dp = F.round(F.col("l_discount") * 100).cast("long")
+        return _longify(
+            joined.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(pc * (100 - dp)).alias("rc"))
+            .select("l_returnflag", "n_items",
+                    F.round(F.col("rc") / 10000, 2).alias("revenue")))
+
+    q["bloom_prune_join"] = q_bloom_prune_join
 
     def q_sales_cube(spark, sf_dir):
         return _longify(R.sales_cube(_tbl(spark, sf_dir, "lineitem")))
@@ -1965,6 +1994,19 @@ def oracle_sql() -> dict[str, str]:
                   < thr.thr
         """,
         # Q5: same integer-cents² revenue policy as the Spark side
+        "bloom_prune_join": """
+            WITH l AS (
+                SELECT l_orderkey, l_returnflag,
+                       round(l_extendedprice * 100)::BIGINT AS pc,
+                       round(l_discount * 100)::BIGINT AS dp
+                FROM lineitem)
+            SELECT l_returnflag,
+                   count(*)::BIGINT AS n_items,
+                   round(sum(pc * (100 - dp)) / 10000, 2) AS revenue
+            FROM l JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY l_returnflag
+        """,
         "local_supplier_volume": """
             WITH nat AS (
                 SELECT n_nationkey, n_name
@@ -2636,6 +2678,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS doc_id,
                    least(src, min(dst))::BIGINT AS cluster_id
             FROM reach GROUP BY src
+        """,
+        "dedup_incremental": f"""
+            WITH {_SHINGLE_CTES},
+            {_MINHASH_CTES},
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a
+                JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 != 0),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS i
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+                GROUP BY 1, 2),
+            near_drop AS (
+                SELECT DISTINCT c.id_a AS doc_id
+                FROM cand c
+                LEFT JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+                JOIN sizes sa ON sa.doc_id = c.id_a
+                JOIN sizes sb ON sb.doc_id = c.id_b
+                WHERE round(coalesce(i, 0)::DOUBLE
+                            / (sa.sz + sb.sz - coalesce(i, 0)), 4)
+                      >= {JACCARD_THRESHOLD}),
+            fp AS (SELECT doc_id, md5({_CANON}) AS fp FROM documents),
+            exact_drop AS (
+                SELECT DISTINCT nb.doc_id
+                FROM fp nb JOIN fp h ON nb.fp = h.fp AND h.doc_id % 3 != 0
+                WHERE nb.doc_id % 3 = 0)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE d.doc_id % 3 = 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM exact_drop)
+              AND d.doc_id NOT IN (SELECT doc_id FROM near_drop)
         """,
         "near_dedup_keep": f"""
             WITH RECURSIVE {_SHINGLE_CTES},

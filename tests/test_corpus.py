@@ -355,6 +355,60 @@ def test_near_dedup_keep_docs_scratch_lifecycle(docs, tmp_path):
     assert os.path.isdir(os.path.join(scratch, "shingles"))
 
 
+def test_incremental_dedup_against_history(docs):
+    """New-batch-vs-corpus probe: exact dups of history always die,
+    near dups die when LSH proposes the cross pair, unique docs and
+    within-batch dups survive (the within-batch pass is a separate,
+    upstream near_dedup_keep_docs)."""
+    batch = docs.filter(F.col("doc_id").isin(0, 3, 4))
+    history = docs.filter(F.col("doc_id").isin(1, 2, 5))
+    kept = sorted(r.doc_id for r in
+                  D.incremental_dedup_keep(batch, history,
+                                           threshold=0.5).collect())
+    assert 0 not in kept  # canonical-exact dup of history doc 1
+    assert 4 in kept      # unique: always kept
+    # 3 near-dups history doc 1 (jaccard ~0.56) only when banding collides
+    bb = D.band_keys(batch.filter(F.col("doc_id") == 3))
+    hb = D.band_keys(history.filter(F.col("doc_id") == 1))
+    collides = (bb.join(hb.withColumnRenamed("doc_id", "h"),
+                        ["band", "band_key"]).count() > 0)
+    assert (3 in kept) == (not collides)
+    # strict threshold resurrects the near dup but never the exact dup
+    kept_strict = sorted(r.doc_id for r in
+                         D.incremental_dedup_keep(batch, history,
+                                                  threshold=0.99).collect())
+    assert 3 in kept_strict and 4 in kept_strict and 0 not in kept_strict
+
+
+def test_incremental_dedup_precomputed_store(docs):
+    """Passing the persisted fingerprint relations (the production path
+    — history is never re-shingled) gives the same keep set as the
+    derived path, and full batch columns come through."""
+    batch = docs.filter(F.col("doc_id").isin(0, 3, 4))
+    history = docs.filter(F.col("doc_id").isin(1, 2, 5))
+    derived = sorted(r.doc_id for r in
+                     D.incremental_dedup_keep(batch, history,
+                                              threshold=0.5).collect())
+    hb = D.band_keys(history)
+    hf = history.select(F.md5(D.canonical_text("text")).alias("fp"))
+    out = D.incremental_dedup_keep(batch, history, threshold=0.5,
+                                   history_bands=hb, history_fp=hf)
+    assert sorted(r.doc_id for r in out.collect()) == derived
+    assert out.columns == batch.columns
+
+
+def test_incremental_dedup_keeps_within_batch_dups(docs):
+    """Docs 0 and 1 are exact dups of each other but of nothing in
+    history — both survive, by contract (within-batch dedup is the
+    separate corpus-wide pass)."""
+    batch = docs.filter(F.col("doc_id").isin(0, 1))
+    history = docs.filter(F.col("doc_id").isin(4, 5))
+    kept = sorted(r.doc_id for r in
+                  D.incremental_dedup_keep(batch, history,
+                                           threshold=0.5).collect())
+    assert kept == [0, 1]
+
+
 def test_winnow_fingerprints_match_python(spark):
     """Winnowing sketch equals an independent (scalar, non-NumPy) Python
     implementation of the polynomial gram hash — including a non-ASCII

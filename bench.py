@@ -33,6 +33,7 @@ from pdf_parser_spark.corpus import textstats as TS  # noqa: E402
 from pdf_parser_spark.generator import sf_from_dir, transcripts_path  # noqa: E402
 from pdf_parser_spark.operators import convstats as CS  # noqa: E402
 from pdf_parser_spark.operators import funnel as FN  # noqa: E402
+from pdf_parser_spark.plans import bloomjoin as BJ  # noqa: E402
 from pdf_parser_spark.plans import relational as R  # noqa: E402
 from pdf_parser_spark.plans import sketch as SK  # noqa: E402
 from pdf_parser_spark.plans import temporal as TP  # noqa: E402
@@ -97,6 +98,14 @@ def main() -> None:
         "near_dedup_keep": lambda: force_count(
             D.near_dedup_keep_docs(docs, threshold=0.3)),
         "winnow_fingerprints": lambda: force_count(TS.winnow_fingerprints(docs)),
+        "dedup_incremental": lambda: force_count(D.incremental_dedup_keep(
+            docs.filter(F.col("doc_id") % 3 == 0),
+            docs.filter(F.col("doc_id") % 3 != 0), threshold=0.5)),
+        "bloom_prune_join": lambda: force_count(BJ.bloom_prune_join(
+            lineitem,
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .filter(F.col("o_orderpriority") == "1-URGENT"),
+            "l_orderkey", "o_orderkey")),
         # new in round 3: training-pipeline text filters
         "repetition_stats": lambda: force_count(TS.repetition_stats(docs)),
         "quality_filter_keep": lambda: force_count(TS.quality_filter_keep(docs)),

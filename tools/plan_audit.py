@@ -22,6 +22,7 @@ from pdf_parser_spark.corpus import similarity as S  # noqa: E402
 from pdf_parser_spark.generator import transcripts_path  # noqa: E402
 from pdf_parser_spark.operators.extract import extract_layouts  # noqa: E402
 from pdf_parser_spark.operators.reassemble import reassemble_conversations  # noqa: E402
+from pdf_parser_spark.plans import bloomjoin as BJ  # noqa: E402
 from pdf_parser_spark.plans.pages import select_turns  # noqa: E402
 from pdf_parser_spark.session import get_spark  # noqa: E402
 
@@ -679,6 +680,57 @@ def main() -> None:
          "work), pair counting is a partial->final aggregate on "
          "(id_a, id_b), and NO cross join appears anywhere (asserted)."),
         compact(wc_plan)))
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    urgent = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bj = BJ.bloom_prune_join(li, urgent, "l_orderkey", "o_orderkey")
+        bj_plan = formatted(bj)
+        # parent-first tree string: the fact-side Exchange must be a
+        # PARENT of the MapInPandas probe (probe below the shuffle)
+        bj_tree = bj._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"Exchange hashpartitioning\(l_orderkey.*MapInPandas",
+                         bj_tree, re.S), \
+            "bloom join: probe not below the fact-side shuffle"
+        assert re.search(r"SortMergeJoin|ShuffledHashJoin", bj_plan), \
+            "bloom join: equi-join missing"
+        assert not re.search(r"CartesianProduct|BroadcastNestedLoopJoin",
+                             bj_plan), "bloom join: non-equi join crept in"
+        sections.append((
+            "Bloom-pruned selective join (runtime-filter shape)",
+            ("Broadcast disabled to model the 100 TB case (dim too big to "
+             "broadcast, still selective): the fact side's plan is Scan -> "
+             "codegen xxhash64 columns -> MapInPandas bitmap probe -> "
+             "Exchange — the probe sits BELOW the join's shuffle "
+             "(asserted: the Exchange's subtree contains the MapInPandas), "
+             "so non-matching fact rows never move. The join itself stays "
+             "a plain equi-join (asserted) and kills bloom false "
+             "positives, making the result exactly the unpruned join."),
+            compact(bj_plan)))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    inc = D.incremental_dedup_keep(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0))
+    inc_plan = formatted(inc)
+    assert not re.search(r"CartesianProduct|BroadcastNestedLoopJoin",
+                         inc_plan), "incremental dedup: cross join crept in"
+    assert re.search(r"LeftAnti", inc_plan), \
+        "incremental dedup: keep step must be a left-anti join"
+    sections.append((
+        "Incremental batch-vs-corpus dedup (probe the store, never rescan)",
+        ("The daily-ingest shape: every join is key-bucketed (band "
+         "collisions, candidate-pruned shingle Jaccard, md5 fingerprint "
+         "semi-join) — NO cross join anywhere (asserted) — and the final "
+         "keep is one LeftAnti against the union of drop sets (asserted). "
+         "With the persisted band/fingerprint store passed in (the "
+         "production path), the history side contributes only those two "
+         "relations: cost scales with the BATCH, not the corpus."),
+        compact(inc_plan)))
 
     with open("/root/repo/PLANS.md", "w", encoding="utf-8") as f:
         f.write(

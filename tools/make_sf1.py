@@ -1,0 +1,80 @@
+"""Regenerate the gitignored sf1 replica tables under data/sf1/.
+
+data/ is gitignored, so the sf1 order-of-magnitude evidence in
+BASELINE.md must be reproducible from this script plus the driver's
+/root/testdata/sf0.1 parquet. Native sf1 transcripts come from the
+deterministic generator (pdf_parser_spark.generator.transcripts_path(1));
+every other table is a 10x OFFSET REPLICA of its sf0.1 twin:
+
+- ids offset per replica so keys stay unique AND joins stay aligned
+  across tables (o_orderkey/l_orderkey share the +10M/rep offset,
+  o_custkey/c_custkey share +100k/rep)
+- timestamps shifted +97 days per replica so funnels/cohorts/anomaly
+  windows see fresh calendar spans instead of 10 stacked copies of the
+  same month
+- text/vector content is unchanged -> content distributions are
+  preserved, but exact-dup and near-dup rates are inflated 10x by
+  construction (noted in BASELINE.md wherever it matters:
+  dedup_simhash, semdedup, dedup_incremental pair counts)
+
+Usage: python tools/make_sf1.py [src_sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+REPS = 10
+DAY_SHIFT = 97
+
+# table -> (id offsets {col: per-rep offset}, timestamp cols to shift)
+SCHEMES = {
+    "documents": ({"doc_id": 1_000_000}, []),
+    "embeddings": ({"vec_id": 1_000_000}, []),
+    "events": ({"event_id": 1_000_000, "user_id": 10_000}, ["ts"]),
+    "orders": ({"o_orderkey": 10_000_000, "o_custkey": 100_000},
+               ["o_orderdate"]),
+    "lineitem": ({"l_orderkey": 10_000_000}, ["l_shipdate"]),
+    "customer": ({"c_custkey": 100_000}, []),
+}
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/data/sf1"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for table, (offsets, ts_cols) in SCHEMES.items():
+        src_path = os.path.join(src, f"{table}.parquet")
+        if not os.path.exists(src_path):
+            print(f"skip {table}: no {src_path}")
+            continue
+        cols = [r[0] for r in
+                con.sql(f"DESCRIBE SELECT * FROM '{src_path}'").fetchall()]
+        exprs = []
+        for c in cols:
+            if c in offsets:
+                exprs.append(f"{c} + r.rep * {offsets[c]} AS {c}")
+            elif c in ts_cols:
+                exprs.append(
+                    f"{c} + r.rep * INTERVAL {DAY_SHIFT} DAY AS {c}")
+            else:
+                exprs.append(c)
+        dst = os.path.join(out, f"{table}.parquet")
+        con.sql(f"""
+            COPY (
+              SELECT {', '.join(exprs)}
+              FROM '{src_path}'
+              CROSS JOIN (SELECT unnest(range({REPS})) AS rep) r
+              ORDER BY r.rep
+            ) TO '{dst}' (FORMAT PARQUET)
+        """)
+        n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+        print(f"wrote {dst}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()

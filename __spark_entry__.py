@@ -919,6 +919,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_passage_stats"] = q_dup_passages
 
+    def q_dup_passage_scrub(spark, sf_dir):
+        # win=3 so the 31-word-vocab corpus actually has duplicated
+        # windows at sf0.01 (win=20 would make the rewrite a no-op)
+        return _longify(
+            TS.dup_passage_scrub(_tbl(spark, sf_dir, "documents"), win=3))
+
+    q["dup_passage_scrub"] = q_dup_passage_scrub
+
     def q_quality_keep(spark, sf_dir):
         return _longify(
             TS.quality_filter_keep(_tbl(spark, sf_dir, "documents")))
@@ -2526,6 +2534,78 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS dup_frac
             FROM e JOIN f USING (wh)
             GROUP BY 1
+        """,
+        "dup_passage_scrub": f"""
+            WITH c AS (
+                SELECT doc_id, text, string_split({_CANON}, ' ') AS w
+                FROM documents),
+            pos AS (
+                SELECT doc_id, nt, w,
+                       unnest(CASE WHEN nt < 3 THEN [1]
+                                   ELSE range(1, nt - 1) END) AS i
+                FROM (SELECT doc_id, w, len(w) AS nt FROM c
+                      WHERE text IS NOT NULL)),
+            e AS (
+                SELECT doc_id,
+                       CASE WHEN nt < 3 THEN 1 ELSE i END AS s,
+                       CASE WHEN nt < 3 THEN nt ELSE i + 2 END AS e,
+                       CASE WHEN nt < 3
+                            THEN md5(array_to_string(w, ' '))
+                            ELSE md5(array_to_string(w[i : i + 2], ' '))
+                       END AS wh
+                FROM pos),
+            rk AS (
+                SELECT doc_id, s, e,
+                       count(*) OVER (PARTITION BY wh) AS cnt,
+                       row_number() OVER (PARTITION BY wh
+                                          ORDER BY doc_id, s) AS rn
+                FROM e),
+            mask AS (SELECT doc_id, s, e FROM rk WHERE cnt >= 2 AND rn > 1),
+            isl AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN s > coalesce(
+                                max(e) OVER (PARTITION BY doc_id
+                                             ORDER BY s, e
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) + 1
+                            THEN 1 ELSE 0 END AS b
+                FROM mask),
+            isl2 AS (
+                SELECT doc_id, s, e,
+                       sum(b) OVER (PARTITION BY doc_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS island
+                FROM isl),
+            spans AS (
+                SELECT doc_id, min(s) AS s, max(e) AS e
+                FROM isl2 GROUP BY doc_id, island),
+            tokpos AS (
+                SELECT doc_id, unnest(w) AS tok,
+                       generate_subscripts(w, 1) AS p
+                FROM c WHERE text IS NOT NULL),
+            agg AS (
+                SELECT tp.doc_id,
+                       string_agg(tp.tok, ' ' ORDER BY tp.p) AS clean_text
+                FROM tokpos tp
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = tp.doc_id
+                      AND tp.p BETWEEN sp.s AND sp.e)
+                GROUP BY 1),
+            rem AS (
+                SELECT doc_id, sum(e - s + 1) AS n_removed
+                FROM spans GROUP BY doc_id)
+            SELECT c.doc_id,
+                   CASE WHEN c.text IS NULL THEN NULL
+                        ELSE coalesce(a.clean_text, '') END AS clean_text,
+                   CASE WHEN c.text IS NULL THEN NULL
+                        ELSE len(c.w) END::BIGINT AS n_tokens,
+                   (CASE WHEN c.text IS NULL THEN 0
+                         ELSE coalesce(r.n_removed, 0) END)::BIGINT
+                       AS n_removed
+            FROM c
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN rem r USING (doc_id)
         """,
         "quality_filter_keep": f"""
             WITH c AS (

@@ -114,6 +114,10 @@ def main() -> None:
         "topk_terms": lambda: force_count(TS.topk_terms(docs)),
         "dup_passage_stats": lambda: force_count(
             TS.dup_passage_stats(docs, win=20)),
+        # count() alone would let Catalyst eliminate the unique-key left
+        # join and skip the rewrite; aggregate the real output columns
+        "dup_passage_scrub": lambda: TS.dup_passage_scrub(docs, win=3)
+        .agg(F.sum("n_removed"), F.sum(F.length("clean_text"))).first(),
         "funnel_stages": lambda: force_count(FN.funnel_stages(events)),
         "pricing_summary": lambda: force_count(R.pricing_summary(lineitem)),
         "local_supplier_volume": lambda: force_count(

@@ -438,6 +438,116 @@ def dup_passage_stats(df: DataFrame, win: int = 20, stride: int = 1,
     )
 
 
+def dup_passage_scrub(df: DataFrame, win: int = 20, stride: int = 1,
+                      min_count: int = 2, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The REMOVAL form of exact-substring dedup (Lee et al. 2021 §4.1:
+    keep ONE copy of every duplicated span, delete the rest) —
+    `dup_passage_stats` is the measurement, this is the rewrite. A
+    token window (``win`` consecutive canonical tokens at positions 1,
+    1+stride, ...) is duplicated when its md5 occurs ≥ ``min_count``
+    times corpus-wide; the single occurrence with the globally smallest
+    ``(doc_id, w_start)`` is the protected canonical copy, every other
+    occurrence is maskable. Maskable windows merge per document with
+    the gaps-and-islands pattern (`decontam.contamination_spans`) and
+    the merged token ranges are deleted from the text. Output per
+    input row: ``clean_text`` (remaining canonical tokens joined by
+    single spaces — rewriting is defined on the canonical token
+    stream, same contract as the hashing), ``n_tokens`` (original),
+    ``n_removed``. Null-text rows pass through with null
+    ``clean_text``/``n_tokens``; docs shorter than ``win`` tokens are
+    one whole-text window (the `dup_passage_stats` convention), so a
+    short doc that exactly duplicates an earlier one scrubs to "".
+    Protection is per whole window: a protected occurrence overlapping
+    a maskable neighbor can still lose the overlapping tokens.
+
+    Plan shape: tokenize + window-hash are per-row built-ins; the
+    frequency/winner pass is ONE partial-agg shuffle on the md5 window
+    hash carrying (count, min-struct) — skew-safe even for a
+    corpus-dominating span because min/count combine map-side (the
+    row_number-over-hash alternative would sort the hot hash's
+    occurrences in one task). Hit rows re-join the (hash)-keyed
+    summary, islands + rollup run per doc_id over MASKABLE windows
+    only (cost ∝ duplication, not corpus size), and the rewrite is a
+    left join of spans back to the token arrays plus a higher-order
+    filter — no Python anywhere. At 100 TB raise ``stride`` to
+    subsample window positions (detection coarsens; removal stays
+    span-exact) exactly as in `dup_passage_stats`."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        id_col, F.col(text_col),
+        F.split(F.trim(F.regexp_replace(
+            F.lower(F.col(text_col)), WS + "+", " ")), " ").alias("toks"))
+    wins = (
+        toks.select(
+            id_col, F.size("toks").alias("nt"),
+            F.posexplode(F.expr(
+                f"""
+                case when size(toks) < {win}
+                     then array(md5(array_join(toks, ' ')))
+                     else transform(sequence(1, size(toks) - {win - 1}, {stride}),
+                                    i -> md5(concat_ws(' ', slice(toks, i, {win}))))
+                end
+                """)).alias("j", "wh"))
+        .where(F.col("wh").isNotNull())
+        .select(
+            id_col, "wh",
+            F.when(F.col("nt") < win, F.lit(1))
+            .otherwise(F.col("j") * stride + 1).alias("w_start"),
+            F.when(F.col("nt") < win, F.col("nt"))
+            .otherwise(F.col("j") * stride + win).alias("w_end"))
+    )
+    freq = wins.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col(id_col).alias("d"),
+                       F.col("w_start").alias("s"))).alias("win0"))
+    mask = (
+        wins.join(freq, "wh")
+        .where((F.col("cnt") >= min_count)
+               & ~((F.col(id_col) == F.col("win0.d"))
+                   & (F.col("w_start") == F.col("win0.s"))))
+        .select(id_col, "w_start", "w_end")
+    )
+    w = Window.partitionBy(id_col).orderBy("w_start", "w_end")
+    prev_max = F.max("w_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = mask.select(
+        id_col, "w_start", "w_end",
+        F.when(F.col("w_start") > F.coalesce(prev_max, F.lit(0)) + 1, 1)
+        .otherwise(0).alias("boundary"))
+    cum = (Window.partitionBy(id_col).orderBy("w_start", "w_end")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spans = (
+        islands
+        .select(id_col, "w_start", "w_end",
+                F.sum("boundary").over(cum).alias("island"))
+        .groupBy(id_col, "island")
+        .agg(F.min("w_start").alias("s"), F.max("w_end").alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    kept = F.expr(
+        "array_join(transform(filter("
+        "  transform(toks, (t, i) -> struct(t as t, i + 1 as p)),"
+        "  x -> spans is null or"
+        "       not exists(spans, sp -> x.p >= sp.s and x.p <= sp.e)),"
+        "  x -> x.t), ' ')")
+    n_removed = F.expr(
+        "coalesce(aggregate(spans, 0L, (acc, sp) -> acc + sp.e - sp.s + 1), 0L)")
+    return (
+        toks.join(spans, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(kept).alias("clean_text"),
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+            .otherwise(F.size("toks").cast("long")).alias("n_tokens"),
+            F.when(F.col(text_col).isNull(), F.lit(0).cast("long"))
+            .otherwise(n_removed).alias("n_removed"))
+    )
+
+
 def topk_terms(df: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
     """Top-k characteristic terms per document, TF-IDF-style but
     integer-stable: rank by (term frequency DESC, document frequency ASC,

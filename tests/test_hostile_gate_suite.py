@@ -25,7 +25,8 @@ DOC_GATES = [
     "contamination_spans", "decontaminate", "dedup_clusters", "dedup_exact",
     "dedup_jaccard_lsh", "dedup_keep_docs", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprint",
-    "dup_passage_stats", "footer_keyword_filter", "lang_id",
+    "dup_passage_stats", "dup_passage_scrub", "dedup_incremental",
+    "footer_keyword_filter", "lang_id",
     "multimodal_decode_meta", "near_dedup_keep", "pack_sequences",
     "pii_scrub", "quality_by_source", "quality_filter_keep",
     "repetition_stats", "split_assign", "stratified_sample",

@@ -98,3 +98,57 @@ def test_curriculum_bins_equal_population(spark):
     assert len({s for s, _ in scores}) == 8  # distinct scores
     # equal population: 2 docs per bin, bins monotone in score
     assert [b for _, b in scores] == [0, 0, 1, 1, 2, 2, 3, 3]
+
+
+def test_dup_passage_scrub_winner_protection_and_merge(spark):
+    """The globally-first occurrence of every duplicated window is kept;
+    later occurrences are removed with overlapping windows merged into
+    one span; short-doc exact dups scrub to ''; null text passes
+    through null."""
+    from pdf_parser_spark.corpus import textstats as TS
+
+    rows = [
+        (0, "a b c d e f g h"),   # winner of the shared windows
+        (1, "a b c d x y z w"),   # "a b c" + "b c d" dup doc 0 -> span 1-4
+        (2, "q r s"),             # short doc, first occurrence
+        (3, "q r s"),             # short exact dup -> whole text removed
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+           for r in TS.dup_passage_scrub(df, win=3, min_count=2).collect()}
+    assert got[0] == ("a b c d e f g h", 8, 0)  # winner untouched
+    assert got[1] == ("x y z w", 8, 4)          # merged span 1-4 removed
+    assert got[2] == ("q r s", 3, 0)
+    assert got[3] == ("", 3, 3)                 # whole-doc dup scrubbed
+    assert got[4] == (None, None, 0)            # null passthrough
+    assert got[5][2] == 0                       # empty text: nothing removed
+
+
+def test_dup_passage_scrub_min_count_threshold(spark):
+    """min_count=3 leaves a window that only occurs twice alone."""
+    from pdf_parser_spark.corpus import textstats as TS
+
+    rows = [(0, "a b c d"), (1, "a b c e"), (2, "a b c f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # "a b c" occurs 3x -> docs 1,2 lose it; every other window unique
+    got3 = {r.doc_id: r.clean_text
+            for r in TS.dup_passage_scrub(df, win=3, min_count=3).collect()}
+    assert got3 == {0: "a b c d", 1: "e", 2: "f"}
+    got4 = {r.doc_id: r.n_removed
+            for r in TS.dup_passage_scrub(df, win=3, min_count=4).collect()}
+    assert got4 == {0: 0, 1: 0, 2: 0}  # below threshold: no-op
+
+
+def test_dup_passage_scrub_canonicalization(spark):
+    """Case/whitespace variants hash to the same windows (the canonical
+    token stream is the rewrite domain, same as the hashing)."""
+    from pdf_parser_spark.corpus import textstats as TS
+
+    rows = [(0, "Hello   World foo bar"), (1, "hello world\tfoo baz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in TS.dup_passage_scrub(df, win=3, min_count=2).collect()}
+    assert got[0] == ("hello world foo bar", 0)
+    assert got[1] == ("baz", 3)

@@ -201,7 +201,7 @@ _SHINGLE_CTES = f"""
                           FOR i IN range(1, len(toks) - 1)]
                END AS gs
         FROM canon),
-    sh AS (SELECT DISTINCT doc_id, md5(unnest(gs)) AS sh FROM grams)
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, md5(unnest(gs)) AS sh FROM grams)
 """
 
 _MINHASH_CTES = """
@@ -209,7 +209,7 @@ _MINHASH_CTES = """
         SELECT doc_id, seed, min(md5(sh || '#' || seed)) AS minhash
         FROM sh, (SELECT unnest(range(0, 8)) AS seed) s
         GROUP BY doc_id, seed),
-    banded AS (
+    banded AS MATERIALIZED (
         SELECT doc_id, seed // 2 AS band,
                md5(array_to_string(
                    list_sort(list(seed || ':' || minhash)), '|')) AS band_key
@@ -900,6 +900,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             conv_docs, id_col="conv_id", text_col="doc"))
 
     q["conv_minhash_sigs"] = q_conv_minhash_sigs
+
+    # conversation-grain near-dedup END TO END: the full LSH → Jaccard →
+    # components → keep-min pipeline with id_col='conv_id'. Gate scope:
+    # a deterministic ~1/16 conversation subset (md5(conv_id) starts
+    # with '0' — engine-neutral selector) with turn_idx < 40; the full
+    # corpus repeats turn text across conversations by construction, so
+    # an unrestricted gate near-dups almost EVERYTHING into one giant
+    # component and the oracle's candidate×shingle join goes quadratic
+    # in single-threaded DuckDB. Every subset conversation gets a
+    # '_dup'-suffixed clone with a 3-token tail appended (Jaccard ≈ 1);
+    # the pipeline must drop every clone (original wins: 'x' < 'x_dup')
+    # plus any natural near-dup losers — value-hashed against the
+    # recursive-CTE component oracle.
+    def q_conv_near_dedup(spark, sf_dir):
+        from pdf_parser_spark.operators.reassemble import (
+            reassemble_conversations)
+        base = reassemble_conversations(
+            _transcripts(spark, sf_dir).filter(F.col("turn_idx") < 40),
+            text_col="text", sep="\n").select("conv_id", "doc") \
+            .where(F.md5("conv_id").startswith("0"))
+        planted = base.select(
+            F.concat(F.col("conv_id"), F.lit("_dup")).alias("conv_id"),
+            F.concat(F.col("doc"), F.lit(" dup marker tail")).alias("doc"))
+        corpus = base.unionByName(planted)
+        kept = D.near_dedup_keep_docs(
+            corpus, threshold=JACCARD_THRESHOLD,
+            id_col="conv_id", text_col="doc")
+        return kept.select(
+            "conv_id", F.length("doc").cast("long").alias("n_chars"))
+
+    q["conv_near_dedup_keep"] = q_conv_near_dedup
 
     def q_conv_sessionize(spark, sf_dir):
         return _longify(CS.conv_sessionize(_aug_tr(spark, sf_dir),
@@ -2267,11 +2298,57 @@ def oracle_sql() -> dict[str, str]:
                                   FOR i IN range(1, len(toks) - 1)]
                        END AS gs
                 FROM canon),
-            sh AS (SELECT DISTINCT conv_id, md5(unnest(gs)) AS sh FROM grams)
+            sh AS MATERIALIZED (SELECT DISTINCT conv_id, md5(unnest(gs)) AS sh FROM grams)
             SELECT conv_id, seed::BIGINT AS seed,
                    min(md5(sh || '#' || seed)) AS minhash
             FROM sh, (SELECT unnest(range(0, 8)) AS seed) s
             GROUP BY conv_id, seed
+        """,
+        "conv_near_dedup_keep": f"""
+            WITH RECURSIVE base AS (
+                SELECT conv_id,
+                       string_agg(text, chr(10) ORDER BY turn_idx) AS text
+                FROM read_parquet('{transcripts_path(ORACLE_SF)}/*.parquet')
+                WHERE turn_idx < 40
+                GROUP BY conv_id),
+            sub AS (SELECT * FROM base WHERE md5(conv_id) LIKE '0%'),
+            documents AS (
+                SELECT conv_id AS doc_id, text FROM sub
+                UNION ALL
+                SELECT conv_id || '_dup', text || ' dup marker tail'
+                FROM sub),
+            {_SHINGLE_CTES},
+            {_MINHASH_CTES},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT p.id_a, p.id_b, count(*) AS i
+                FROM mh_pairs p
+                JOIN sh a ON a.doc_id = p.id_a
+                JOIN sh b ON b.doc_id = p.id_b AND b.sh = a.sh
+                GROUP BY 1, 2),
+            jac AS (
+                SELECT p.id_a, p.id_b
+                FROM mh_pairs p
+                LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b
+                JOIN sizes sa ON sa.doc_id = p.id_a
+                JOIN sizes sb ON sb.doc_id = p.id_b
+                WHERE round(coalesce(i, 0)::DOUBLE
+                            / (sa.sz + sb.sz - coalesce(i, 0)), 4)
+                      >= {JACCARD_THRESHOLD}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM jac
+                UNION
+                SELECT id_b, id_a FROM jac),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            losers AS (
+                SELECT src AS doc_id FROM reach
+                GROUP BY src HAVING min(dst) < src)
+            SELECT d.doc_id AS conv_id, length(d.text)::BIGINT AS n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "conv_context_windows": f"""
             WITH b AS (

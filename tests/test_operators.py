@@ -596,3 +596,64 @@ def test_analytics_job_cli(spark, tmp_path):
     with _pt.raises(SystemExit):
         job_main(["--events", src, "--output", root,
                   "--reports", "nope"])
+
+
+def test_ingest_dedup_job_cli_batches_and_resume(spark, tmp_path):
+    """ingest_dedup_job across three batches: bootstrap keeps the
+    within-batch-deduped first batch; batch 2 drops exact and near dups
+    of the accumulated corpus; a completed batch is skipped on rerun
+    (resume marker) and a rerun of an UNMARKED batch is idempotent."""
+    import shutil
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    from ingest_dedup_job import main as job_main
+
+    from pdf_parser_spark.io import read_table, write_table
+
+    out = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+
+    b1 = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # within-batch dup
+        (2, "a completely different corpus document about engines"),
+    ]
+    src1 = str(tmp_path / "b1")
+    write_table(spark.createDataFrame(b1, "doc_id long, text string"), src1)
+    assert job_main(["--batch", src1, "--batch-id", "b1",
+                     "--output", out, "--store", store]) == 0
+    kept1 = sorted(r.doc_id for r in read_table(spark, out).collect())
+    assert kept1 == [0, 2]  # bootstrap: within-batch dedup only
+
+    b2 = [
+        (10, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (11, "the quick brown fox jumps over the sleepy dog"),  # near dup of 0
+        (12, "entirely novel text mentioning spark and parquet"),
+    ]
+    src2 = str(tmp_path / "b2")
+    write_table(spark.createDataFrame(b2, "doc_id long, text string"), src2)
+    assert job_main(["--batch", src2, "--batch-id", "b2",
+                     "--output", out, "--store", store]) == 0
+    kept2 = sorted(r.doc_id for r in read_table(spark, out).collect())
+    assert 10 not in kept2 and 12 in kept2 and kept1 == [0, 2]
+    # 11 dropped only if LSH banding proposed the (11, 0) pair
+    from pdf_parser_spark.corpus import dedup as D
+    bb = D.band_keys(spark.createDataFrame(b2[1:2], "doc_id long, text string"))
+    hb = D.band_keys(spark.createDataFrame(b1[:1], "doc_id long, text string"))
+    collides = bb.join(hb.withColumnRenamed("doc_id", "h"),
+                       ["band", "band_key"]).count() > 0
+    assert (11 not in kept2) == collides
+
+    # completed batch skips (marker) — corpus unchanged
+    assert job_main(["--batch", src2, "--batch-id", "b2",
+                     "--output", out, "--store", store]) == 0
+    assert sorted(r.doc_id for r in read_table(spark, out).collect()) == kept2
+
+    # simulate a crash BEFORE the marker: delete it, rerun -> idempotent
+    shutil.rmtree(str(tmp_path / "store" / "done" / "batch=b2"))
+    assert job_main(["--batch", src2, "--batch-id", "b2",
+                     "--output", out, "--store", store]) == 0
+    assert sorted(r.doc_id for r in read_table(spark, out).collect()) == kept2
+    fp = read_table(spark, store + "/fp")
+    assert fp.count() == fp.select("fp").distinct().count() == len(kept2)

@@ -249,6 +249,11 @@ _LSH_CTES = """
 """
 
 JACCARD_THRESHOLD = 0.3
+# fixed BM25 query set (one dup token, one out-of-vocabulary term)
+BM25_QUERIES = [(0, "spark join window"),
+                (1, "customer query fast fast"),
+                (2, "vector scan zzz")]
+_BM25_VALUES = ", ".join(f"({i}, '{s}')" for i, s in BM25_QUERIES)
 # The synthetic embeddings have no true near-duplicates (max pairwise
 # cosine ~0.51 at sf0.01), so the demo threshold sits below that; a real
 # dedup run would use ~0.95.
@@ -968,6 +973,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(TS.topk_terms(_tbl(spark, sf_dir, "documents")))
 
     q["topk_terms"] = q_topk_terms
+
+    def q_bm25_topk(spark, sf_dir):
+        qs = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+        return _longify(TS.bm25_topk(
+            _tbl(spark, sf_dir, "documents"), qs, k=10))
+
+    q["bm25_topk"] = q_bm25_topk
 
     # --- corpus: dedup -----------------------------------------------------
     def q_dedup_exact(spark, sf_dir):
@@ -2757,6 +2769,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df,
                    rank::BIGINT AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        # BM25: idf rounded 6dp out of ln(), score rounded 4dp BEFORE
+        # ranking, doc_id tiebreak — the float-stage-boundary protocol.
+        # Constant arithmetic mirrors the engine's association exactly:
+        # (1.2 + 1.0), ((1.0 - 0.75) + (0.75 * dl) / avgdl).
+        "bm25_topk": f"""
+            WITH q(query_id, query) AS (VALUES {_BM25_VALUES}),
+            qt AS (SELECT DISTINCT query_id,
+                          unnest(string_split(trim(regexp_replace(
+                              lower(query), '[ \\t\\n\\x0b\\f\\r]+', ' ',
+                              'g')), ' ')) AS term
+                   FROM q),
+            d AS (SELECT doc_id, string_split({_CANON}, ' ') AS w
+                  FROM documents),
+            st AS (SELECT count(*)::BIGINT AS n,
+                          (sum(len(w))::DOUBLE / count(*)) AS avgdl
+                   FROM d),
+            t AS (SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term
+                  FROM d),
+            tf AS (SELECT doc_id, term, max(dl) AS dl,
+                          count(*)::DOUBLE AS tf
+                   FROM t WHERE term IN (SELECT term FROM qt)
+                   GROUP BY 1, 2),
+            tfd AS (SELECT *,
+                           (count(*) OVER (PARTITION BY term))::DOUBLE
+                               AS dfr
+                    FROM tf),
+            sc AS (SELECT qt.query_id, tfd.doc_id,
+                          round(sum(
+                              round(ln(((SELECT n FROM st) - dfr + 0.5)
+                                       / (dfr + 0.5) + 1.0), 6)
+                              * (tf * (1.2 + 1.0)
+                                 / (tf + 1.2 * ((1.0 - 0.75)
+                                    + (0.75 * dl)
+                                      / (SELECT avgdl FROM st))))), 4)
+                              AS score
+                   FROM tfd JOIN qt USING (term) GROUP BY 1, 2)
+            SELECT query_id, doc_id, score, rank::BIGINT AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY score DESC, doc_id ASC) AS rank
+                  FROM sc)
+            WHERE rank <= 10
         """,
         "dedup_exact": f"""
             SELECT md5({_CANON}) AS fp,

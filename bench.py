@@ -98,6 +98,11 @@ def main() -> None:
         "near_dedup_keep": lambda: force_count(
             D.near_dedup_keep_docs(docs, threshold=0.3)),
         "winnow_fingerprints": lambda: force_count(TS.winnow_fingerprints(docs)),
+        "bm25_topk": lambda: force_count(TS.bm25_topk(
+            docs, spark.createDataFrame(
+                [(0, "spark join window"), (1, "customer query fast"),
+                 (2, "vector scan stream")],
+                "query_id long, query string"), k=10)),
         "dedup_incremental": lambda: force_count(D.incremental_dedup_keep(
             docs.filter(F.col("doc_id") % 3 == 0),
             docs.filter(F.col("doc_id") % 3 != 0), threshold=0.5)),

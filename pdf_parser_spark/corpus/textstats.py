@@ -780,3 +780,74 @@ def dsir_weights(df: DataFrame, target_col: str = "lang",
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(F.avg("llr"), 4).alias("dsir_logratio")))
+
+
+def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BM25 lexical retrieval: top-k documents per query under the
+    Lucene/Okapi BM25 scoring function — the embedding-free half of a
+    retrieval stack (the `hashed_bow_embeddings`/cosine path is the
+    other), and the standard tool for targeted data selection (pull the
+    corpus slice most relevant to a benchmark/task description before
+    training).
+
+        idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)      [>= 0]
+        score(q,d) = sum_t idf(t) * tf * (k1+1)
+                              / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Engine-parity protocol (the kmeans_refine standard — round at every
+    float stage boundary): idf is rounded 6dp straight out of ``ln``
+    (the one libm call; Java vs C log are not ulp-identical), the final
+    per-(query, doc) sum is rounded 4dp BEFORE ranking, and ties break
+    on doc id, so the top-k cut is deterministic cross-engine.
+
+    Scale shape: the query-term set broadcasts, so the corpus is ONE
+    scan — tokens explode, hit a broadcast semi-join on the ~|Q| query
+    terms, and only matching (doc, term) rows reach the single tf
+    partial-agg Exchange; document length rides along as max(dl) (it is
+    constant per doc) instead of re-joining the corpus. Document
+    frequency is a count() window over the tf rows partitioned by term
+    (bounded by |query terms| keys — no second corpus pass, no rejoin
+    recompute of the tf subtree), and the final (query, doc) rollup +
+    per-query rank window shuffle only scored candidates. Corpus
+    scalars N/sum(dl) are two longs collected once; avgdl is the same
+    IEEE division on both engines. Text never crosses an Exchange."""
+    from pyspark.sql.window import Window
+
+    canon = F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), WS + "+", " "))
+    toks = df.select(F.col(id_col),
+                     F.size(F.split(canon, " ")).alias("dl"),
+                     F.explode(F.split(canon, " ")).alias("term"))
+
+    qt = queries.select(
+        "query_id",
+        F.explode(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col("query")), WS + "+", " ")), " ")).alias("term")
+    ).distinct()
+    terms = qt.select("term").distinct()
+
+    stats = df.select(F.size(F.split(canon, " ")).alias("dl")) \
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["s"]) / int(stats["n"])
+
+    tf = (toks.join(F.broadcast(terms), "term")
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf"),
+               F.max("dl").cast("double").alias("dl")))
+    dfr = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double")
+    idf = F.round(F.log(
+        (F.lit(float(n_docs)) - dfr + 0.5) / (dfr + 0.5) + 1.0), 6)
+    contrib = idf * (F.col("tf") * (k1 + 1.0)
+                     / (F.col("tf")
+                        + k1 * (1.0 - b + b * F.col("dl") / avgdl)))
+    rank_w = (Window.partitionBy("query_id")
+              .orderBy(F.col("score").desc(), F.col(id_col).asc()))
+    return (tf.withColumn("contrib", contrib)
+            .join(F.broadcast(qt), "term")
+            .groupBy("query_id", id_col)
+            .agg(F.round(F.sum("contrib"), 4).alias("score"))
+            .withColumn("rank", F.row_number().over(rank_w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank"))

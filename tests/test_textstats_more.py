@@ -152,3 +152,45 @@ def test_dup_passage_scrub_canonicalization(spark):
            for r in TS.dup_passage_scrub(df, win=3, min_count=2).collect()}
     assert got[0] == ("hello world foo bar", 0)
     assert got[1] == ("baz", 3)
+
+
+def test_bm25_topk_brute_force_and_edges(spark):
+    """BM25 vs a literal NumPy-free brute force: scores, ranks, doc_id
+    tie-breaks; a duplicated query token counts once; an OOV-only query
+    returns no rows; a null-text doc scores nothing but still counts in
+    N/avgdl."""
+    import math
+
+    from pdf_parser_spark.corpus import textstats as TS
+
+    docs = [(0, "spark spark join"), (1, "join window"),
+            (2, "spark"), (3, "noise words only"), (4, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(0, "spark join join"), (1, "zzz")],
+        "query_id long, query string")
+    got = {(r.query_id, r.doc_id): (r.score, r.rank)
+           for r in TS.bm25_topk(df, qs, k=10).collect()}
+    assert not [k for k in got if k[0] == 1]  # OOV-only query: no rows
+
+    # brute force (query 0 terms = {spark, join}; doc 4 has dl None)
+    lens = {0: 3, 1: 2, 2: 1, 3: 3}
+    n_docs, avgdl = 5, sum(lens.values()) / 5
+    tf = {(0, "spark"): 2, (0, "join"): 1, (1, "join"): 1,
+          (1, "window"): 1, (2, "spark"): 1}
+    dfreq = {"spark": 2, "join": 2}
+    exp = {}
+    for d in (0, 1, 2):
+        sc = 0.0
+        for t in ("spark", "join"):
+            f = tf.get((d, t), 0)
+            if not f:
+                continue
+            idf = round(math.log((n_docs - dfreq[t] + 0.5)
+                                 / (dfreq[t] + 0.5) + 1.0), 6)
+            sc += idf * (f * 2.2 / (f + 1.2 * (0.25 + 0.75
+                                               * lens[d] / avgdl)))
+        exp[d] = round(sc, 4)
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    for rank, d in enumerate(order, 1):
+        assert got[(0, d)] == (exp[d], rank), (d, got[(0, d)], exp[d])

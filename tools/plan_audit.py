@@ -591,6 +591,29 @@ def main() -> None:
               "replaces in sq8_topk's broadcast-query retrieval."),
     )
 
+    from pdf_parser_spark.corpus import textstats as TS
+    bm25_queries = spark.createDataFrame(
+        [(0, "spark join window"), (1, "customer query fast")],
+        "query_id long, query string")
+    audit(
+        "BM25 top-k retrieval (broadcast query terms, one corpus scan)",
+        TS.bm25_topk(docs, bm25_queries, k=10),
+        requires=[r"BroadcastHashJoin.*BroadcastHashJoin",
+                  r"HashAggregate.*Exchange.*HashAggregate"],
+        forbids=[r"SortMergeJoin", r"CartesianProduct",
+                 r"PythonUDF|BatchEvalPython|ArrowEval|MapInPandas"],
+        note=("Both joins broadcast (the ~|Q|-term set and the "
+              "(query, term) map — asserted, no SortMergeJoin), so the "
+              "corpus is ONE scan whose exploded tokens die at the "
+              "broadcast semi-join unless they match a query term; the "
+              "tf aggregate is partial->final (asserted) and document "
+              "length rides along as max(dl) instead of re-joining the "
+              "corpus. Document frequency is a window over the tf rows "
+              "(bounded by |query terms| keys), never a second corpus "
+              "pass. Every later Exchange carries only scored-candidate "
+              "scalars; the text column crosses none of them."),
+    )
+
     refine_df = S._refine_update_frame(
         S.with_norm(embs), [[0.1] * 64, [-0.1] * 64])
     audit(

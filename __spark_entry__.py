@@ -1311,6 +1311,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["distinct_kmv"] = q_distinct_kmv
 
+    def q_cms_heavy(spark, sf_dir):
+        docs = _tbl(spark, sf_dir, "documents")
+        toks = docs.select(F.explode(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col("text")), D.WS + "+", " ")), " ")).alias("term"))
+        tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+        top = tf.orderBy(F.col("exact").desc(), F.col("term").asc()) \
+            .limit(20)
+        sk = SK.cms_sketch(tf, "term", weight_col="exact")
+        est = SK.cms_estimate(sk, top.select("term"), "term")
+        return _longify(top.join(est, "term")
+                        .select("term", "exact", "cms_est"))
+
+    q["cms_heavy_hitters"] = q_cms_heavy
+
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
 
@@ -3555,6 +3569,37 @@ def oracle_sql() -> dict[str, str]:
                          END, 2) AS kmv_est
             FROM km WHERE rn <= 64
             GROUP BY event_type, n_exact
+        """,
+        # CMS frequency estimates for the exact top-20 tokens; the min
+        # over 4 md5-hashed rows of 256 cells — pure integers, so the
+        # gate is exact. est >= exact by construction (CMS overcounts).
+        "cms_heavy_hitters": f"""
+            WITH toks AS (
+                SELECT unnest(string_split({_CANON}, ' ')) AS term
+                FROM documents),
+            tf AS (SELECT term, count(*)::BIGINT AS exact
+                   FROM toks GROUP BY 1),
+            top AS (SELECT term, exact FROM tf
+                    ORDER BY exact DESC, term ASC LIMIT 20),
+            cells AS (
+                SELECT term, exact, r,
+                       ('0x' || substr(md5(term || ':cms:' || r),
+                                       1, 8))::UBIGINT % 256 AS cell
+                FROM tf CROSS JOIN range(4) t(r)),
+            sk AS (SELECT r, cell, sum(exact)::BIGINT AS cnt
+                   FROM cells GROUP BY 1, 2),
+            pr AS (
+                SELECT term, r,
+                       ('0x' || substr(md5(term || ':cms:' || r),
+                                       1, 8))::UBIGINT % 256 AS cell
+                FROM top CROSS JOIN range(4) t(r)),
+            est AS (SELECT pr.term,
+                           min(coalesce(sk.cnt, 0))::BIGINT AS cms_est
+                    FROM pr LEFT JOIN sk ON sk.r = pr.r
+                                        AND sk.cell = pr.cell
+                    GROUP BY 1)
+            SELECT top.term, top.exact, est.cms_est
+            FROM top JOIN est USING (term)
         """,
         "dsir_weights": f"""
             WITH toks AS (

@@ -98,6 +98,14 @@ def main() -> None:
         "near_dedup_keep": lambda: force_count(
             D.near_dedup_keep_docs(docs, threshold=0.3)),
         "winnow_fingerprints": lambda: force_count(TS.winnow_fingerprints(docs)),
+        "cms_heavy_hitters": lambda: force_count(
+            SK.cms_estimate(
+                SK.cms_sketch(docs.select(F.explode(F.split(
+                    F.lower(F.col("text")), " ")).alias("term")), "term"),
+                docs.sparkSession.createDataFrame(
+                    [(w,) for w in ("spark", "join", "window", "table",
+                                    "scan", "query", "fast", "value")],
+                    "term string"), "term")),
         "bm25_topk": lambda: force_count(TS.bm25_topk(
             docs, spark.createDataFrame(
                 [(0, "spark join window"), (1, "customer query fast"),

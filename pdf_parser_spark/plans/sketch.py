@@ -88,3 +88,74 @@ def distinct_kmv(df: DataFrame, group_col: str, key_col: str,
             .agg(F.max("h").alias("hk"))
             .select(F.col("grp").alias(group_col), "n_exact",
                     F.round(est, 2).alias("kmv_est")))
+
+
+def cms_cell(key_col: str, row: int, width: int,
+             salt: str = "cms") -> F.Column:
+    """Cell index of ``key`` in sketch row ``row``: first 8 md5 hex
+    digits of ``key:salt:row`` mod ``width`` — non-negative on both
+    operands, so ``pmod``/``%`` agree across engines (the
+    `_feat_bucket` hashing contract)."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"),
+                       F.lit(f":{salt}:{row}")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(width))
+
+
+def cms_sketch(df: DataFrame, key_col: str, weight_col: str | None = None,
+               depth: int = 4, width: int = 256,
+               salt: str = "cms") -> DataFrame:
+    """Count-Min sketch of a key stream (Cormode & Muthukrishnan 2005):
+    ``depth`` hash rows of ``width`` cells; every key increments one
+    cell per row; a key's frequency estimate is the MIN over its cells
+    — always >= the true count, over by at most ~2/width of the total
+    mass with probability 1 - 2^-depth. The point-query companion to
+    `distinct_kmv`: bounded-size, mergeable, engine-reproducible
+    frequency state where exact per-key counts would mean shuffling
+    the full key space (the heavy-hitters building block).
+
+    Scale shape: the cell coordinates are a per-row codegen projection
+    (depth md5 calls), and the sketch aggregate is partial->final —
+    map-side combine collapses every task to at most depth*width
+    cells, so the Exchange carries O(tasks * depth * width) longs no
+    matter how many input rows (the whole reason sketches exist).
+    ``weight_col`` feeds pre-aggregated (key, count) relations — CMS
+    over weighted keys is identical to CMS over the raw stream, so a
+    tf relation the query already has can feed the sketch without a
+    second corpus pass. NULL keys are excluded (the `distinct_kmv`
+    null contract).
+
+    Output: (row, cell, cnt) — at most depth*width rows."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = F.array(*[
+        F.struct(F.lit(r).cast("long").alias("row"),
+                 cms_cell(key_col, r, width, salt).alias("cell"))
+        for r in range(depth)])
+    return (df.filter(F.col(key_col).isNotNull())
+            .select(w.alias("_w"), F.explode(cells).alias("rc"))
+            .groupBy(F.col("rc.row").alias("row"),
+                     F.col("rc.cell").alias("cell"))
+            .agg(F.sum("_w").cast("long").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 256,
+                 salt: str = "cms") -> DataFrame:
+    """Point-query a CMS: for each key in ``keys`` (small — a candidate
+    list), the min over its ``depth`` cells. The sketch (at most
+    depth*width rows) broadcasts, so the probe is a map-side join +
+    one tiny per-key rollup; keys absent from the stream estimate 0
+    via the left-join coalesce (an empty cell never has a row)."""
+    cells = F.array(*[
+        F.struct(F.lit(r).cast("long").alias("row"),
+                 cms_cell(key_col, r, width, salt).alias("cell"))
+        for r in range(depth)])
+    probes = (keys.filter(F.col(key_col).isNotNull())
+              .select(F.col(key_col), F.explode(cells).alias("rc"))
+              .select(key_col, F.col("rc.row").alias("row"),
+                      F.col("rc.cell").alias("cell")))
+    return (probes
+            .join(F.broadcast(sketch), ["row", "cell"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("cms_est")))

@@ -657,3 +657,33 @@ def test_ingest_dedup_job_cli_batches_and_resume(spark, tmp_path):
     assert sorted(r.doc_id for r in read_table(spark, out).collect()) == kept2
     fp = read_table(spark, store + "/fp")
     assert fp.count() == fp.select("fp").distinct().count() == len(kept2)
+
+
+def test_cms_sketch_properties(spark):
+    """CMS invariants: estimate >= exact for present keys, 0 for absent
+    keys, weighted (key, count) input builds the identical sketch as
+    the raw stream, and the sketch never exceeds depth*width rows."""
+    from pdf_parser_spark.plans import sketch as SK
+
+    raw = spark.createDataFrame(
+        [(k,) for k in ["a"] * 7 + ["b"] * 3 + ["c"] * 1 + [None]],
+        "k string")
+    sk_raw = SK.cms_sketch(raw, "k", depth=3, width=8)
+    assert sk_raw.count() <= 3 * 8
+    assert sk_raw.agg(F.sum("cnt")).first()[0] == 3 * 11  # null excluded
+
+    weighted = spark.createDataFrame(
+        [("a", 7), ("b", 3), ("c", 1)], "k string, w long")
+    sk_w = SK.cms_sketch(weighted, "k", weight_col="w", depth=3, width=8)
+    assert sorted(map(tuple, sk_raw.collect())) \
+        == sorted(map(tuple, sk_w.collect()))
+
+    keys = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("zzz",)], "k string")
+    est = {r.k: r.cms_est
+           for r in SK.cms_estimate(sk_raw, keys, "k",
+                                    depth=3, width=8).collect()}
+    exact = {"a": 7, "b": 3, "c": 1}
+    for k, e in exact.items():
+        assert est[k] >= e, (k, est[k], e)
+    assert est["zzz"] == 0

@@ -614,6 +614,27 @@ def main() -> None:
               "scalars; the text column crosses none of them."),
     )
 
+    from pdf_parser_spark.plans import sketch as SKP
+    cms_tf = docs.select(F.explode(F.split(F.lower(F.col("text")), " "))
+                         .alias("term")) \
+        .groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+    audit(
+        "Count-Min sketch build + probe (bounded frequency state)",
+        SKP.cms_estimate(SKP.cms_sketch(cms_tf, "term", weight_col="exact"),
+                         cms_tf.limit(20).select("term"), "term"),
+        requires=[r"HashAggregate.*Exchange.*HashAggregate",
+                  r"BroadcastHashJoin"],
+        forbids=[r"SortMergeJoin", r"CartesianProduct",
+                 r"PythonUDF|BatchEvalPython|ArrowEval|MapInPandas"],
+        note=("The sketch aggregate is partial->final (asserted): "
+              "map-side combine collapses every task to at most "
+              "depth*width cells before the Exchange, so the shuffle "
+              "carries O(tasks * 1024) longs regardless of input rows "
+              "— the whole point of a sketch. The probe side "
+              "broadcasts the <=1024-row sketch (asserted, no "
+              "SortMergeJoin) and rolls up a min per candidate key."),
+    )
+
     refine_df = S._refine_update_frame(
         S.with_norm(embs), [[0.1] * 64, [-0.1] * 64])
     audit(

@@ -23,6 +23,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ParquetTableIO:
@@ -207,3 +208,49 @@ def write_bucketed(df: DataFrame, table: str, key: str,
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema_ddl: str) -> DataFrame:
+    """Read newline-delimited JSON (the lingua franca of training-data
+    drops) with the D1 degrade-don't-fail contract: a malformed line
+    must become an inspectable error ROW, never a task failure and
+    never a silent drop.
+
+    Implementation: a text scan + one codegen `from_json` in PERMISSIVE
+    mode with an explicit ``_corrupt_record`` field — a malformed line
+    (and a type-mismatched field) nulls what it must and lands the raw
+    line in the corrupt field, so `ok` cleanly splits clean rows from
+    lineage rows. Deliberately NOT `spark.read.json`: its native
+    corrupt column forbids any downstream query that prunes to the
+    corrupt column alone (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+    RECORD_COLUMN — exactly the `filter(NOT ok).count()` audit an
+    ingest job runs), while the text-scan form has no such restriction
+    and reads the same bytes (JSONL has no columnar pushdown either
+    way). The schema is REQUIRED: schema inference scans the whole
+    input once before the real read (2x the 100 TB scan) and silently
+    widens types on dirty data — ingest at scale declares its contract
+    up front.
+
+    Returns the declared columns plus ``ok: boolean`` and ``raw:
+    string`` (null for clean rows)."""
+    from pyspark.sql import types as T
+
+    fields = T._parse_datatype_string(schema_ddl).fields
+    schema = T.StructType(
+        list(fields) + [T.StructField("_corrupt_record", T.StringType())])
+    parsed = F.from_json(
+        F.col("value"), schema,
+        {"mode": "PERMISSIVE",
+         "columnNameOfCorruptRecord": "_corrupt_record"})
+    return (spark.read.text(path)
+            .select(parsed.alias("_p"))
+            .select(
+                *[F.col(f"_p.{f.name}").alias(f.name) for f in fields],
+                F.col("_p._corrupt_record").isNull().alias("ok"),
+                F.col("_p._corrupt_record").alias("raw")))
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write newline-delimited JSON, one object per row (the export
+    format the ingest side of `read_jsonl` consumes)."""
+    df.write.mode(mode).json(path)

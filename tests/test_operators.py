@@ -687,3 +687,41 @@ def test_cms_sketch_properties(spark):
     for k, e in exact.items():
         assert est[k] >= e, (k, est[k], e)
     assert est["zzz"] == 0
+
+
+def test_read_jsonl_corrupt_record_lineage(spark, tmp_path):
+    """JSONL ingest D1 semantics: clean lines parse, malformed JSON and
+    type-mismatched lines become ok=false rows carrying the raw line,
+    nothing is dropped, no task fails; a Spark-written export reads
+    back clean AND cross-reads byte-identically in DuckDB."""
+    import duckdb
+
+    from pdf_parser_spark.io import read_jsonl, write_jsonl
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        '{"doc_id": 2, "text": "beta"\n'            # truncated JSON
+        '{"doc_id": "not-an-int", "text": "gamma"}\n'  # type mismatch
+        '{"doc_id": 4}\n')                          # missing field -> null
+    got = read_jsonl(spark, str(src), "doc_id long, text string")
+    allrows = got.collect()
+    rows = {r.doc_id: r for r in allrows if r.doc_id is not None}
+    assert len(allrows) == 4
+    assert rows[1].ok and rows[1].text == "alpha" and rows[1].raw is None
+    bad = [r for r in allrows if not r.ok]
+    assert len(bad) == 2  # truncated JSON + type mismatch
+    assert all(r.raw is not None for r in bad)
+    assert rows[4].ok and rows[4].text is None
+
+    out = tmp_path / "out"
+    clean = got.filter("ok").select("doc_id", "text")
+    write_jsonl(clean, str(out))
+    back = read_jsonl(spark, str(out), "doc_id long, text string")
+    assert back.filter("NOT ok").count() == 0
+    assert sorted((r.doc_id, r.text) for r in back.collect()) \
+        == sorted((r.doc_id, r.text) for r in clean.collect())
+    duck = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_json_auto('{out}/*.json', "
+        "format='newline_delimited') ORDER BY doc_id").fetchall()
+    assert duck == sorted((r.doc_id, r.text) for r in clean.collect())

@@ -254,6 +254,10 @@ BM25_QUERIES = [(0, "spark join window"),
                 (1, "customer query fast fast"),
                 (2, "vector scan zzz")]
 _BM25_VALUES = ", ".join(f"({i}, '{s}')" for i, s in BM25_QUERIES)
+
+from pdf_parser_spark.plans.layout import zvalue_sql as _zvalue_sql  # noqa: E402
+
+_ZORDER_SQL = _zvalue_sql("zx", "zy", bits=8)
 # The synthetic embeddings have no true near-duplicates (max pairwise
 # cosine ~0.51 at sf0.01), so the demo threshold sits below that; a real
 # dedup run would use ~0.95.
@@ -1324,6 +1328,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .select("term", "exact", "cms_est"))
 
     q["cms_heavy_hitters"] = q_cms_heavy
+
+    def q_zorder_key(spark, sf_dir):
+        from pdf_parser_spark.plans import layout as LY
+        ev = _tbl(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("user_id").alias("zx"),
+            F.least(F.floor(F.col("value") / 2), F.lit(255))
+            .cast("long").alias("zy"))
+        return _longify(ev.select(
+            "event_id", LY.zvalue("zx", "zy", bits=8).alias("z")))
+
+    q["zorder_key"] = q_zorder_key
 
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
@@ -3569,6 +3585,18 @@ def oracle_sql() -> dict[str, str]:
                          END, 2) AS kmv_est
             FROM km WHERE rn <= 64
             GROUP BY event_type, n_exact
+        """,
+        # Morton z-value for the z-order layout: pure integer bit
+        # interleave, generated by the SAME code (layout.zvalue_sql) that
+        # the engine's zvalue mirrors — the two cannot drift. least()
+        # skips NULL in both engines (the mixture_sample fork note);
+        # a NULL user_id nulls the whole z on both sides.
+        "zorder_key": f"""
+            SELECT event_id,
+                   {_ZORDER_SQL} AS z
+            FROM (SELECT event_id, user_id AS zx,
+                         least(floor(value / 2), 255)::BIGINT AS zy
+                  FROM events)
         """,
         # CMS frequency estimates for the exact top-20 tokens; the min
         # over 4 md5-hashed rows of 256 cells — pure integers, so the

@@ -21,7 +21,7 @@ import pytest
 EVENT_GATES = [
     "asof_join_latest", "interval_join_events", "hyper_rollup",
     "distinct_kmv", "rate_anomaly", "funnel_stages", "funnel_counts",
-    "value_percentiles", "retention_cohorts",
+    "value_percentiles", "retention_cohorts", "zorder_key",
 ]
 ORDER_GATES = ["merge_upsert", "scd2_history"]
 

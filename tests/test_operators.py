@@ -725,3 +725,69 @@ def test_read_jsonl_corrupt_record_lineage(spark, tmp_path):
         f"SELECT doc_id, text FROM read_json_auto('{out}/*.json', "
         "format='newline_delimited') ORDER BY doc_id").fetchall()
     assert duck == sorted((r.doc_id, r.text) for r in clean.collect())
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout evidence: with parquet footer min/max stats, a
+    single-column-sorted layout prunes files only on its own column
+    (every file spans the FULL range of the other), while the z-order
+    layout bounds every file's rectangle so predicates on EITHER
+    column skip most files. Data itself is unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.plans import layout as LY
+
+    ev = (spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+          .select("event_id",
+                  F.col("user_id").alias("zx"),
+                  F.least(F.floor(F.col("value") / 2), F.lit(255))
+                  .cast("long").alias("zy")))
+
+    by_user = str(tmp_path / "by_user")
+    (ev.repartitionByRange(16, "zx").sortWithinPartitions("zx")
+     .write.mode("overwrite").parquet(by_user))
+    by_z = str(tmp_path / "by_z")
+    LY.write_zorder(ev, by_z, "zx", "zy", bits=8, n_files=16)
+
+    def overlap_frac(root, col, lo, hi):
+        files = sorted(glob.glob(root + "/part-*.parquet"))
+        assert len(files) >= 8, files
+        hit = 0
+        for f in files:
+            pf = pq.ParquetFile(f)
+            idx = pf.schema_arrow.get_field_index(col)
+            md = pf.metadata
+            mn = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            if mx >= lo and mn <= hi:
+                hit += 1
+        return hit / len(files)
+
+    # same rows either way — layout is not data
+    assert (spark.read.parquet(by_z).count()
+            == spark.read.parquet(by_user).count() == ev.count())
+
+    # user-sorted: perfect on zx, useless on zy
+    assert overlap_frac(by_user, "zx", 10, 20) <= 0.25
+    assert overlap_frac(by_user, "zy", 50, 60) == 1.0
+    # z-order: prunes BOTH dimensions
+    zx_frac = overlap_frac(by_z, "zx", 10, 20)
+    zy_frac = overlap_frac(by_z, "zy", 50, 60)
+    assert zx_frac <= 0.7, zx_frac
+    assert zy_frac <= 0.7, zy_frac
+
+    # engine z-value == portable SQL z-value (the twin cannot drift)
+    import duckdb
+    spark_z = sorted((r.event_id, r.z) for r in ev.select(
+        "event_id", LY.zvalue("zx", "zy", 8).alias("z")).collect())
+    duck_z = duckdb.connect().execute(
+        "SELECT event_id, " + LY.zvalue_sql("zx", "zy", 8) + " AS z "
+        "FROM (SELECT event_id, user_id AS zx, "
+        "least(floor(value / 2), 255)::BIGINT AS zy "
+        "FROM '/root/testdata/sf0.01/events.parquet') ORDER BY event_id"
+    ).fetchall()
+    assert spark_z == [(int(a), int(b)) for a, b in duck_z]

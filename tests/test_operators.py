@@ -791,3 +791,48 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
         "FROM '/root/testdata/sf0.01/events.parquet') ORDER BY event_id"
     ).fetchall()
     assert spark_z == [(int(a), int(b)) for a, b in duck_z]
+
+
+def test_compact_dataset_small_files(spark, tmp_path):
+    """Compaction: 64 tiny files rewrite to the measured target count,
+    rows and values unchanged; with sort_cols the sorted layout (and
+    its min/max pruning) survives; the temp-swap protocol leaves no
+    debris."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.io import compact_dataset
+
+    path = str(tmp_path / "tiny")
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet") \
+        .select("event_id", "user_id")
+    ev.repartition(64).write.mode("overwrite").parquet(path)
+    assert len(glob.glob(path + "/part-*.parquet")) == 64
+    total = sum(r.event_id for r in ev.collect())
+
+    rep = compact_dataset(spark, path, target_mb=128,
+                          sort_cols=("user_id",))
+    files = glob.glob(path + "/part-*.parquet")
+    assert rep["files_before"] == 64
+    assert rep["files_after"] == len(files) < 8
+    assert rep["rows"] == 10000
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("event_id")).first()[0] == total
+    assert not glob.glob(str(tmp_path) + "/tiny._compact_tmp*")
+    # sorted layout survives: each file's user_id range is a narrow band
+    spans = []
+    for f in files:
+        pf = pq.ParquetFile(f)
+        i = pf.schema_arrow.get_field_index("user_id")
+        md = pf.metadata
+        mn = min(md.row_group(g).column(i).statistics.min
+                 for g in range(md.num_row_groups))
+        mx = max(md.row_group(g).column(i).statistics.max
+                 for g in range(md.num_row_groups))
+        spans.append((mn, mx))
+    spans.sort()
+    if len(spans) > 1:  # ranges must not all cover the full domain
+        assert all(a_mx <= b_mn for (_, a_mx), (b_mn, _)
+                   in zip(spans, spans[1:]))

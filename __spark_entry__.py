@@ -1341,6 +1341,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zorder_key"] = q_zorder_key
 
+    def q_table_stats(spark, sf_dir):
+        from pdf_parser_spark.plans import stats as ST
+        return _longify(ST.table_stats(
+            _tbl(spark, sf_dir, "documents"),
+            ["doc_id", "text", "lang", "source", "n_chars"]))
+
+    q["table_stats"] = q_table_stats
+
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
 
@@ -3585,6 +3593,32 @@ def oracle_sql() -> dict[str, str]:
                          END, 2) AS kmv_est
             FROM km WHERE rn <= 64
             GROUP BY event_type, n_exact
+        """,
+        # One-pass ANALYZE: per-column rows/nulls/exact-ndv, long format.
+        "table_stats": """
+            WITH s AS (SELECT count(*) AS n_rows FROM documents)
+            SELECT c.column, s.n_rows::BIGINT AS n_rows,
+                   c.n_null::BIGINT AS n_null, c.ndv::BIGINT AS ndv
+            FROM s, (
+                SELECT 'doc_id' AS column,
+                       count(CASE WHEN doc_id IS NULL THEN 1 END) AS n_null,
+                       count(DISTINCT doc_id) AS ndv FROM documents
+                UNION ALL
+                SELECT 'text',
+                       count(CASE WHEN text IS NULL THEN 1 END),
+                       count(DISTINCT text) FROM documents
+                UNION ALL
+                SELECT 'lang',
+                       count(CASE WHEN lang IS NULL THEN 1 END),
+                       count(DISTINCT lang) FROM documents
+                UNION ALL
+                SELECT 'source',
+                       count(CASE WHEN source IS NULL THEN 1 END),
+                       count(DISTINCT source) FROM documents
+                UNION ALL
+                SELECT 'n_chars',
+                       count(CASE WHEN n_chars IS NULL THEN 1 END),
+                       count(DISTINCT n_chars) FROM documents) c
         """,
         # Morton z-value for the z-order layout: pure integer bit
         # interleave, generated by the SAME code (layout.zvalue_sql) that

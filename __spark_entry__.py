@@ -1349,6 +1349,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_stats"] = q_table_stats
 
+    def q_skew_report(spark, sf_dir):
+        from pdf_parser_spark.plans import stats as ST
+        return _longify(ST.skew_report(
+            _tbl(spark, sf_dir, "events"), "user_id", top=10))
+
+    q["skew_report"] = q_skew_report
+
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
 
@@ -3619,6 +3626,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'n_chars',
                        count(CASE WHEN n_chars IS NULL THEN 1 END),
                        count(DISTINCT n_chars) FROM documents) c
+        """,
+        # Skew diagnosis: top-10 heaviest keys, integer ppm share,
+        # NULL reported as a key, tie-break NULLS FIRST pinned.
+        "skew_report": """
+            WITH c AS (SELECT user_id AS key, count(*)::BIGINT AS cnt
+                       FROM events GROUP BY 1),
+            t AS (SELECT count(*)::BIGINT AS total FROM events),
+            r AS (SELECT key, cnt,
+                         (cnt * 1000000) // (SELECT total FROM t) AS ppm,
+                         row_number() OVER (
+                             ORDER BY cnt DESC, key ASC NULLS FIRST)
+                             AS rank
+                  FROM c)
+            SELECT key::VARCHAR AS key, cnt, ppm::BIGINT AS ppm,
+                   rank::BIGINT AS rank
+            FROM r WHERE rank <= 10
         """,
         # Morton z-value for the z-order layout: pure integer bit
         # interleave, generated by the SAME code (layout.zvalue_sql) that

@@ -43,3 +43,33 @@ def table_stats(df: DataFrame, cols: list | None = None) -> DataFrame:
                "AS (column, n_null, ndv)"),
         F.col("_n").alias("n_rows"),
     ).select("column", "n_rows", "n_null", "ndv")
+
+
+def skew_report(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
+    """Join/shuffle-key skew diagnosis: the top-``top`` heaviest keys
+    with their exact counts and parts-per-million share of the table —
+    the measurement that decides WHETHER to salt (see
+    `convstats.conv_context_windows_salted`) and by HOW MUCH, before a
+    100 TB shuffle discovers the answer the hard way. NULL keys are
+    reported as a key (the classic real-world hot key: a nullable join
+    column funnels every null into one reducer).
+
+    One partial-agg Exchange of (key, count) longs + a
+    TakeOrderedAndProject for the top slice; the share is exact
+    integer arithmetic (ppm = cnt * 1_000_000 DIV total), so the
+    output is engine-bit-stable. Ranking breaks count ties on the key
+    with NULLS FIRST pinned explicitly — null ordering is an engine
+    fork otherwise."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")) \
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.count()
+    w = F.row_number().over(
+        Window.orderBy(F.col("cnt").desc(), F.asc_nulls_first("key")))
+    return (counts
+            .withColumn("ppm", F.expr(f"(cnt * 1000000) div {total}"))
+            .withColumn("rank", w)
+            .filter(F.col("rank") <= top)
+            .select(F.col("key").cast("string").alias("key"),
+                    "cnt", "ppm", "rank"))

@@ -33,6 +33,10 @@ from pyspark.sql import functions as F
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="corpus curation job")
     p.add_argument("--input", required=True, help="documents table/path")
+    p.add_argument("--input-jsonl-schema", default=None,
+                   help="treat --input as JSONL with this DDL schema; "
+                        "malformed lines are counted and dropped with "
+                        "lineage, not crashed on")
     p.add_argument("--eval", required=True,
                    help="benchmark/eval documents table/path")
     p.add_argument("--output", required=True, help="curated output")
@@ -57,7 +61,17 @@ def main(argv=None) -> int:
     from pdf_parser_spark.corpus import scrub as SC
     from pdf_parser_spark.io import read_table, write_table
 
-    docs = read_table(spark, args.input)
+    if args.input_jsonl_schema:
+        from pdf_parser_spark.io import read_jsonl
+
+        raw = read_jsonl(spark, args.input, args.input_jsonl_schema)
+        n_corrupt = raw.filter(~F.col("ok")).count()
+        docs = raw.filter("ok").drop("ok", "raw")
+        if n_corrupt:
+            print(f"[curation] {n_corrupt} malformed JSONL lines dropped "
+                  "(lineage in the ok/raw columns of read_jsonl)")
+    else:
+        docs = read_table(spark, args.input)
     ev = read_table(spark, args.eval)
     n_in = docs.count()
 

@@ -836,3 +836,32 @@ def test_compact_dataset_small_files(spark, tmp_path):
     if len(spans) > 1:  # ranges must not all cover the full domain
         assert all(a_mx <= b_mn for (_, a_mx), (b_mn, _)
                    in zip(spans, spans[1:]))
+
+
+def test_curation_job_cli_jsonl_input(spark, tmp_path):
+    """--input-jsonl-schema: JSONL in, malformed lines dropped with a
+    count, curated parquet out — the full ingest->curate seam."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    from curation_job import main as job_main
+
+    from pdf_parser_spark.io import read_table, write_table
+
+    src = tmp_path / "in.jsonl"
+    words = " ".join(f"w{i}" for i in range(20))
+    src.write_text(
+        f'{{"doc_id": 0, "text": "clean doc {words}"}}\n'
+        'not json at all\n'
+        f'{{"doc_id": 1, "text": "other doc {words}"}}\n')
+    evp = str(tmp_path / "eval_in")
+    write_table(spark.createDataFrame(
+        [(100, "zz " * 13)], "doc_id long, text string"), evp)
+
+    out = str(tmp_path / "curated")
+    assert job_main(["--input", str(src),
+                     "--input-jsonl-schema", "doc_id long, text string",
+                     "--eval", evp, "--output", out,
+                     "--budget", "16", "--buckets", "2"]) == 0
+    got = sorted(r.doc_id for r in read_table(spark, out).collect())
+    assert got == [0, 1]

@@ -635,6 +635,32 @@ def main() -> None:
               "SortMergeJoin) and rolls up a min per candidate key."),
     )
 
+    from pdf_parser_spark.plans import stats as STT
+    audit(
+        "One-pass ANALYZE (multi-count-distinct Expand)",
+        STT.table_stats(docs, ["doc_id", "text", "lang"]),
+        requires=[r"Expand", r"HashAggregate.*Exchange.*HashAggregate"],
+        forbids=[r"Join", r"CartesianProduct",
+                 r"PythonUDF|BatchEvalPython|ArrowEval|MapInPandas"],
+        note=("Every column's rows/nulls/exact-ndv from ONE scan: the "
+              "multiple count(DISTINCT) aggregates compile to a single "
+              "Expand + partial->final aggregate (asserted); no per-"
+              "column rescan, no join, and the unpivot to long format "
+              "is a stack() projection."),
+    )
+    audit(
+        "Skew report (hot-key diagnosis)",
+        STT.skew_report(docs, "lang", top=10),
+        requires=[r"HashAggregate.*Exchange.*HashAggregate"],
+        forbids=[r"Join", r"CartesianProduct",
+                 r"PythonUDF|BatchEvalPython|ArrowEval|MapInPandas"],
+        note=("One partial-agg Exchange of (key, count) longs; the "
+              "top-N rank runs over the already-aggregated key counts "
+              "(bounded by |distinct keys|), and the ppm share is "
+              "integer arithmetic on a collected scalar — the corpus "
+              "rows themselves cross one combine-collapsed shuffle."),
+    )
+
     refine_df = S._refine_update_frame(
         S.with_norm(embs), [[0.1] * 64, [-0.1] * 64])
     audit(

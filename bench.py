@@ -36,6 +36,7 @@ from pdf_parser_spark.operators import funnel as FN  # noqa: E402
 from pdf_parser_spark.plans import bloomjoin as BJ  # noqa: E402
 from pdf_parser_spark.plans import relational as R  # noqa: E402
 from pdf_parser_spark.plans import sketch as SK  # noqa: E402
+from pdf_parser_spark.plans import stats as STT  # noqa: E402
 from pdf_parser_spark.plans import temporal as TP  # noqa: E402
 from pdf_parser_spark.operators.extract import extract_layouts  # noqa: E402
 from pdf_parser_spark.operators.markdown import to_markdown  # noqa: E402
@@ -106,6 +107,10 @@ def main() -> None:
                     [(w,) for w in ("spark", "join", "window", "table",
                                     "scan", "query", "fast", "value")],
                     "term string"), "term")),
+        "table_stats": lambda: force_count(STT.table_stats(
+            docs, ["doc_id", "text", "lang", "source", "n_chars"])),
+        "skew_report": lambda: force_count(
+            STT.skew_report(events, "user_id", top=10)),
         "bm25_topk": lambda: force_count(TS.bm25_topk(
             docs, spark.createDataFrame(
                 [(0, "spark join window"), (1, "customer query fast"),

@@ -1356,6 +1356,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["skew_report"] = q_skew_report
 
+    def q_weighted_sample(spark, sf_dir):
+        return _longify(SC.weighted_sample(
+            _tbl(spark, sf_dir, "documents"), "n_chars", k=50)
+            .select("doc_id", "es_key"))
+
+    q["weighted_sample"] = q_weighted_sample
+
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
 
@@ -3600,6 +3607,21 @@ def oracle_sql() -> dict[str, str]:
                          END, 2) AS kmv_est
             FROM km WHERE rn <= 64
             GROUP BY event_type, n_exact
+        """,
+        # Efraimidis-Spirakis weighted sample: u exact (52-bit md5 prefix
+        # fits the double mantissa; /2^52 is a power-of-two division),
+        # es key rounded 9dp out of ln, doc_id tiebreak.
+        "weighted_sample": """
+            WITH w AS (
+                SELECT doc_id,
+                       round(-ln((('0x' || substr(md5(doc_id || ':ws'),
+                                                  1, 13))::UBIGINT + 1.0)
+                                 / 4503599627370496.0)
+                             / n_chars::DOUBLE, 9) AS es_key
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0)
+            SELECT doc_id, es_key FROM w
+            ORDER BY es_key ASC, doc_id ASC LIMIT 50
         """,
         # One-pass ANALYZE: per-column rows/nulls/exact-ndv, long format.
         "table_stats": """

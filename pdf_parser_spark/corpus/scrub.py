@@ -223,3 +223,39 @@ def split_assign(df: DataFrame, val_frac: float = 0.01,
     return df.withColumn(
         "split",
         F.when(key < v, "val").when(key < t, "test").otherwise("train"))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    key_col: str = "doc_id",
+                    salt: str = "ws") -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006): each row draws a deterministic
+    uniform u from the md5 keyspace and the sample is the k smallest
+    exponential keys ``-ln(u) / w`` — exactly equivalent to drawing k
+    rows one at a time with probability proportional to ``w``, but
+    embarrassingly parallel: no sequential pass, no global state, just
+    one TakeOrderedAndProject (per-partition heap of k, driver merge
+    of k-row partials — the `unigram_surprisal` top-V shape). The
+    data-mixture primitive `mixture_sample` rate-scales strata with;
+    this one hits an exact COUNT with per-row weights (e.g. sample
+    100k documents proportional to quality score or token count).
+
+    Determinism contract: u = (first 13 md5 hex digits + 1) / 2^52 —
+    never zero, EXACT in a double (52 bits fit the mantissa, so the
+    int->double conversion cannot round differently anywhere),
+    reproducible under any repartitioning, and the same expression
+    exists verbatim in SQL. The es key is rounded 9dp
+    before ranking (ln is the one libm call; engines differ at the
+    ulp) with the id as tiebreak. Rows with NULL or non-positive
+    weight are excluded (zero weight = never sampled, the E-S
+    convention). Output: the sampled rows + their ``es_key``."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"),
+                       F.lit(":" + salt)))
+    u = ((F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 1.0)
+         / float(1 << 52))
+    es = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    return (df.filter(F.col(weight_col).isNotNull()
+                      & (F.col(weight_col) > 0))
+            .withColumn("es_key", es)
+            .orderBy(F.col("es_key").asc(), F.col(key_col).asc())
+            .limit(k))

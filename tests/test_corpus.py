@@ -866,3 +866,26 @@ def test_ivf_sq8_topk_matches_sq8_on_probed_cell(spark):
            for r in S.ivf_sq8_topk(vecs, query_id=0, k=3,
                                    n_centroids=2, n_probe=1).collect()]
     assert got == want and len(got) >= 1
+
+
+def test_weighted_sample_es_properties(spark):
+    """E-S weighted sampling: weight-proportional selection (the 500x
+    heavier row wins k=1 in the vast majority of independent draws),
+    null/zero/negative weights excluded, plan is a TakeOrdered heap."""
+    from pdf_parser_spark.corpus.scrub import weighted_sample
+
+    rows = [(0, 500.0)] + [(i, 1.0) for i in range(1, 40)]
+    rows += [(100, None), (101, 0.0), (102, -3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    wins = sum(
+        weighted_sample(df, "w", k=1, salt=f"s{i}").first().doc_id == 0
+        for i in range(20))
+    assert wins >= 14, wins  # P(win) = 500/539 per draw
+
+    sampled = weighted_sample(df, "w", k=43, salt="all")
+    ids = {r.doc_id for r in sampled.collect()}
+    assert ids == set(range(40))  # the 3 invalid-weight rows never appear
+
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -1363,6 +1363,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weighted_sample"] = q_weighted_sample
 
+    def q_hybrid_rrf(spark, sf_dir):
+        qs = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+        return _longify(TS.hybrid_rrf_topk(
+            _tbl(spark, sf_dir, "documents"), qs, k=10, k_arm=20))
+
+    q["hybrid_rrf_topk"] = q_hybrid_rrf
+
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
 
@@ -3607,6 +3614,95 @@ def oracle_sql() -> dict[str, str]:
                          END, 2) AS kmv_est
             FROM km WHERE rn <= 64
             GROUP BY event_type, n_exact
+        """,
+        # Hybrid RRF: BM25 arm (rank_lex, the bm25_topk chain at k=20) +
+        # cosine arm over the SAME hashed-BoW space (query ids offset by
+        # 2^40 in the union so the bow CTE chain runs once), fused as
+        # sum of 1/(60+rank) — exact IEEE division of small ints, no libm.
+        "hybrid_rrf_topk": f"""
+            WITH q(query_id, query) AS (VALUES {_BM25_VALUES}),
+            qt AS (SELECT DISTINCT query_id,
+                          unnest(string_split(trim(regexp_replace(
+                              lower(query), '[ \\t\\n\\x0b\\f\\r]+', ' ',
+                              'g')), ' ')) AS term
+                   FROM q),
+            d AS (SELECT doc_id, string_split({_CANON}, ' ') AS w
+                  FROM documents),
+            st AS (SELECT count(*)::BIGINT AS n,
+                          (sum(len(w))::DOUBLE / count(*)) AS avgdl
+                   FROM d),
+            t AS (SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term
+                  FROM d),
+            tf AS (SELECT doc_id, term, max(dl) AS dl,
+                          count(*)::DOUBLE AS tf
+                   FROM t WHERE term IN (SELECT term FROM qt)
+                   GROUP BY 1, 2),
+            tfd AS (SELECT *,
+                           (count(*) OVER (PARTITION BY term))::DOUBLE
+                               AS dfr
+                    FROM tf),
+            bsc AS (SELECT qt.query_id, tfd.doc_id,
+                           round(sum(
+                               round(ln(((SELECT n FROM st) - dfr + 0.5)
+                                        / (dfr + 0.5) + 1.0), 6)
+                               * (tf * (1.2 + 1.0)
+                                  / (tf + 1.2 * ((1.0 - 0.75)
+                                     + (0.75 * dl)
+                                       / (SELECT avgdl FROM st))))), 4)
+                               AS score
+                    FROM tfd JOIN qt USING (term) GROUP BY 1, 2),
+            lex AS (SELECT query_id, doc_id, rank_lex
+                    FROM (SELECT *, row_number() OVER (
+                              PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC)
+                              AS rank_lex
+                          FROM bsc)
+                    WHERE rank_lex <= 20),
+            src AS (SELECT doc_id AS bid, {_CANON} AS txt FROM documents
+                    UNION ALL
+                    SELECT query_id + 1099511627776,
+                           trim(regexp_replace(lower(query),
+                               '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
+                    FROM q),
+            {_bow_ctes("src", "bid")},
+            bnrm AS (SELECT bid, embedding AS e,
+                            sqrt(list_inner_product(embedding, embedding))
+                                AS norm
+                     FROM bemb
+                     WHERE len(embedding) > 0
+                       AND sqrt(list_inner_product(
+                               embedding, embedding)) > 0),
+            dv AS (SELECT bid AS doc_id, e, norm FROM bnrm
+                   WHERE bid < 1099511627776),
+            qv AS (SELECT bid - 1099511627776 AS query_id,
+                          e AS qe, norm AS qn
+                   FROM bnrm WHERE bid >= 1099511627776),
+            ssc AS (SELECT qv.query_id, dv.doc_id,
+                           round(list_inner_product(e, qe)
+                                 / (norm * qn), 4) AS score
+                    FROM dv, qv),
+            sem AS (SELECT query_id, doc_id, rank_sem
+                    FROM (SELECT *, row_number() OVER (
+                              PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC)
+                              AS rank_sem
+                          FROM ssc)
+                    WHERE rank_sem <= 20),
+            fused AS (
+                SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+                       coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                       round(coalesce(1.0 / (rank_lex + 60.0), 0.0)
+                             + coalesce(1.0 / (rank_sem + 60.0), 0.0), 9)
+                           AS rrf
+                FROM lex FULL OUTER JOIN sem
+                  ON lex.query_id = sem.query_id
+                 AND lex.doc_id = sem.doc_id)
+            SELECT query_id, doc_id, rrf, rank::BIGINT AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY rrf DESC, doc_id ASC) AS rank
+                  FROM fused)
+            WHERE rank <= 10
         """,
         # Efraimidis-Spirakis weighted sample: u exact (52-bit md5 prefix
         # fits the double mantissa; /2^52 is a power-of-two division),

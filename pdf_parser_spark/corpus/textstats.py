@@ -855,3 +855,64 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
             .withColumn("rank", F.row_number().over(rank_w))
             .filter(F.col("rank") <= k)
             .select("query_id", id_col, "score", "rank"))
+
+
+def hybrid_rrf_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+                    k_arm: int = 20, dims: int = 64, c: int = 60,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): fuse the BM25 lexical arm with the embedding cosine arm by
+    summing ``1/(c + rank)`` over the arms where a document appears —
+    the standard zero-tuning way to combine rankers whose raw scores
+    live on incomparable scales, and the production default for
+    RAG-style retrieval (lexical catches exact terms, the vector arm
+    catches paraphrase). Four engine operators composed end to end:
+    `bm25_topk` + `hashed_bow_embeddings` (both sides) +
+    `similarity.batch_topk` + the fusion — all in-engine,
+    deterministic, one oracle.
+
+    Engine-parity: the RRF score is a sum of at most two exact IEEE
+    divisions of small integers (no libm), so fusion itself is
+    bit-exact; each arm's rank is already engine-deterministic by its
+    own contract (scores rounded BEFORE ranking, id tiebreaks). Query
+    ids are offset by 2^40 inside the vector arm so a query's
+    embedding can never collide with (and self-exclude) a real
+    document id.
+
+    Scale shape: both arms broadcast the tiny query side and keep the
+    corpus to one scan each; the fusion joins two Q×k_arm relations —
+    scalars, AQE-broadcast regardless of corpus size."""
+    from pyspark.sql.window import Window
+
+    from pdf_parser_spark.corpus import similarity as S
+
+    lex = (bm25_topk(docs, queries, k=k_arm,
+                     id_col=id_col, text_col=text_col)
+           .select("query_id", id_col, F.col("rank").alias("rank_lex")))
+
+    qoff = 1 << 40
+    dvec = hashed_bow_embeddings(docs, dims=dims,
+                                 id_col=id_col, text_col=text_col)
+    qvec = hashed_bow_embeddings(
+        queries.select((F.col("query_id") + qoff).alias(id_col),
+                       F.col("query").alias(text_col)),
+        dims=dims, id_col=id_col, text_col=text_col)
+    sem_w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    sem = (S.batch_topk(dvec, qvec, k=k_arm, id_col=id_col)
+           .withColumn("rank_sem", F.row_number().over(sem_w))
+           .select((F.col("query_id") - qoff).alias("query_id"),
+                   F.col(id_col), "rank_sem"))
+
+    rrf = F.round(
+        F.coalesce(1.0 / (F.col("rank_lex") + F.lit(float(c))), F.lit(0.0))
+        + F.coalesce(1.0 / (F.col("rank_sem") + F.lit(float(c))),
+                     F.lit(0.0)), 9)
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col(id_col).asc())
+    return (lex.join(sem, ["query_id", id_col], "full_outer")
+            .withColumn("rrf", rrf)
+            .withColumn("rank", F.row_number().over(rank_w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "rrf", "rank"))

@@ -116,6 +116,12 @@ def main() -> None:
                 [(0, "spark join window"), (1, "customer query fast"),
                  (2, "vector scan stream")],
                 "query_id long, query string"), k=10)),
+        "hybrid_rrf_topk": lambda: force_count(TS.hybrid_rrf_topk(
+            docs, spark.createDataFrame(
+                [(0, "spark join window"), (1, "customer query fast")],
+                "query_id long, query string"), k=10)),
+        "weighted_sample": lambda: force_count(
+            SC.weighted_sample(docs, "n_chars", k=100)),
         "dedup_incremental": lambda: force_count(D.incremental_dedup_keep(
             docs.filter(F.col("doc_id") % 3 == 0),
             docs.filter(F.col("doc_id") % 3 != 0), threshold=0.5)),

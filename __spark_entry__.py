@@ -1370,6 +1370,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_rrf_topk"] = q_hybrid_rrf
 
+    def q_hist_quantiles(spark, sf_dir):
+        from pdf_parser_spark.plans import stats as ST
+        return _longify(ST.histogram_quantiles(
+            _tbl(spark, sf_dir, "events"), "value",
+            ps=(0.5, 0.9, 0.99), bins=128))
+
+    q["hist_quantiles"] = q_hist_quantiles
+
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
 
@@ -3744,6 +3752,39 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'n_chars',
                        count(CASE WHEN n_chars IS NULL THEN 1 END),
                        count(DISTINCT n_chars) FROM documents) c
+        """,
+        # Equi-width histogram quantiles: bin rule + interpolation are
+        # plain IEEE arithmetic both engines replay; p cast DOUBLE
+        # explicitly (a bare 0.5 literal is DECIMAL in DuckDB and its
+        # decimal multiply forks the target rank).
+        "hist_quantiles": """
+            WITH s AS (SELECT min(value) AS lo, max(value) AS hi,
+                              count(value)::BIGINT AS n
+                       FROM events),
+            p AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p),
+            bc AS (SELECT least(floor((value - (SELECT lo FROM s))
+                                      / ((SELECT hi FROM s)
+                                         - (SELECT lo FROM s)) * 128),
+                                127)::BIGINT AS bin,
+                          count(*)::BIGINT AS cnt
+                   FROM events WHERE value IS NOT NULL GROUP BY 1),
+            h AS (SELECT bin, cnt,
+                         sum(cnt) OVER (ORDER BY bin
+                                        ROWS UNBOUNDED PRECEDING)::BIGINT
+                             AS cum
+                  FROM bc),
+            j AS (SELECT p.p, h.bin, h.cnt, h.cum,
+                         row_number() OVER (PARTITION BY p.p
+                                            ORDER BY h.bin) AS rn
+                  FROM p JOIN h ON h.cum >= p.p * (SELECT n FROM s))
+            SELECT p,
+                   round((SELECT lo FROM s)
+                         + bin * (((SELECT hi FROM s)
+                                   - (SELECT lo FROM s)) / 128)
+                         + (p * (SELECT n FROM s) - (cum - cnt)) / cnt
+                           * (((SELECT hi FROM s)
+                               - (SELECT lo FROM s)) / 128), 6) AS est
+            FROM j WHERE rn = 1
         """,
         # Skew diagnosis: top-10 heaviest keys, integer ppm share,
         # NULL reported as a key, tie-break NULLS FIRST pinned.

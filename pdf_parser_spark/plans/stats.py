@@ -73,3 +73,55 @@ def skew_report(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
             .filter(F.col("rank") <= top)
             .select(F.col("key").cast("string").alias("key"),
                     "cnt", "ppm", "rank"))
+
+
+def histogram_quantiles(df: DataFrame, value_col: str,
+                        ps: tuple = (0.5, 0.9, 0.99),
+                        bins: int = 128) -> DataFrame:
+    """Quantile estimation from a fixed-grid histogram — the bounded-
+    state member of the sketch trio (`distinct_kmv` cardinality,
+    `cms_sketch` frequency, this one order statistics). An exact
+    percentile sorts or windows the full column; the histogram needs
+    ONE partial-agg Exchange of at most ``bins`` longs (mergeable:
+    histograms add cell-wise), then interpolates each requested p
+    inside its bucket — error bounded by the bin width, the classic
+    DB2/Postgres equi-width ANALYZE histogram. Engine-exact where
+    t-digest/GK sketches are implementation-private: the bin rule
+    ``least(floor((x-lo)/(hi-lo)*B), B-1)`` and the interpolation are
+    plain IEEE arithmetic both engines replay (estimates rounded 6dp).
+
+    lo/hi are the measured min/max (two scalars, collected once with
+    the non-null count). NULL values are excluded (percentile
+    semantics). Degenerate all-equal columns return that value for
+    every p. Output: (p, est) per requested percentile."""
+    from pyspark.sql import Row
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    s = df.agg(F.min(value_col).alias("lo"), F.max(value_col).alias("hi"),
+               F.count(value_col).alias("n")).first()
+    lo, hi, n = float(s["lo"]), float(s["hi"]), int(s["n"])
+    pdf = spark.createDataFrame([Row(p=float(p)) for p in ps])
+    if hi == lo:
+        return pdf.select("p", F.round(F.lit(lo), 6).alias("est"))
+
+    b = F.least(F.floor((F.col(value_col) - lo) / (hi - lo) * bins),
+                F.lit(bins - 1)).cast("long")
+    counts = (df.filter(F.col(value_col).isNotNull())
+              .groupBy(b.alias("bin"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    cum = F.sum("cnt").over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+    hist = counts.select("bin", "cnt", cum.alias("cum"))
+
+    width = (hi - lo) / bins
+    target = F.col("p") * n
+    est = (F.lit(lo) + F.col("bin") * width
+           + (target - (F.col("cum") - F.col("cnt")))
+           / F.col("cnt") * width)
+    # first bin whose cumulative count reaches the target rank
+    pick = Window.partitionBy("p").orderBy("bin")
+    return (pdf.join(hist, F.col("cum") >= target)
+            .withColumn("_rn", F.row_number().over(pick))
+            .filter(F.col("_rn") == 1)
+            .select("p", F.round(est, 6).alias("est")))

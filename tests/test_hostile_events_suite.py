@@ -22,7 +22,7 @@ EVENT_GATES = [
     "asof_join_latest", "interval_join_events", "hyper_rollup",
     "distinct_kmv", "rate_anomaly", "funnel_stages", "funnel_counts",
     "value_percentiles", "retention_cohorts", "zorder_key",
-    "skew_report",
+    "skew_report", "hist_quantiles",
 ]
 ORDER_GATES = ["merge_upsert", "scd2_history"]
 

@@ -280,3 +280,25 @@ def test_rate_anomaly_zscore_math(spark):
     var = (q - s * s / n) / (n - 1)
     want = round((20 - mean) / math.sqrt(var), 4)
     assert spike2.z == want and spike2.z > 3
+
+
+def test_histogram_quantiles_accuracy_and_edges(spark):
+    """Histogram quantile estimates land within one bin width of the
+    exact percentile; nulls excluded; the all-equal column degenerates
+    to the constant."""
+    from pdf_parser_spark.plans.stats import histogram_quantiles
+
+    vals = [(float(i),) for i in range(1, 1001)] + [(None,)]
+    df = spark.createDataFrame(vals, "value double")
+    est = {r.p: r.est for r in histogram_quantiles(
+        df, "value", ps=(0.5, 0.9, 0.99), bins=100).collect()}
+    width = (1000.0 - 1.0) / 100
+    import numpy as np
+    arr = np.arange(1, 1001, dtype=float)
+    for p, e in est.items():
+        exact = float(np.quantile(arr, p))
+        assert abs(e - exact) <= width + 1e-6, (p, e, exact)
+
+    same = spark.createDataFrame([(7.5,)] * 10, "value double")
+    out = histogram_quantiles(same, "value", ps=(0.5, 0.99)).collect()
+    assert all(r.est == 7.5 for r in out)

@@ -865,3 +865,25 @@ def test_curation_job_cli_jsonl_input(spark, tmp_path):
                      "--budget", "16", "--buckets", "2"]) == 0
     got = sorted(r.doc_id for r in read_table(spark, out).collect())
     assert got == [0, 1]
+
+
+def test_profile_job_cli(spark, tmp_path):
+    """profile_job: stats + skew + quantiles relations written, summary
+    fields populated."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    from profile_job import main as job_main
+
+    from pdf_parser_spark.io import read_table
+
+    out = str(tmp_path / "profile")
+    assert job_main(["--input", "/root/testdata/sf0.001/documents.parquet",
+                     "--output", out, "--key-col", "lang",
+                     "--numeric-col", "n_chars"]) == 0
+    st = {r.column: r for r in read_table(spark, out + "/table_stats").collect()}
+    assert st["doc_id"].ndv == st["doc_id"].n_rows
+    sk = read_table(spark, out + "/skew").collect()
+    assert len(sk) <= 10 and sk[0].rank == 1
+    qs = {r.p: r.est for r in read_table(spark, out + "/quantiles").collect()}
+    assert set(qs) == {0.5, 0.9, 0.99} and qs[0.5] <= qs[0.9] <= qs[0.99]

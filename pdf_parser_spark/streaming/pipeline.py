@@ -311,3 +311,78 @@ def merged_snapshot(spark: SparkSession, state_dir: str,
     df = (spark.read.parquet(os.path.join(state_dir, cur))
           .filter(F.col("_del") == 0).drop("_rank_ts", "_del"))
     return df.select(*cols) if cols else df
+
+
+def stream_sketch_counts(stream: DataFrame, state_dir: str,
+                         checkpoint_dir: str, key_col: str,
+                         depth: int = 4, width: int = 256,
+                         available_now: bool = True):
+    """Streaming Count-Min maintenance: keep a live frequency sketch of
+    a key stream (hot-conversation / hot-key detection at ingest time)
+    with state bounded at depth*width longs FOREVER — the streaming
+    payoff of a mergeable sketch. Each micro-batch builds its own
+    `plans.sketch.cms_sketch` and merges cell-wise (integer sum —
+    associative and commutative), so the streamed state equals the
+    batch sketch over the same rows BIT FOR BIT regardless of how the
+    stream splits into batches (pinned by test); the checkpoint makes
+    batch application exactly-once, so replays cannot double-count.
+
+    State storage is the `stream_merge_changes` versioned-pointer
+    protocol (plain parquet has no transactional update; the pointer
+    swap is the commit point) — but unlike the merge state, which is
+    O(keys), this state is O(depth*width) no matter how many keys ever
+    flow: rewriting it per batch costs a constant ~1024 rows. Query the
+    live sketch with `plans.sketch.cms_estimate` over the `_LATEST`
+    version."""
+    import os
+    import shutil
+
+    from pdf_parser_spark.plans.sketch import cms_sketch
+
+    spark = stream.sparkSession
+    ptr = os.path.join(state_dir, "_LATEST")
+    if not os.path.exists(ptr):
+        os.makedirs(state_dir, exist_ok=True)
+        spark.createDataFrame(
+            [], "row long, cell long, cnt long"
+        ).write.mode("overwrite").parquet(os.path.join(state_dir, "v0"))
+        with open(ptr, "w", encoding="utf-8") as f:
+            f.write("v0")
+
+    def _sketch_batch(batch: DataFrame, epoch_id: int) -> None:
+        with open(ptr, encoding="utf-8") as f:
+            cur = f.read().strip()
+        state = spark.read.parquet(os.path.join(state_dir, cur))
+        bs = cms_sketch(batch, key_col, depth=depth, width=width)
+        nxt = (state.unionByName(bs)
+               .groupBy("row", "cell")
+               .agg(F.sum("cnt").alias("cnt")))
+        cur_n = int(cur[1:])
+        nxt_name = f"v{cur_n + 1}"
+        nxt.write.mode("overwrite").parquet(
+            os.path.join(state_dir, nxt_name))
+        tmp = ptr + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(nxt_name)
+        os.replace(tmp, ptr)
+        for name in os.listdir(state_dir):
+            if (name.startswith("v") and name[1:].isdigit()
+                    and int(name[1:]) < cur_n):
+                shutil.rmtree(os.path.join(state_dir, name),
+                              ignore_errors=True)
+
+    writer = (stream.writeStream
+              .foreachBatch(_sketch_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sketch_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the live CMS state (the `_LATEST` version)."""
+    import os
+
+    with open(os.path.join(state_dir, "_LATEST"), encoding="utf-8") as f:
+        cur = f.read().strip()
+    return spark.read.parquet(os.path.join(state_dir, cur))

@@ -533,3 +533,37 @@ def test_stream_merge_tombstone_out_of_order(spark, tmp_path):
 
     vdirs = sorted(n for n in os.listdir(state) if n.startswith("v"))
     assert vdirs == ["v2", "v3"], vdirs
+
+
+def test_stream_sketch_matches_batch(spark, transcripts_sf0001, tmp_path):
+    """The streamed CMS over multiple micro-batches equals the batch
+    sketch bit-for-bit (cell-wise integer merge is associative), state
+    stays bounded at depth*width rows, and a re-trigger on the same
+    checkpoint adds nothing (exactly-once)."""
+    from pdf_parser_spark.plans.sketch import cms_sketch
+    from pdf_parser_spark.streaming.pipeline import (
+        read_transcript_stream,
+        sketch_snapshot,
+        stream_sketch_counts,
+    )
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_sketch_counts(
+            read_transcript_stream(spark, transcripts_sf0001,
+                                   max_files_per_trigger=2),
+            state, ckpt, "conv_id", depth=3, width=64)
+        q.awaitTermination(300)
+
+    run()
+    got = sorted(map(tuple, sketch_snapshot(spark, state).collect()))
+    want = sorted(map(tuple, cms_sketch(
+        spark.read.parquet(transcripts_sf0001), "conv_id",
+        depth=3, width=64).collect()))
+    assert got == want and len(got) <= 3 * 64
+
+    run()  # nothing new on the same checkpoint -> state unchanged
+    assert sorted(map(tuple,
+                      sketch_snapshot(spark, state).collect())) == want

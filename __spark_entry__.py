@@ -1378,6 +1378,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hist_quantiles"] = q_hist_quantiles
 
+    def q_link_extract(spark, sf_dir):
+        from pdf_parser_spark.corpus import links as LK
+        tr = _transcripts(spark, sf_dir).filter(F.col("tool") == "html/v1")
+        return _longify(LK.extract_links(tr))
+
+    q["link_extract"] = q_link_extract
+
+    def q_link_pagerank(spark, sf_dir):
+        from pdf_parser_spark.corpus import links as LK
+        tr = _transcripts(spark, sf_dir).filter(F.col("tool") == "html/v1")
+        edges = LK.extract_links(tr).select(
+            F.col("conv_id").alias("src"), F.col("href").alias("dst"))
+        return _longify(LK.pagerank(edges, iters=2))
+
+    q["link_pagerank"] = q_link_pagerank
+
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
 
@@ -3752,6 +3768,73 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'n_chars',
                        count(CASE WHEN n_chars IS NULL THEN 1 END),
                        count(DISTINCT n_chars) FROM documents) c
+        """,
+        # Hyperlink edge extraction: one regexp pass, lockstep unnest of
+        # the two capture groups with their ordinal.
+        "link_extract": f"""
+            WITH h AS (
+                SELECT conv_id, turn_idx,
+                       regexp_extract_all(text,
+                           '<a href="([^"]*)">([^<]*)</a>', 1) AS hs,
+                       regexp_extract_all(text,
+                           '<a href="([^"]*)">([^<]*)</a>', 2) AS ans
+                FROM read_parquet(
+                    '{transcripts_path(ORACLE_SF)}/*.parquet')
+                WHERE tool = 'html/v1')
+            SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+                   unnest([i FOR i IN range(0, len(hs))])::BIGINT
+                       AS link_idx,
+                   unnest(hs) AS href, unnest(ans) AS anchor
+            FROM h
+        """,
+        # PageRank, 2 iterations UNROLLED (the kmeans_refine protocol):
+        # ranks rounded 9dp at every boundary; the dangling mass is a
+        # sum of exact 1e-9 integer units so it cannot drift ulps.
+        "link_pagerank": f"""
+            WITH e AS (
+                SELECT conv_id AS src,
+                       unnest(regexp_extract_all(text,
+                           '<a href="([^"]*)">([^<]*)</a>', 1)) AS dst
+                FROM read_parquet(
+                    '{transcripts_path(ORACLE_SF)}/*.parquet')
+                WHERE tool = 'html/v1'),
+            nd AS (SELECT src AS node FROM e
+                   UNION SELECT dst FROM e),
+            cnt AS (SELECT count(*)::BIGINT AS n FROM nd),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+                    FROM e GROUP BY 1),
+            r0 AS (SELECT node,
+                          round(1.0 / (SELECT n FROM cnt), 9) AS r
+                   FROM nd),
+            d1 AS (SELECT coalesce(sum(CAST(round(r * 1e9) AS BIGINT)),
+                                   0) AS u
+                   FROM r0 LEFT JOIN deg USING (node)
+                   WHERE outdeg IS NULL),
+            c1 AS (SELECT e.dst AS node, sum(r0.r / deg.outdeg) AS s
+                   FROM e JOIN r0 ON r0.node = e.src
+                          JOIN deg ON deg.node = e.src
+                   GROUP BY 1),
+            r1 AS (SELECT nd.node,
+                          round((((1.0 - 0.85) / (SELECT n FROM cnt))
+                                 + (0.85 * (((SELECT u FROM d1)::DOUBLE
+                                             / 1e9)
+                                            / (SELECT n FROM cnt))))
+                                + 0.85 * coalesce(c1.s, 0.0), 9) AS r
+                   FROM nd LEFT JOIN c1 ON c1.node = nd.node),
+            d2 AS (SELECT coalesce(sum(CAST(round(r * 1e9) AS BIGINT)),
+                                   0) AS u
+                   FROM r1 LEFT JOIN deg USING (node)
+                   WHERE outdeg IS NULL),
+            c2 AS (SELECT e.dst AS node, sum(r1.r / deg.outdeg) AS s
+                   FROM e JOIN r1 ON r1.node = e.src
+                          JOIN deg ON deg.node = e.src
+                   GROUP BY 1)
+            SELECT nd.node,
+                   round((((1.0 - 0.85) / (SELECT n FROM cnt))
+                          + (0.85 * (((SELECT u FROM d2)::DOUBLE / 1e9)
+                                     / (SELECT n FROM cnt))))
+                         + 0.85 * coalesce(c2.s, 0.0), 9) AS r
+            FROM nd LEFT JOIN c2 ON c2.node = nd.node
         """,
         # Equi-width histogram quantiles: bin rule + interpolation are
         # plain IEEE arithmetic both engines replay; p cast DOUBLE

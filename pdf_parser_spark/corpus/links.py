@@ -1,0 +1,94 @@
+"""Link-graph operators: hyperlink extraction and PageRank.
+
+The web-scale corpus primitives the HTML side of the north rule implies:
+`extract_links` turns the raw HTML turns into an edge relation (the
+link graph every crawl pipeline materializes), and `pagerank` runs the
+canonical iterative graph centrality over it — the classic quality
+prior for crawl corpora (and the original reason MapReduce-style
+engines exist). Extraction is one codegen regexp pass (the reference's
+DOM tokenizer handles layout; links only need the anchor-tag grammar,
+ref /root/reference/pdf_extractor_protocol.py HTML handling); PageRank
+is the `dedup.connected_components` pattern — per-iteration bounded
+driver traffic, rounded state at every boundary so an unrolled SQL
+twin replays it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# anchor-tag grammar: double-quoted href, text up to the closing tag.
+# No \s classes anywhere (the Java-vs-RE2 \x0B fork, dedup.WS_CHARS).
+LINK_RE = '<a href="([^"]*)">([^<]*)</a>'
+
+
+def extract_links(df: DataFrame, id_cols: tuple = ("conv_id", "turn_idx"),
+                  text_col: str = "text") -> DataFrame:
+    """Hyperlink edge extraction: one whole-stage-codegen projection —
+    two `regexp_extract_all` group captures zipped and position-exploded
+    into (id..., link_idx, href, anchor) rows. No DOM parse, no Python:
+    the anchor-tag regex is the whole grammar, so a 100 TB crawl pays
+    exactly one scan. Turns without links emit nothing."""
+    hrefs = F.expr(f"regexp_extract_all({text_col}, '{LINK_RE}', 1)")
+    anchors = F.expr(f"regexp_extract_all({text_col}, '{LINK_RE}', 2)")
+    return (df.select(*id_cols,
+                      F.posexplode(F.arrays_zip(hrefs.alias("h"),
+                                                anchors.alias("a"))))
+            .select(*id_cols,
+                    F.col("pos").cast("long").alias("link_idx"),
+                    F.col("col.h").alias("href"),
+                    F.col("col.a").alias("anchor")))
+
+
+def pagerank(edges: DataFrame, iters: int = 2, d: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """PageRank with uniform teleport and dangling-mass redistribution:
+
+        r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + D/N)
+
+    where D is the total rank sitting on dangling nodes (no out-edges).
+
+    Distributed shape (the `connected_components` discipline): each
+    iteration is ONE contribution shuffle keyed on dst — the edge
+    relation joins the current ranks (broadcast when small, hash-join
+    otherwise) and partially aggregates r/outdeg per dst; the dangling
+    mass D is ONE driver scalar per iteration, summed as exact 1e-9
+    integer units (ranks are 9dp-rounded state, so D is
+    order-independent and engine-exact where a float sum would drift
+    ulps into the boundary). Ranks are rounded 9dp at every iteration
+    boundary — the `kmeans_refine` protocol that lets an UNROLLED SQL
+    twin replay an iterative distributed algorithm hash-for-hash.
+    State is localCheckpointed per iteration (lineage would otherwise
+    double per round). Duplicate edges count twice by design (parallel
+    links = stronger endorsement); pre-`distinct` to change that."""
+    nodes = (edges.select(F.col(src_col).alias("node"))
+             .union(edges.select(F.col(dst_col).alias("node")))
+             .distinct().localCheckpoint())
+    n = nodes.count()
+    deg = edges.groupBy(F.col(src_col).alias("node")) \
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("node", F.round(F.lit(1.0 / n), 9).alias("r")) \
+        .localCheckpoint()
+
+    for _ in range(iters):
+        with_deg = ranks.join(deg, "node", "left")
+        dangling = (with_deg.filter(F.col("outdeg").isNull())
+                    .agg(F.sum(F.round(F.col("r") * 1e9)
+                               .cast("long")).alias("units"))
+                    .first()["units"]) or 0
+        dmass = float(dangling) / 1e9
+        contrib = (edges
+                   .join(with_deg.filter(F.col("outdeg").isNotNull()),
+                         edges[src_col] == F.col("node"))
+                   .select(F.col(dst_col).alias("node"),
+                           (F.col("r") / F.col("outdeg")).alias("c")))
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        base = (1.0 - d) / n + d * (dmass / n)
+        ranks = (nodes.join(summed, "node", "left")
+                 .select("node",
+                         F.round(F.lit(base)
+                                 + d * F.coalesce(F.col("s"), F.lit(0.0)),
+                                 9).alias("r"))
+                 .localCheckpoint())
+    return ranks

@@ -889,3 +889,27 @@ def test_weighted_sample_es_properties(spark):
 
     plan = sampled._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pagerank_properties(spark):
+    """PageRank invariants on a known graph: total mass conserved
+    (teleport + dangling redistribution), the hub-endorsed node
+    outranks peers, extraction feeds it end to end."""
+    from pdf_parser_spark.corpus.links import extract_links, pagerank
+
+    # a,b,c all -> d; d dangles; e -> a
+    edges = spark.createDataFrame(
+        [("a", "d"), ("b", "d"), ("c", "d"), ("e", "a")],
+        "src string, dst string")
+    r = {row.node: row.r for row in pagerank(edges, iters=3).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-6     # mass conserved
+    assert r["d"] == max(r.values())             # 3 in-links wins
+    assert r["a"] > r["b"]                       # endorsed > plain
+
+    html = spark.createDataFrame(
+        [("c1", 0, '<a href="/x">one</a> no link <a href="/y">two</a>'),
+         ("c2", 0, "plain text, zero links")],
+        "conv_id string, turn_idx int, text string")
+    links = extract_links(html).collect()
+    assert [(l.conv_id, l.link_idx, l.href, l.anchor) for l in links] \
+        == [("c1", 0, "/x", "one"), ("c1", 1, "/y", "two")]

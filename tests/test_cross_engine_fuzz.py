@@ -194,3 +194,50 @@ def test_token_counts_cross_engine(spark, fuzz_pdf):
         FROM docs""").fetchall()}
     diffs = [(k, got[k], want[k]) for k in want if got[k] != want[k]]
     assert not diffs, diffs[:5]
+
+
+def test_link_regex_cross_engine_hostile_html(spark):
+    """The anchor-tag grammar must fork nowhere between Java regex
+    (engine) and RE2/DuckDB (oracle): hostile HTML — empty hrefs,
+    unicode anchors, unclosed tags, attributes after href, quotes and
+    regex metachars in text, multiple links per line, nested angle
+    brackets."""
+    import duckdb
+
+    from pdf_parser_spark.corpus.links import extract_links
+
+    cases = [
+        '<a href="">empty href</a>',
+        '<a href="/ünïcode">ünïcode änchor €</a>',
+        '<a href="/a">one</a><a href="/b">two</a><a href="/c"></a>',
+        '<a href="/unclosed">no end tag',
+        '<a href="/x" class="btn">attr after href</a>',
+        '<a href=\'/single\'>single quotes</a>',
+        '<a href="/meta">.*+?[]{}()|^$\\</a>',
+        'text <a href="/mid">mid</a> text <b><a href="/n">n</a></b>',
+        '<A HREF="/upper">case</A>',
+        '<a  href="/twospace">two spaces</a>',
+        '<a href="/gt>inside">gt in href</a>',
+        '<a href="/tab">an\tchor</a>',
+        '',
+        'no links at all',
+        '<a href="/dup">same</a> <a href="/dup">same</a>',
+    ]
+    rows = [(f"c{i}", 0, t) for i, t in enumerate(cases)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = sorted((r.conv_id, r.link_idx, r.href, r.anchor)
+                 for r in extract_links(df).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (conv_id VARCHAR, turn_idx INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(map(tuple, con.execute("""
+        WITH h AS (
+            SELECT conv_id,
+                   regexp_extract_all(text, '<a href="([^"]*)">([^<]*)</a>', 1) AS hs,
+                   regexp_extract_all(text, '<a href="([^"]*)">([^<]*)</a>', 2) AS ans
+            FROM t)
+        SELECT conv_id, unnest([i FOR i IN range(0, len(hs))]) AS idx,
+               unnest(hs), unnest(ans)
+        FROM h""").fetchall()))
+    assert got == [(c, int(i), h, a) for c, i, h, a in want]

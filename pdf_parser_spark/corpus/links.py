@@ -80,23 +80,34 @@ def pagerank(edges: DataFrame, iters: int = 2, d: float = 0.85,
         .localCheckpoint()
 
     for _ in range(iters):
-        with_deg = ranks.join(deg, "node", "left")
-        dangling = (with_deg.filter(F.col("outdeg").isNull())
-                    .agg(F.sum(F.round(F.col("r") * 1e9)
-                               .cast("long")).alias("units"))
-                    .first()["units"]) or 0
-        dmass = float(dangling) / 1e9
-        contrib = (edges
-                   .join(with_deg.filter(F.col("outdeg").isNotNull()),
-                         edges[src_col] == F.col("node"))
-                   .select(F.col(dst_col).alias("node"),
-                           (F.col("r") / F.col("outdeg")).alias("c")))
-        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        base = (1.0 - d) / n + d * (dmass / n)
-        ranks = (nodes.join(summed, "node", "left")
-                 .select("node",
-                         F.round(F.lit(base)
-                                 + d * F.coalesce(F.col("s"), F.lit(0.0)),
-                                 9).alias("r"))
-                 .localCheckpoint())
+        ranks = _pagerank_iteration(
+            nodes, edges, deg, ranks, d, n,
+            src_col=src_col, dst_col=dst_col).localCheckpoint()
     return ranks
+
+
+def _pagerank_iteration(nodes: DataFrame, edges: DataFrame,
+                        deg: DataFrame, ranks: DataFrame,
+                        d: float, n: int, src_col: str = "src",
+                        dst_col: str = "dst") -> DataFrame:
+    """One un-checkpointed PageRank step (split out so the plan audit
+    can assert the iteration's physical shape before the checkpoint
+    collapses it to a Scan ExistingRDD)."""
+    with_deg = ranks.join(deg, "node", "left")
+    dangling = (with_deg.filter(F.col("outdeg").isNull())
+                .agg(F.sum(F.round(F.col("r") * 1e9)
+                           .cast("long")).alias("units"))
+                .first()["units"]) or 0
+    dmass = float(dangling) / 1e9
+    contrib = (edges
+               .join(with_deg.filter(F.col("outdeg").isNotNull()),
+                     edges[src_col] == F.col("node"))
+               .select(F.col(dst_col).alias("node"),
+                       (F.col("r") / F.col("outdeg")).alias("c")))
+    summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+    base = (1.0 - d) / n + d * (dmass / n)
+    return (nodes.join(summed, "node", "left")
+            .select("node",
+                    F.round(F.lit(base)
+                            + d * F.coalesce(F.col("s"), F.lit(0.0)),
+                            9).alias("r")))

@@ -635,6 +635,48 @@ def main() -> None:
               "SortMergeJoin) and rolls up a min per candidate key."),
     )
 
+    from pdf_parser_spark.corpus import links as LKP
+    from pdf_parser_spark.corpus.scrub import weighted_sample
+    pr_edges = LKP.extract_links(tr.filter(F.col("tool") == "html/v1")) \
+        .select(F.col("conv_id").alias("src"),
+                F.col("href").alias("dst")).localCheckpoint()
+    pr_nodes = (pr_edges.select(F.col("src").alias("node"))
+                .union(pr_edges.select("dst"))
+                .distinct().localCheckpoint())
+    pr_deg = pr_edges.groupBy(F.col("src").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    pr_n = pr_nodes.count()
+    pr_r0 = pr_nodes.select(
+        "node", F.round(F.lit(1.0 / pr_n), 9).alias("r")).localCheckpoint()
+    audit(
+        "PageRank iteration (contribution shuffle + checkpointed state)",
+        LKP._pagerank_iteration(pr_nodes, pr_edges, pr_deg, pr_r0,
+                                0.85, pr_n),
+        requires=[r"HashAggregate.*Exchange.*HashAggregate",
+                  r"Scan ExistingRDD"],
+        forbids=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                 r"PythonUDF|BatchEvalPython|ArrowEval|MapInPandas"],
+        note=("One iteration = one contribution aggregate "
+              "(partial->final, asserted) keyed on dst plus a driver "
+              "scalar for the dangling mass; the edge/node/rank state "
+              "is localCheckpointed (Scan ExistingRDD, asserted) so "
+              "NOTHING upstream re-runs per iteration — the sf1 run "
+              "caught the un-checkpointed form re-running the regexp "
+              "extraction every iteration (11x wall). No cartesian or "
+              "nested-loop join anywhere (asserted)."),
+    )
+    audit(
+        "Weighted sample (E-S exponential keys, top-k heap)",
+        weighted_sample(docs, "n_chars", k=50),
+        requires=[r"TakeOrderedAndProject"],
+        forbids=[r"Exchange hashpartitioning", r"Join",
+                 r"PythonUDF|BatchEvalPython|ArrowEval|MapInPandas"],
+        note=("Weighted sampling WITHOUT replacement as one "
+              "TakeOrderedAndProject (asserted): per-partition heap of "
+              "k exponential keys, driver merge — no sequential draw, "
+              "no global sort, no hash shuffle (asserted)."),
+    )
+
     from pdf_parser_spark.plans import stats as STT
     audit(
         "One-pass ANALYZE (multi-count-distinct Expand)",

@@ -1404,6 +1404,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_model_score"] = q_quality_model_score
 
+    def q_link_hits(spark, sf_dir):
+        from pdf_parser_spark.corpus import links as LK
+        tr = _transcripts(spark, sf_dir).filter(F.col("tool") == "html/v1")
+        edges = LK.extract_links(tr).select(
+            F.col("conv_id").alias("src"), F.col("href").alias("dst"))
+        return _longify(LK.hits(edges, iters=1))
+
+    q["link_hits"] = q_link_hits
+
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
 
@@ -3856,6 +3865,43 @@ def oracle_sql() -> dict[str, str]:
                                      / (SELECT n FROM cnt))))
                          + 0.85 * coalesce(c2.s, 0.0), 9) AS r
             FROM nd LEFT JOIN c2 ON c2.node = nd.node
+        """,
+        # HITS hubs/authorities, 1 iteration unrolled: each half-step
+        # rounds 9dp then L1-normalizes by an exact integer-unit sum.
+        "link_hits": f"""
+            WITH e AS (
+                SELECT conv_id AS src,
+                       unnest(regexp_extract_all(text,
+                           '<a href="([^"]*)">([^<]*)</a>', 1)) AS dst
+                FROM read_parquet(
+                    '{transcripts_path(ORACLE_SF)}/*.parquet')
+                WHERE tool = 'html/v1'),
+            nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            h0 AS (SELECT node, 1.0 AS hub FROM nd),
+            ar AS (SELECT e.dst AS node, sum(h0.hub) AS raw
+                   FROM e JOIN h0 ON h0.node = e.src GROUP BY 1),
+            a9 AS (SELECT nd.node, round(coalesce(ar.raw, 0.0), 9)
+                          AS auth
+                   FROM nd LEFT JOIN ar USING (node)),
+            ua AS (SELECT sum(CAST(round(auth * 1e9) AS BIGINT)) AS u
+                   FROM a9),
+            an AS (SELECT node,
+                          round(auth / ((SELECT u FROM ua)::DOUBLE
+                                        / 1e9), 9) AS auth
+                   FROM a9),
+            hr AS (SELECT e.src AS node, sum(an.auth) AS raw
+                   FROM e JOIN an ON an.node = e.dst GROUP BY 1),
+            h9 AS (SELECT nd.node, round(coalesce(hr.raw, 0.0), 9)
+                          AS hub
+                   FROM nd LEFT JOIN hr USING (node)),
+            uh AS (SELECT sum(CAST(round(hub * 1e9) AS BIGINT)) AS u
+                   FROM h9),
+            hn AS (SELECT node,
+                          round(hub / ((SELECT u FROM uh)::DOUBLE
+                                       / 1e9), 9) AS hub
+                   FROM h9)
+            SELECT hn.node, hn.hub, an.auth
+            FROM hn JOIN an USING (node)
         """,
         # Equi-width histogram quantiles: bin rule + interpolation are
         # plain IEEE arithmetic both engines replay; p cast DOUBLE

@@ -111,3 +111,53 @@ def _pagerank_iteration(nodes: DataFrame, edges: DataFrame,
                     F.round(F.lit(base)
                             + d * F.coalesce(F.col("s"), F.lit(0.0)),
                             9).alias("r")))
+
+
+def hits(edges: DataFrame, iters: int = 1,
+         src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) — PageRank's
+    bipartite sibling, the natural centrality for link graphs where
+    sources and targets play different roles (conversations CITE
+    section pages; pages are ENDORSED): per iteration, authority(v) =
+    Σ hub(u) over u→v, then hub(u) = Σ authority(v) over u→v, each
+    L1-normalized.
+
+    Same distributed discipline as `pagerank`: edges/nodes
+    materialized once, each half-step is ONE contribution shuffle, and
+    the L1 normalizer is a driver scalar summed as exact 1e-9 integer
+    units over the 9dp-rounded scores (order-independent, so the
+    unrolled SQL twin replays every stage hash-for-hash). Output:
+    (node, hub, auth), both rounded 9dp."""
+    edges = edges.localCheckpoint()
+    nodes = (edges.select(F.col(src_col).alias("node"))
+             .union(edges.select(F.col(dst_col).alias("node")))
+             .distinct().localCheckpoint())
+
+    def _normalize(scores: DataFrame, col: str) -> DataFrame:
+        units = (scores.agg(F.sum(F.round(F.col(col) * 1e9)
+                                  .cast("long")).alias("u"))
+                 .first()["u"]) or 0
+        s = float(units) / 1e9
+        if s == 0.0:
+            return scores
+        return scores.select("node",
+                             F.round(F.col(col) / s, 9).alias(col))
+
+    def _step(scores: DataFrame, score_col: str, key_in: str,
+              key_out: str, out_col: str) -> DataFrame:
+        raw = (edges.join(scores, edges[key_in] == F.col("node"))
+               .groupBy(F.col(key_out).alias("n2"))
+               .agg(F.sum(score_col).alias("raw")))
+        nine = (nodes.join(raw, nodes["node"] == F.col("n2"), "left")
+                .select("node",
+                        F.round(F.coalesce(F.col("raw"), F.lit(0.0)), 9)
+                        .alias(out_col)))
+        return _normalize(nine, out_col).localCheckpoint()
+
+    h = nodes.select("node", F.lit(1.0).alias("hub")).localCheckpoint()
+    a = None
+    for _ in range(iters):
+        a = _step(h, "hub", src_col, dst_col, "auth")
+        h = _step(a, "auth", dst_col, src_col, "hub")
+    return (h.join(a, "node")
+            .select("node", "hub", "auth"))

@@ -913,3 +913,24 @@ def test_pagerank_properties(spark):
     links = extract_links(html).collect()
     assert [(l.conv_id, l.link_idx, l.href, l.anchor) for l in links] \
         == [("c1", 0, "/x", "one"), ("c1", 1, "/y", "two")]
+
+
+def test_hits_properties(spark):
+    """HITS invariants: the most-cited target has the top authority,
+    the node citing the best targets has the top hub score, both
+    scores L1-normalize to 1."""
+    from pdf_parser_spark.corpus.links import hits
+
+    # h1 cites both hot targets; h2 cites one; h3 cites a cold one
+    edges = spark.createDataFrame(
+        [("h1", "t1"), ("h1", "t2"), ("h2", "t1"), ("h3", "t3")],
+        "src string, dst string")
+    r = {row.node: (row.hub, row.auth)
+         for row in hits(edges, iters=2).collect()}
+    hubs = {k: v[0] for k, v in r.items()}
+    auths = {k: v[1] for k, v in r.items()}
+    assert abs(sum(hubs.values()) - 1.0) < 1e-6
+    assert abs(sum(auths.values()) - 1.0) < 1e-6
+    assert max(auths, key=auths.get) == "t1"   # cited by 2 hubs
+    assert max(hubs, key=hubs.get) == "h1"     # cites t1 AND t2
+    assert auths["h1"] == 0.0 and hubs["t1"] == 0.0  # bipartite here

@@ -1413,6 +1413,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_hits"] = q_link_hits
 
+    def q_pmi_cooc(spark, sf_dir):
+        return _longify(TS.pmi_cooccurrence(
+            _tbl(spark, sf_dir, "documents"),
+            window=2, min_count=5, top=100))
+
+    q["pmi_cooccurrence"] = q_pmi_cooc
+
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
 
@@ -3865,6 +3872,41 @@ def oracle_sql() -> dict[str, str]:
                                      / (SELECT n FROM cnt))))
                          + 0.85 * coalesce(c2.s, 0.0), 9) AS r
             FROM nd LEFT JOIN c2 ON c2.node = nd.node
+        """,
+        # PMI over forward window-2 pairs: exact integer counts, one ln
+        # rounded 6dp BEFORE the deterministic (pmi, x, y) top-100 cut.
+        "pmi_cooccurrence": f"""
+            WITH d AS (SELECT doc_id, string_split({_CANON}, ' ') AS w
+                       FROM documents),
+            t AS (SELECT unnest(w) AS tok FROM d),
+            tot AS (SELECT count(*)::BIGINT AS t FROM t),
+            tp AS (SELECT doc_id, unnest(w) AS tok,
+                          unnest([i FOR i IN range(0, len(w))]) AS pos
+                   FROM d),
+            pairs AS (SELECT a.tok AS x, b.tok AS y
+                      FROM tp a JOIN tp b
+                        ON a.doc_id = b.doc_id
+                       AND b.pos > a.pos AND b.pos <= a.pos + 2),
+            ptot AS (SELECT count(*)::BIGINT AS p FROM pairs),
+            cxy AS (SELECT x, y, count(*)::BIGINT AS c_xy
+                    FROM pairs GROUP BY 1, 2),
+            ct AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY 1),
+            scored AS (
+                SELECT cxy.x, cxy.y, cxy.c_xy,
+                       round(ln((cxy.c_xy::DOUBLE
+                                 * (SELECT t FROM tot)
+                                 * (SELECT t FROM tot))
+                                / ((SELECT p FROM ptot)
+                                   * cx.c::DOUBLE * cy.c::DOUBLE)), 6)
+                           AS pmi
+                FROM cxy JOIN ct cx ON cx.tok = cxy.x
+                         JOIN ct cy ON cy.tok = cxy.y
+                WHERE cxy.c_xy >= 5)
+            SELECT x, y, c_xy, pmi, rank::BIGINT AS rank
+            FROM (SELECT *, row_number() OVER (
+                      ORDER BY pmi DESC, x ASC, y ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 100
         """,
         # HITS hubs/authorities, 1 iteration unrolled: each half-step
         # rounds 9dp then L1-normalizes by an exact integer-unit sum.

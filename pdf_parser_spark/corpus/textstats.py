@@ -948,3 +948,61 @@ def linear_quality_score(df: DataFrame, weights: list, bias: float = 0.0,
         F.col(id_col),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
         .alias("quality_score"))
+
+
+def pmi_cooccurrence(df: DataFrame, window: int = 2, min_count: int = 5,
+                     top: int = 100, text_col: str = "text") -> DataFrame:
+    """Pointwise mutual information over forward co-occurrence pairs —
+    the word-association statistic under PPMI-SVD embeddings
+    (Levy & Goldberg 2014) and phrase mining ("new york" scores high
+    because p(x,y) >> p(x)p(y)):
+
+        pmi(x, y) = ln( (c_xy * T * T) / (P * c_x * c_y) )
+
+    with c_xy the count of y within ``window`` tokens AFTER x, T total
+    tokens, P total pairs.
+
+    Scale shape: pair generation is a zero-join HOF — each token array
+    emits its own forward pairs via transform+slice+flatten in one
+    codegen projection (the classic formulation self-joins the
+    position-exploded tokens; this never builds that join), so the
+    pair partial-agg is the only wide stage over corpus data; the
+    unigram aggregate is the second. T and P are two collected longs.
+    Ranking: pmi rounded 6dp BEFORE the (pmi desc, x, y) top-``top``
+    cut, all counts exact integers — engine-deterministic."""
+    from pyspark.sql.window import Window
+
+    canon = F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), WS + "+", " "))
+    arr = df.select(F.split(canon, " ").alias("w"))
+    pair_expr = F.expr(
+        f"flatten(transform(w, (x, i) -> "
+        f"transform(slice(w, i + 2, {window}), "
+        "y -> struct(x AS x, y AS y))))")
+    pairs = arr.select(F.explode(pair_expr).alias("p")) \
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    toks = arr.select(F.explode("w").alias("tok"))
+
+    c_xy = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    c_t = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = toks.agg(F.count(F.lit(1)).alias("t")).first()
+    t_total = int(totals["t"])
+    p_total = int(pairs.count())
+
+    pmi = F.round(F.log(
+        (F.col("c_xy").cast("double") * float(t_total) * float(t_total))
+        / (float(p_total) * F.col("cx").cast("double")
+           * F.col("cy").cast("double"))), 6)
+    rank_w = Window.orderBy(F.col("pmi").desc(), F.col("x").asc(),
+                            F.col("y").asc())
+    # no broadcast hint: AQE broadcasts the unigram relation when the
+    # vocabulary is small and falls back to a hash join when it is not
+    return (c_xy.filter(F.col("c_xy") >= min_count)
+            .join(c_t.withColumnRenamed("tok", "x")
+                  .withColumnRenamed("c", "cx"), "x")
+            .join(c_t.withColumnRenamed("tok", "y")
+                  .withColumnRenamed("c", "cy"), "y")
+            .withColumn("pmi", pmi)
+            .withColumn("rank", F.row_number().over(rank_w))
+            .filter(F.col("rank") <= top)
+            .select("x", "y", "c_xy", "pmi", "rank"))

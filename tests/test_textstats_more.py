@@ -194,3 +194,41 @@ def test_bm25_topk_brute_force_and_edges(spark):
     order = sorted(exp, key=lambda d: (-exp[d], d))
     for rank, d in enumerate(order, 1):
         assert got[(0, d)] == (exp[d], rank), (d, got[(0, d)], exp[d])
+
+
+def test_pmi_cooccurrence_brute_force(spark):
+    """PMI vs a literal Python brute force on a tiny corpus: forward
+    window-2 pairs, counts, the exact ln formula, ranking."""
+    import math
+    from collections import Counter
+
+    from pdf_parser_spark.corpus import textstats as TS
+
+    docs = [(0, "new york new york city"), (1, "new york is a city"),
+            (2, "a a a a")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.x, r.y): (r.c_xy, r.pmi, r.rank)
+           for r in TS.pmi_cooccurrence(df, window=2, min_count=2,
+                                        top=50).collect()}
+
+    toks, pairs = [], Counter()
+    for _, t in docs:
+        w = t.split(" ")
+        toks.extend(w)
+        for i in range(len(w)):
+            for k in (1, 2):
+                if i + k < len(w):
+                    pairs[(w[i], w[i + k])] += 1
+    tc = Counter(toks)
+    T, P = len(toks), sum(pairs.values())
+    exp = {}
+    for (x, y), c in pairs.items():
+        if c >= 2:
+            exp[(x, y)] = round(
+                math.log(c * float(T) * float(T)
+                         / (float(P) * tc[x] * tc[y])), 6)
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k][0] == pairs[k] and abs(got[k][1] - v) < 1e-9, k
+    order = sorted(exp, key=lambda k: (-exp[k], k))
+    assert [got[k][2] for k in order] == list(range(1, len(order) + 1))

@@ -677,6 +677,27 @@ def main() -> None:
               "no global sort, no hash shuffle (asserted)."),
     )
 
+    pmi_pairs = docs.select(F.explode(F.expr(
+        "flatten(transform(split(lower(text), ' '), (x, i) -> "
+        "transform(slice(split(lower(text), ' '), i + 2, 2), "
+        "y -> struct(x AS x, y AS y))))")).alias("p")) \
+        .select("p.x", "p.y") \
+        .groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    audit(
+        "PMI pair generation (zero-join forward windows)",
+        pmi_pairs,
+        requires=[r"Generate", r"HashAggregate.*Exchange.*HashAggregate"],
+        forbids=[r"Join", r"CartesianProduct",
+                 r"PythonUDF|BatchEvalPython|ArrowEval|MapInPandas"],
+        note=("Co-occurrence pairs come from a transform+slice+flatten "
+              "HOF inside one Generate — NO self-join of position-"
+              "exploded tokens exists anywhere in the corpus-sized part "
+              "of the plan (asserted); the pair counts are a partial->"
+              "final aggregate (asserted). The only joins in the full "
+              "pmi_cooccurrence operator attach unigram counts to the "
+              "already-aggregated, min-count-filtered pair relation."),
+    )
+
     from pdf_parser_spark.plans import stats as STT
     audit(
         "One-pass ANALYZE (multi-count-distinct Expand)",

@@ -128,6 +128,17 @@ def main() -> None:
                 "query_id long, query string"), k=10)),
         "weighted_sample": lambda: force_count(
             SC.weighted_sample(docs, "n_chars", k=100)),
+        "pmi_cooccurrence": lambda: force_count(TS.pmi_cooccurrence(
+            docs, window=2, min_count=10, top=100)),
+        "quality_model_score": lambda: force_count(
+            TS.linear_quality_score(
+                docs, [round(((i * 37) % 21 - 10) / 10, 2)
+                       for i in range(64)], bias=-0.1)),
+        "link_hits": lambda: force_count(LK.hits(
+            LK.extract_links(
+                transcripts.filter(F.col("tool") == "html/v1"))
+            .select(F.col("conv_id").alias("src"),
+                    F.col("href").alias("dst")), iters=1)),
         "dedup_incremental": lambda: force_count(D.incremental_dedup_keep(
             docs.filter(F.col("doc_id") % 3 == 0),
             docs.filter(F.col("doc_id") % 3 != 0), threshold=0.5)),

@@ -1420,6 +1420,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pmi_cooccurrence"] = q_pmi_cooc
 
+    def q_temperature_mixture(spark, sf_dir):
+        return _longify(SC.temperature_mixture(
+            _tbl(spark, sf_dir, "documents"), tau=0.7))
+
+    q["temperature_mixture"] = q_temperature_mixture
+
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
 
@@ -3872,6 +3878,44 @@ def oracle_sql() -> dict[str, str]:
                                      / (SELECT n FROM cnt))))
                          + 0.85 * coalesce(c2.s, 0.0), 9) AS r
             FROM nd LEFT JOIN c2 ON c2.node = nd.node
+        """,
+        # Temperature mixture upsampling: one exp(tau*ln p) rounded 9dp,
+        # factors 6dp, normalizer in exact 1e-9 units, fractional coin
+        # = integer u vs floor(frac * 2^32).
+        "temperature_mixture": f"""
+            WITH d AS (SELECT doc_id, lang,
+                              len(string_split({_CANON}, ' '))::BIGINT
+                                  AS nt
+                       FROM documents),
+            g AS (SELECT lang AS s, sum(nt)::BIGINT AS m
+                  FROM d GROUP BY 1),
+            tot AS (SELECT sum(m)::BIGINT AS mt FROM g),
+            wts AS (SELECT s, m,
+                           round(exp(0.7 * ln(m::DOUBLE
+                                              / (SELECT mt FROM tot))),
+                                 9) AS w
+                    FROM g),
+            ww AS (SELECT sum(CAST(round(w * 1e9) AS BIGINT)) AS wu
+                   FROM wts),
+            fac AS (SELECT s,
+                           round((w / ((SELECT wu FROM ww)::DOUBLE
+                                       / 1e9))
+                                 / (m::DOUBLE / (SELECT mt FROM tot)),
+                                 6) AS f
+                    FROM wts),
+            r AS (SELECT d.doc_id, d.lang,
+                         (floor(f)::BIGINT
+                          + CASE WHEN ('0x' || substr(
+                                    md5(d.doc_id || ':temp'), 1, 8))
+                                    ::UBIGINT
+                                    < floor((f - floor(f))
+                                            * 4294967296.0)::BIGINT
+                                 THEN 1 ELSE 0 END) AS repeats
+                  FROM d JOIN fac ON fac.s = d.lang)
+            SELECT doc_id, lang, repeats,
+                   unnest([c FOR c IN range(1, repeats + 1)])::BIGINT
+                       AS copy_idx
+            FROM r WHERE repeats >= 1
         """,
         # PMI over forward window-2 pairs: exact integer counts, one ln
         # rounded 6dp BEFORE the deterministic (pmi, x, y) top-100 cut.

@@ -259,3 +259,64 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
             .withColumn("es_key", es)
             .orderBy(F.col("es_key").asc(), F.col(key_col).asc())
             .limit(k))
+
+
+def temperature_mixture(df: DataFrame, tau: float = 0.7,
+                        strata_col: str = "lang",
+                        key_col: str = "doc_id",
+                        text_col: str = "text",
+                        salt: str = "temp") -> DataFrame:
+    """Temperature-based mixture UPSAMPLING (the multilingual/LLaMA
+    data-mixing move): reweight strata to ``p_s^tau`` (renormalized) at
+    constant total token mass, so tau<1 upsamples small strata WITH
+    REPETITION and downsamples the head — the half `mixture_sample`
+    cannot express (it only keeps subsets; epoch-level repetition needs
+    document COPIES). Each document emits
+
+        repeats = floor(f_s) + [u < frac(f_s)]
+
+    copies, where ``f_s = (w_s / W) / p_s`` is the stratum's mass
+    expansion factor and u is the md5-keyspace uniform, so expected
+    per-stratum mass is exactly ``f_s * mass_s`` and the realization is
+    deterministic under any repartitioning.
+
+    Engine parity: f_s passes through one exp(tau * ln p) libm call,
+    rounded 9dp (weights) and 6dp (factors) at the stage boundaries;
+    the normalizer W sums 9dp weights as exact integer units; the
+    fractional coin compares the integer u against floor(frac * 2^32).
+    Scale shape: stratum stats are one tiny partial-agg, factors join
+    back broadcast, and the expansion is explode(sequence(1, repeats))
+    — corpus rows never shuffle. Output: one row per (document, copy),
+    copy_idx starting at 1; repeats=0 documents drop."""
+    from pyspark.sql.window import Window
+
+    ntok = F.size(F.split(canonical_text(text_col), " ")).cast("long")
+    g = (df.select(F.col(strata_col).alias("s"), ntok.alias("nt"))
+         .groupBy("s").agg(F.sum("nt").alias("m")))
+    wall = Window.partitionBy()
+    p = F.col("m").cast("double") / F.sum("m").over(wall).cast("double")
+    w = F.round(F.exp(F.lit(float(tau)) * F.log(p)), 9)
+    # "wsum", not "W": Spark column names are case-insensitive by
+    # default, so a "W" column silently REPLACES "w"
+    factors = (g.withColumn("w", w)
+               .withColumn("wsum", F.sum(F.round(F.col("w") * 1e9)
+                                         .cast("long")).over(wall)
+                           .cast("double") / 1e9)
+               .withColumn("f", F.round(
+                   (F.col("w") / F.col("wsum"))
+                   / (F.col("m").cast("double")
+                      / F.sum("m").over(wall).cast("double")), 6))
+               .select("s", "f"))
+    u = sample_key(key_col, salt)
+    frac = F.col("f") - F.floor(F.col("f"))
+    repeats = (F.floor(F.col("f")).cast("long")
+               + (u < F.floor(frac * F.lit(float(1 << 32)))
+                  .cast("long")).cast("long"))
+    return (df.join(F.broadcast(factors),
+                    df[strata_col] == F.col("s"))
+            .withColumn("repeats", repeats)
+            .filter(F.col("repeats") >= 1)
+            .select(key_col, strata_col, "repeats",
+                    F.explode(F.expr("sequence(1, repeats)"))
+                    .alias("copy_idx"))
+            .withColumn("copy_idx", F.col("copy_idx").cast("long")))

@@ -934,3 +934,30 @@ def test_hits_properties(spark):
     assert max(auths, key=auths.get) == "t1"   # cited by 2 hubs
     assert max(hubs, key=hubs.get) == "h1"     # cites t1 AND t2
     assert auths["h1"] == 0.0 and hubs["t1"] == 0.0  # bipartite here
+
+
+def test_temperature_mixture_upsamples_tail(spark):
+    """tau < 1 flattens the mixture: the small stratum's expected mass
+    factor > 1 (upsampled WITH repetition), the dominant stratum's < 1;
+    realized per-stratum token mass lands near f * mass; tau = 1 is the
+    identity mixture (all factors 1)."""
+    from pdf_parser_spark.corpus.scrub import temperature_mixture
+
+    rows = [(i, "big", "tok " * 20) for i in range(90)] \
+        + [(100 + i, "small", "tok " * 20) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    out = temperature_mixture(df, tau=0.5).collect()
+    copies = {}
+    for r in out:
+        copies[r.lang] = copies.get(r.lang, 0) + 1
+    # p_big=0.9, p_small=0.1, tau=0.5 -> f_small = 3/(0.9+0.3*3)... =
+    # sqrt-flattening: f_small ~ 2.4, f_big ~ 0.84
+    assert copies["small"] > 10 * 2 and copies["small"] < 10 * 3
+    assert copies["big"] < 90 and copies["big"] > 90 * 0.7
+    # total mass approximately conserved
+    assert abs(len(out) - 100) <= 10
+
+    ident = temperature_mixture(df, tau=1.0).collect()
+    assert len(ident) == 100
+    assert all(r.repeats == 1 and r.copy_idx == 1 for r in ident)

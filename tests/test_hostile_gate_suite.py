@@ -23,6 +23,7 @@ from tests.test_cross_engine_fuzz import _PIECES
 DOC_GATES = [
     "bm25_topk", "cms_heavy_hitters", "table_stats", "weighted_sample",
     "hybrid_rrf_topk", "quality_model_score", "pmi_cooccurrence",
+    "temperature_mixture",
     "chunk_documents", "mixture_sample", "hashed_bow", "rag_chunk_topk",
     "contamination_spans", "decontaminate", "dedup_clusters", "dedup_exact",
     "dedup_jaccard_lsh", "dedup_keep_docs", "dedup_minhash_lsh",

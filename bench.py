@@ -128,6 +128,8 @@ def main() -> None:
                 "query_id long, query string"), k=10)),
         "weighted_sample": lambda: force_count(
             SC.weighted_sample(docs, "n_chars", k=100)),
+        "temperature_mixture": lambda: force_count(
+            SC.temperature_mixture(docs, tau=0.7)),
         "pmi_cooccurrence": lambda: force_count(TS.pmi_cooccurrence(
             docs, window=2, min_count=10, top=100)),
         "quality_model_score": lambda: force_count(
@@ -227,6 +229,17 @@ def main() -> None:
     # 3x slow. Two samples bound the noise without inflating wall time much.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
+    def _drop_persisted():
+        # the iterative operators (pagerank/HITS/kmeans/near-dedup)
+        # localCheckpoint their state; without unpersisting between
+        # queries those RDDs accumulate across the 60+ query suite and
+        # later queries pay their GC/memory pressure (measured: the
+        # same query 2-4x slower late in the suite than standalone)
+        jsc = spark.sparkContext._jsc
+        for rdd in jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark.catalog.clearCache()
+
     for name, fn in benches.items():
         best = float("inf")
         for _ in range(repeats):
@@ -234,6 +247,7 @@ def main() -> None:
             fn()
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
+        _drop_persisted()
 
     extract_sec = timings["extract_a003"]
     result = {

@@ -13,9 +13,17 @@ transcripts (the reference's EP1 path, SURVEY.md section 3).
     whitespace normalization F2, windowed aggregation) over the driver's
     tables, with exact ANSI-SQL twins.
   * training-data corpus ops (dedup exact / n-gram Jaccard / MinHash-LSH /
-    SimHash / embedding-cosine; ANN brute-force + LSH; language ID,
-    quality, token counts, fingerprints; multimodal binary plumbing) over
-    documents/embeddings, with exact ANSI-SQL twins.
+    SimHash / SemDeDup / incremental batch-vs-store; ANN brute-force /
+    LSH / IVF / PQ / SQ8; BM25 + hybrid RRF retrieval; language ID,
+    quality scores + classifier apply, token/PMI/DF stats, surprisal,
+    winnowing, DSIR; PII scrub, deterministic/stratified/weighted/
+    temperature sampling, leakage-safe splits, decontamination, packing;
+    multimodal binary plumbing) over documents/embeddings, with exact
+    ANSI-SQL twins.
+  * analytics/layout surface: TPC-H Q1/Q3/Q5 + cube, CDC merge + SCD2,
+    as-of/interval joins, rollups, funnels, cohorts, anomaly z-scores,
+    KMV/CMS/histogram sketches, one-pass ANALYZE + skew report, Z-order
+    keys; link graph (extract / PageRank / HITS) over the transcripts.
 
 Column names and integer widths are aligned on both sides (bigint/double)
 so the driver's order-insensitive value-hash matches.

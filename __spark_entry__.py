@@ -1434,6 +1434,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["temperature_mixture"] = q_temperature_mixture
 
+    def q_json_props_rollup(spark, sf_dir):
+        return _longify(FN.json_props_rollup(
+            _tbl(spark, sf_dir, "events")))
+
+    q["json_props_rollup"] = q_json_props_rollup
+
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
 
@@ -3886,6 +3892,26 @@ def oracle_sql() -> dict[str, str]:
                                      / (SELECT n FROM cnt))))
                          + 0.85 * coalesce(c2.s, 0.0), 9) AS r
             FROM nd LEFT JOIN c2 ON c2.node = nd.node
+        """,
+        # Semi-structured rollup: one lazy JSONPath + TRY_CAST (malformed
+        # JSON / missing field / wrong type -> NULL, counted, never
+        # failures), NULL group kept; integers only.
+        "json_props_rollup": """
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   count(k)::BIGINT AS n_with_field,
+                   sum(k)::BIGINT AS sum_k,
+                   min(k)::BIGINT AS min_k,
+                   max(k)::BIGINT AS max_k
+            FROM (SELECT event_type,
+                         CASE WHEN props IS NOT NULL
+                                   AND json_valid(props)
+                              THEN try_cast(
+                                  json_extract_string(props, '$.k')
+                                  AS BIGINT)
+                         END AS k
+                  FROM events)
+            GROUP BY 1
         """,
         # Temperature mixture upsampling: one exp(tau*ln p) rounded 9dp,
         # factors 6dp, normalizer in exact 1e-9 units, fractional coin

@@ -138,3 +138,29 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
             .groupBy("cohort_day",
                      (F.col("day") - F.col("cohort_day")).alias("day_offset"))
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def json_props_rollup(events: DataFrame, field: str = "k",
+                      type_col: str = "event_type",
+                      props_col: str = "props") -> DataFrame:
+    """Semi-structured extraction + rollup: pull a field out of the JSON
+    ``props`` payload column and aggregate it per event type — the
+    schema-on-read pattern for event streams whose payloads evolve
+    faster than their tables (the alternative, a full from_json with a
+    declared schema, is `io.read_jsonl`'s contract; this one reads ONE
+    path lazily). `get_json_object` evaluates the JSONPath per row in
+    codegen without materializing a parsed tree, and TRY_CAST (not
+    CAST: ANSI mode throws on malformed numerics) nulls anything that
+    is not an integer — malformed JSON, missing field, wrong type all
+    degrade to NULL and are counted, never failures (D1 at the payload
+    level). One partial-agg Exchange; integers only, engine-exact."""
+    k = F.expr(f"try_cast(get_json_object({props_col}, '$.{field}') "
+               "AS LONG)")
+    return (events
+            .select(F.col(type_col), k.alias("k"))
+            .groupBy(type_col)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("k").alias("n_with_field"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))

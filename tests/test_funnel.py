@@ -103,3 +103,20 @@ def test_retention_cohorts(spark):
         (base, 0): 1, (base, 1): 1, (base, 3): 1,
         (base + 1, 0): 1, (base + 1, 2): 1,
     }
+
+
+def test_json_props_rollup_degrades_not_fails(spark):
+    """Malformed JSON, missing field, non-integer field, and NULL props
+    all become NULL k (counted via n_events - n_with_field), never task
+    failures; clean rows aggregate exactly."""
+    from pdf_parser_spark.operators.funnel import json_props_rollup
+
+    rows = [("a", '{"k": 10}'), ("a", '{"k": 32}'),
+            ("a", 'not json'), ("a", '{"other": 1}'),
+            ("a", '{"k": "str"}'), ("a", None),
+            ("b", '{"k": -5}')]
+    df = spark.createDataFrame(rows, "event_type string, props string")
+    got = {r.event_type: r for r in json_props_rollup(df).collect()}
+    assert got["a"].n_events == 6 and got["a"].n_with_field == 2
+    assert got["a"].sum_k == 42 and got["a"].min_k == 10
+    assert got["b"].sum_k == -5 and got["b"].n_with_field == 1

@@ -22,7 +22,7 @@ EVENT_GATES = [
     "asof_join_latest", "interval_join_events", "hyper_rollup",
     "distinct_kmv", "rate_anomaly", "funnel_stages", "funnel_counts",
     "value_percentiles", "retention_cohorts", "zorder_key",
-    "skew_report", "hist_quantiles",
+    "skew_report", "hist_quantiles", "json_props_rollup",
 ]
 ORDER_GATES = ["merge_upsert", "scd2_history"]
 
@@ -51,7 +51,12 @@ def _hostile_events(n=600, seed=31):
             val = 1e15                 # extreme value
         if i == 19:
             val = -1e15
-        rows.append((i, ts, uid, et, val, None))
+        # hostile JSON payloads: valid, malformed, missing field,
+        # wrong-typed field, nested, empty string, null
+        props = [f'{{"k": {i % 97}}}', "not json {", '{"other": 1}',
+                 '{"k": "str"}', '{"k": {"nested": 1}}', "",
+                 None][i % 7]
+        rows.append((i, ts, uid, et, val, props))
         if i == 23:                    # duplicate event_id, same instant
             rows.append((i, ts, uid, "purchase", 1.0, None))
         if i == 29:                    # same-instant click+purchase pair

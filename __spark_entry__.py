@@ -1440,6 +1440,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["json_props_rollup"] = q_json_props_rollup
 
+    def q_ewma_hourly(spark, sf_dir):
+        return _longify(TP.ewma_hourly(
+            _tbl(spark, sf_dir, "events"), alpha=0.1, window=24))
+
+    q["ewma_hourly"] = q_ewma_hourly
+
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
 
@@ -3615,6 +3621,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # trailing moments are INTEGER sums; mean/var derive in the
         # same pinned double-op order as the Spark side
+        # EWMA over the trailing 24 observed buckets: list() over the
+        # ordered frame -> list_reduce replays Spark's aggregate() fold
+        # seeded with the first element; constants cast DOUBLE (bare
+        # 0.1 is DECIMAL here and decimal arithmetic would fork).
+        "ewma_hourly": """
+            WITH counts AS (
+                SELECT event_type,
+                       floor(epoch_us(ts) / 3600000000.0)::BIGINT
+                           AS bucket,
+                       count(*)::BIGINT AS c
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            arrs AS (
+                SELECT event_type, bucket, c,
+                       list(c::DOUBLE) OVER (
+                           PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+                           AS arr
+                FROM counts)
+            SELECT event_type, bucket, c,
+                   len(arr)::BIGINT AS n_window,
+                   round(list_reduce(arr,
+                       (a, x) -> 0.1::DOUBLE * x + 0.9::DOUBLE * a), 6)
+                       AS ewma
+            FROM arrs
+        """,
         "rate_anomaly": """
             WITH counts AS (
                 SELECT event_type,

@@ -251,3 +251,40 @@ def rate_anomaly(events: DataFrame, window: int = 24,
                     F.when(var > 0,
                            F.round((F.col("c") - mean) / F.sqrt(var), 4))
                     .alias("z")))
+
+
+def ewma_hourly(events: DataFrame, alpha: float = 0.1, window: int = 24,
+                type_col: str = "event_type",
+                ts_col: str = "ts") -> DataFrame:
+    """Exponentially-weighted moving average of hourly event rates —
+    `rate_anomaly`'s smoothed-baseline companion (EWMA is the control-
+    chart statistic: it reacts to level SHIFTS that a z-score against a
+    flat trailing mean under-weights). Per (type, hour): the EWMA over
+    the trailing ``window`` observed buckets,
+
+        s = fold(counts[t-W+1 .. t]; s0 = first, s <- a*x + (1-a)*s)
+
+    computed as a per-row left fold over the windowed count list — the
+    recursive definition is not a relational window function, but a
+    BOUNDED fold over a ``window``-element array is one codegen
+    expression (and DuckDB's list_reduce replays the identical
+    left-fold, seeded with the first element, so the gate is a full
+    value-hash despite the recursion). Same null/bucket contracts as
+    `rate_anomaly`; same tiny post-aggregate frame — the raw events
+    never hit a window."""
+    b = F.floor(_epoch_us(ts_col) / US_PER_HOUR).alias("bucket")
+    counts = (events.filter(F.col(ts_col).isNotNull())
+              .groupBy(F.col(type_col).alias("event_type"), b)
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = (Window.partitionBy("event_type").orderBy("bucket")
+         .rowsBetween(-(window - 1), 0))
+    arr = F.collect_list(F.col("c").cast("double")).over(w)
+    a1, a0 = float(alpha), 1.0 - float(alpha)
+    ewma = F.expr(
+        f"round(aggregate(slice(_arr, 2, {window}), "
+        f"element_at(_arr, 1), "
+        f"(a, x) -> {a1!r}D * x + {a0!r}D * a), 6)")
+    return (counts.withColumn("_arr", arr)
+            .select("event_type", "bucket", "c",
+                    F.size("_arr").alias("n_window"),
+                    ewma.alias("ewma")))

@@ -302,3 +302,36 @@ def test_histogram_quantiles_accuracy_and_edges(spark):
     same = spark.createDataFrame([(7.5,)] * 10, "value double")
     out = histogram_quantiles(same, "value", ps=(0.5, 0.99)).collect()
     assert all(r.est == 7.5 for r in out)
+
+
+def test_ewma_hourly_matches_recursive_definition(spark):
+    """The per-row windowed fold equals the textbook recursion
+    s_t = a*x_t + (1-a)*s_{t-1} (seeded at the window's first value),
+    and a level shift moves the EWMA toward the new level
+    monotonically."""
+    import datetime
+
+    from pdf_parser_spark.plans.temporal import ewma_hourly
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    counts = [10, 10, 10, 10, 40, 40, 40, 40]  # level shift at t=4
+    eid = 0
+    for t, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + datetime.timedelta(hours=t), "x"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = sorted((r.bucket, r.c, r.n_window, r.ewma)
+                 for r in ewma_hourly(df, alpha=0.3, window=4).collect())
+
+    # brute-force the same windowed fold
+    for i, (_, c, nw, ew) in enumerate(got):
+        lo = max(0, i - 3)
+        s = float(counts[lo])
+        for x in counts[lo + 1: i + 1]:
+            s = 0.3 * x + 0.7 * s
+        assert nw == i - lo + 1 and abs(ew - round(s, 6)) < 1e-9, i
+    # the shift pulls the smoothed level up monotonically
+    tail = [ew for _, _, _, ew in got[4:]]
+    assert tail == sorted(tail) and tail[-1] > 30

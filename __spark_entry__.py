@@ -270,6 +270,7 @@ _ZORDER_SQL = _zvalue_sql("zx", "zy", bits=8)
 # (a real deployment fits these driver-side over a labeled sample)
 QMODEL_W = [round(((i * 37) % 21 - 10) / 10, 2) for i in range(64)]
 _QMODEL_SQL = ", ".join(repr(float(w)) for w in QMODEL_W)
+_JL_SIGNS = S.jl_signs_sql(in_dims=64, out_dims=16)
 # The synthetic embeddings have no true near-duplicates (max pairwise
 # cosine ~0.51 at sf0.01), so the demo threshold sits below that; a real
 # dedup run would use ~0.95.
@@ -1445,6 +1446,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _tbl(spark, sf_dir, "events"), alpha=0.1, window=24))
 
     q["ewma_hourly"] = q_ewma_hourly
+
+    def q_jl_project(spark, sf_dir):
+        return _longify(S.jl_project(
+            _tbl(spark, sf_dir, "embeddings"), in_dims=64, out_dims=16))
+
+    q["ann_jl_project"] = q_jl_project
 
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
@@ -3621,6 +3628,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # trailing moments are INTEGER sums; mean/var derive in the
         # same pinned double-op order as the Spark side
+        # JL projection: the SAME ±1 sign literals (S.jl_signs_sql, one
+        # code path) per output dim; float32 inputs widened to DOUBLE on
+        # both sides; scale 1/sqrt(16) = 0.25 exact.
+        "ann_jl_project": f"""
+            WITH ve AS (
+                SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS e
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64)
+            SELECT vec_id,
+                   [{", ".join(
+                       f"round(list_inner_product(e, {sl}) * 0.25, 6)"
+                       for sl in _JL_SIGNS)}] AS projected
+            FROM ve
+        """,
         # EWMA over the trailing 24 observed buckets: list() over the
         # ordered frame -> list_reduce replays Spark's aggregate() fold
         # seeded with the first element; constants cast DOUBLE (bare

@@ -961,3 +961,34 @@ def test_temperature_mixture_upsamples_tail(spark):
     ident = temperature_mixture(df, tau=1.0).collect()
     assert len(ident) == 100
     assert all(r.repeats == 1 and r.copy_idx == 1 for r in ident)
+
+
+def test_jl_project_norm_preservation(spark):
+    """JL invariants: width/null contract, E[||y||^2] = ||x||^2 — the
+    realized norm ratios concentrate around 1 (±1 matrix, k=16 =>
+    relative std ~ sqrt(2/k) ~ 0.35), and the projection is a pure
+    deterministic function (same rows twice)."""
+    import numpy as np
+
+    from pdf_parser_spark.corpus.similarity import jl_project
+
+    embs = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet")
+    out = jl_project(embs, in_dims=64, out_dims=16)
+    rows = out.collect()
+    assert len(rows) == embs.filter(
+        "embedding IS NOT NULL AND size(embedding) = 64").count()
+    assert all(len(r.projected) == 16 for r in rows)
+
+    src = {r.vec_id: np.array(r.embedding, dtype=float)
+           for r in embs.limit(200).collect()}
+    proj = {r.vec_id: np.array(r.projected) for r in rows}
+    ratios = [np.linalg.norm(proj[v]) / np.linalg.norm(src[v])
+              for v in src if np.linalg.norm(src[v]) > 0]
+    ratios = np.array(ratios)
+    assert 0.85 < float(np.median(ratios)) < 1.15
+    assert float(((ratios > 0.5) & (ratios < 1.7)).mean()) > 0.9
+
+    again = {r.vec_id: list(r.projected)
+             for r in jl_project(embs, 64, 16).collect()}
+    assert again == {k: list(v) for k, v in proj.items()}

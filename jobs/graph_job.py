@@ -1,0 +1,72 @@
+"""CLI link-graph job: extract the hyperlink graph from HTML transcript
+turns and run the centrality suite over it — one spark-submit surface
+for the `corpus.links` family:
+
+    spark-submit --py-files engine.zip jobs/graph_job.py \\
+        --input  /path/to/transcripts_ds \\
+        --output /path/to/graph_report \\
+        [--iters 2] [--hits-iters 1] [--top 20]
+
+Writes:
+    output/edges/      (conv_id -> href edge relation, with anchors)
+    output/pagerank/   per-node rank
+    output/hits/       per-node hub + authority
+and prints a one-line JSON summary with the top authorities — the
+crawl-prioritization / quality-prior report a 100 TB corpus build runs
+after ingest. The edge relation is written BEFORE iterating (the same
+materialize-once rule `pagerank` enforces internally): at cluster scale
+the edge table is a product, not a temporary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="link-graph centrality job")
+    p.add_argument("--input", required=True, help="transcripts table/path")
+    p.add_argument("--output", required=True, help="report root")
+    p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--hits-iters", type=int, default=1)
+    p.add_argument("--top", type=int, default=20)
+    p.add_argument("--tool", default="html/v1",
+                   help="tool value marking HTML turns")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = SparkSession.builder.appName("graph-job").getOrCreate()
+
+    from pdf_parser_spark.corpus import links as LK
+    from pdf_parser_spark.io import read_table, write_table
+
+    tr = read_table(spark, args.input).filter(F.col("tool") == args.tool)
+    links = LK.extract_links(tr)
+    write_table(links, os.path.join(args.output, "edges"))
+    edges = read_table(spark, os.path.join(args.output, "edges")) \
+        .select(F.col("conv_id").alias("src"), F.col("href").alias("dst"))
+
+    pr = LK.pagerank(edges, iters=args.iters)
+    write_table(pr, os.path.join(args.output, "pagerank"))
+    hh = LK.hits(edges, iters=args.hits_iters)
+    write_table(hh, os.path.join(args.output, "hits"))
+
+    top = (pr.orderBy(F.col("r").desc(), F.col("node").asc())
+           .limit(args.top).collect())
+    print(json.dumps({
+        "edges": edges.count(),
+        "nodes": pr.count(),
+        "top_pagerank": [[t.node, t.r] for t in top[:5]],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -887,3 +887,28 @@ def test_profile_job_cli(spark, tmp_path):
     assert len(sk) <= 10 and sk[0].rank == 1
     qs = {r.p: r.est for r in read_table(spark, out + "/quantiles").collect()}
     assert set(qs) == {0.5, 0.9, 0.99} and qs[0.5] <= qs[0.9] <= qs[0.99]
+
+
+def test_graph_job_cli(spark, tmp_path):
+    """graph_job: edges materialized, pagerank + hits reports written,
+    summary printed; rank mass conserved."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    from graph_job import main as job_main
+
+    from pdf_parser_spark.io import read_table
+
+    out = str(tmp_path / "graph")
+    assert job_main(["--input",
+                     "/root/repo/data/transcripts/sf0.001/transcripts_ds",
+                     "--output", out]) == 0
+    edges = read_table(spark, out + "/edges")
+    assert edges.count() > 0
+    assert set(edges.columns) == {"conv_id", "turn_idx", "link_idx",
+                                  "href", "anchor"}
+    pr = read_table(spark, out + "/pagerank").collect()
+    assert abs(sum(r.r for r in pr) - 1.0) < 1e-5
+    hh = read_table(spark, out + "/hits").collect()
+    assert abs(sum(r.hub for r in hh) - 1.0) < 1e-5
+    assert abs(sum(r.auth for r in hh) - 1.0) < 1e-5

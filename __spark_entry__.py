@@ -1453,6 +1453,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_jl_project"] = q_jl_project
 
+    def q_hist_quantiles_by(spark, sf_dir):
+        from pdf_parser_spark.plans import stats as ST
+        return _longify(ST.histogram_quantiles_by(
+            _tbl(spark, sf_dir, "events"), "event_type", "value",
+            ps=(0.5, 0.9, 0.99), bins=64))
+
+    q["hist_quantiles_by_type"] = q_hist_quantiles_by
+
     def q_dsir_weights(spark, sf_dir):
         return _longify(TS.dsir_weights(_tbl(spark, sf_dir, "documents")))
 
@@ -3628,6 +3636,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         # trailing moments are INTEGER sums; mean/var derive in the
         # same pinned double-op order as the Spark side
+        # Per-group histogram quantiles: group stats fully in-plan,
+        # group joins NULL-SAFE (IS NOT DISTINCT FROM) so the NULL
+        # type's rows survive; degenerate groups return their constant.
+        "hist_quantiles_by_type": """
+            WITH base AS (SELECT event_type AS g, value::DOUBLE AS v
+                          FROM events WHERE value IS NOT NULL),
+            gs AS (SELECT g, min(v) AS lo, max(v) AS hi,
+                          count(*)::BIGINT AS n
+                   FROM base GROUP BY 1),
+            cells AS (
+                SELECT base.g,
+                       (CASE WHEN hi = lo THEN 0
+                             ELSE least(floor((v - lo) / (hi - lo) * 64),
+                                        63) END)::BIGINT AS bin,
+                       count(*)::BIGINT AS cnt
+                FROM base JOIN gs ON base.g IS NOT DISTINCT FROM gs.g
+                GROUP BY 1, 2),
+            hist AS (
+                SELECT c.g, c.bin, c.cnt,
+                       sum(c.cnt) OVER (PARTITION BY c.g ORDER BY c.bin
+                                        ROWS UNBOUNDED PRECEDING)::BIGINT
+                           AS cum,
+                       gs.lo, gs.hi, gs.n
+                FROM cells c JOIN gs ON c.g IS NOT DISTINCT FROM gs.g),
+            p AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p),
+            j AS (SELECT hist.*, p.p,
+                         row_number() OVER (
+                             PARTITION BY hist.g, p.p
+                             ORDER BY hist.bin) AS rn
+                  FROM hist JOIN p ON hist.cum >= p.p * hist.n)
+            SELECT g AS event_type, p,
+                   round(CASE WHEN hi = lo THEN lo
+                              ELSE lo + bin * ((hi - lo) / 64)
+                                   + (p * n - (cum - cnt)) / cnt
+                                     * ((hi - lo) / 64) END, 6) AS est
+            FROM j WHERE rn = 1
+        """,
         # JL projection: the SAME ±1 sign literals (S.jl_signs_sql, one
         # code path) per output dim; float32 inputs widened to DOUBLE on
         # both sides; scale 1/sqrt(16) = 0.25 exact.

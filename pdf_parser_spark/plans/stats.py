@@ -125,3 +125,60 @@ def histogram_quantiles(df: DataFrame, value_col: str,
             .withColumn("_rn", F.row_number().over(pick))
             .filter(F.col("_rn") == 1)
             .select("p", F.round(est, 6).alias("est")))
+
+
+def histogram_quantiles_by(df: DataFrame, group_col: str, value_col: str,
+                           ps: tuple = (0.5, 0.9, 0.99),
+                           bins: int = 64) -> DataFrame:
+    """`histogram_quantiles` per GROUP — the shape ANALYZE actually
+    runs (one histogram per column per partition/type), and fully
+    in-plan: the per-group lo/hi/n live in a tiny broadcast-joined
+    stats frame instead of driver scalars, so one pass fits ANY number
+    of groups. Per group: ≤``bins`` cells, cumulative window over the
+    tiny cell frame, in-bucket interpolation per requested p.
+
+    NULL groups are kept (standard GROUP BY) — all group joins are
+    NULL-SAFE (`eqNullSafe` / IS NOT DISTINCT FROM): a plain equi-join
+    or USING would silently drop the NULL group's rows (the
+    distinct_kmv hostile-suite lesson). Degenerate all-equal groups
+    return their constant for every p. Output:
+    (group, p, est) — estimates 6dp."""
+    from pyspark.sql import Row
+    from pyspark.sql.window import Window
+
+    base = df.filter(F.col(value_col).isNotNull()) \
+        .select(F.col(group_col).alias("g"),
+                F.col(value_col).cast("double").alias("v"))
+    gs = base.groupBy("g").agg(F.min("v").alias("lo"),
+                               F.max("v").alias("hi"),
+                               F.count(F.lit(1)).alias("n"))
+    joined = base.join(F.broadcast(gs.withColumnRenamed("g", "g2")),
+                       F.col("g").eqNullSafe(F.col("g2"))).drop("g2")
+    bin_c = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(F.floor((F.col("v") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo")) * bins),
+                F.lit(bins - 1))).cast("long")
+    cells = (joined.groupBy("g", bin_c.alias("bin"))
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    cum = F.sum("cnt").over(
+        Window.partitionBy("g").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    hist = (cells.select("g", "bin", "cnt", cum.alias("cum"))
+            .join(F.broadcast(gs.withColumnRenamed("g", "g2")),
+                  F.col("g").eqNullSafe(F.col("g2"))).drop("g2"))
+
+    spark = df.sparkSession
+    pdf = spark.createDataFrame([Row(p=float(p)) for p in ps])
+    width = (F.col("hi") - F.col("lo")) / bins
+    target = F.col("p") * F.col("n")
+    est = F.when(
+        F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        F.col("lo") + F.col("bin") * width
+        + (target - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt") * width)
+    pick = Window.partitionBy("g", "p").orderBy("bin")
+    return (hist.join(pdf, F.col("cum") >= target)
+            .withColumn("_rn", F.row_number().over(pick))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("g").alias(group_col), "p",
+                    F.round(est, 6).alias("est")))

@@ -23,7 +23,7 @@ EVENT_GATES = [
     "distinct_kmv", "rate_anomaly", "funnel_stages", "funnel_counts",
     "value_percentiles", "retention_cohorts", "zorder_key",
     "skew_report", "hist_quantiles", "json_props_rollup",
-    "ewma_hourly",
+    "ewma_hourly", "hist_quantiles_by_type",
 ]
 ORDER_GATES = ["merge_upsert", "scd2_history"]
 

@@ -95,6 +95,17 @@ def _longify(df: DataFrame) -> DataFrame:
     return df.select(cols)
 
 
+def _vec_long(df: DataFrame, arr_col: str) -> DataFrame:
+    """Flatten a gate result's single array column to (…, dim, val)
+    long form. The driver's canonicalizer sorts RAW result columns with
+    pandas before hashing, and a column of Python lists is unhashable
+    there (r3: `centroid_by_label` failed with `TypeError: unhashable
+    type: 'list'`). Gate wrappers only — the engine APIs keep their
+    array schemas; the long form is the harness-portable projection."""
+    others = [c for c in df.columns if c != arr_col]
+    return df.select(*others, F.posexplode(arr_col).alias("dim", "val"))
+
+
 _LAYOUT_SELECT = [
     "conv_id", "turn_idx", "page_number", "header", "footer",
     "left_column", "right_column",
@@ -815,8 +826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["split_assign"] = q_split_assign
 
     def q_centroid_by_label(spark, sf_dir):
-        return _longify(S.centroid_by_label(
-            _tbl(spark, sf_dir, "embeddings")))
+        return _longify(_vec_long(S.centroid_by_label(
+            _tbl(spark, sf_dir, "embeddings")), "centroid"))
 
     q["centroid_by_label"] = q_centroid_by_label
 
@@ -1186,8 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # accuracy is evidenced in tools/ann_recall.py. The k-means IVF
     # gates above DO have full oracles via tools/annoracle.py.
     def q_hashed_bow(spark, sf_dir):
-        return _longify(TS.hashed_bow_embeddings(
-            _tbl(spark, sf_dir, "documents")))
+        return _longify(_vec_long(TS.hashed_bow_embeddings(
+            _tbl(spark, sf_dir, "documents")), "embedding"))
 
     q["hashed_bow"] = q_hashed_bow
 
@@ -1207,13 +1218,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rag_chunk_topk"] = q_rag_chunk_topk
 
     def q_kmeans_refine(spark, sf_dir):
-        return _longify(S.kmeans_refine_df(
-            _tbl(spark, sf_dir, "embeddings"), iters=2))
+        return _longify(_vec_long(S.kmeans_refine_df(
+            _tbl(spark, sf_dir, "embeddings"), iters=2), "centroid"))
 
     q["ann_kmeans_refine"] = q_kmeans_refine
 
     def q_sq8_encode(spark, sf_dir):
-        return _longify(S.sq8_encode(_tbl(spark, sf_dir, "embeddings")))
+        return _longify(_vec_long(
+            S.sq8_encode(_tbl(spark, sf_dir, "embeddings")), "codes"))
 
     q["ann_sq8_encode"] = q_sq8_encode
 
@@ -1233,7 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_pq_encode(spark, sf_dir):
         embs = _tbl(spark, sf_dir, "embeddings")
         cb = S.pq_codebooks(embs)
-        return _longify(S.pq_encode_exact(embs, cb))
+        return _longify(_vec_long(S.pq_encode_exact(embs, cb), "codes"))
 
     q["ann_pq_encode"] = q_pq_encode
 
@@ -1448,8 +1460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ewma_hourly"] = q_ewma_hourly
 
     def q_jl_project(spark, sf_dir):
-        return _longify(S.jl_project(
-            _tbl(spark, sf_dir, "embeddings"), in_dims=64, out_dims=16))
+        return _longify(_vec_long(S.jl_project(
+            _tbl(spark, sf_dir, "embeddings"), in_dims=64, out_dims=16),
+            "projected"))
 
     q["ann_jl_project"] = q_jl_project
 
@@ -2293,10 +2306,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT label, i - 1 AS dim, avg(e[i]) AS m,
                        count(*) AS cnt
                 FROM d GROUP BY 1, 2)
-            SELECT label,
-                   max(CASE WHEN dim = 0 THEN cnt END)::BIGINT AS n_vecs,
-                   list(round(m, 6) ORDER BY dim) AS centroid
-            FROM a GROUP BY label
+            SELECT label, cnt::BIGINT AS n_vecs, dim::BIGINT AS dim,
+                   round(m, 6) AS val
+            FROM a
         """,
         "curated_extraction": f"""
             WITH keep AS (
@@ -3228,8 +3240,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hashed_bow": f"""
             WITH src AS (SELECT doc_id, {_CANON} AS txt FROM documents),
-            {_bow_ctes("src", "doc_id")}
-            SELECT doc_id, embedding FROM bemb
+            {_bow_ctes("src", "doc_id")},
+            bl AS (SELECT doc_id,
+                          unnest(range(1, len(embedding) + 1)) AS i,
+                          embedding AS e
+                   FROM bemb)
+            SELECT doc_id, (i - 1)::BIGINT AS dim, e[i] AS val FROM bl
         """,
         # three composed operators under one oracle: the chunk layout,
         # the hashed-BoW featurizer, and exact cosine top-k — scored on
@@ -3261,11 +3277,13 @@ def oracle_sql() -> dict[str, str]:
         # Spark half-away vs DuckDB half-even); the ADC dot runs over
         # the codes list in order (list_inner_product ≡ the Spark fold).
         "ann_sq8_encode": f"""
-            WITH {_VEC_CTES}
-            SELECT vec_id,
-                   [floor(x / norm * 127.0 + 0.5)::INT FOR x IN e]
-                       AS codes
-            FROM nrm
+            WITH {_VEC_CTES},
+            sl AS (SELECT vec_id, unnest(range(1, len(e) + 1)) AS i,
+                          e, norm
+                   FROM nrm)
+            SELECT vec_id, (i - 1)::BIGINT AS dim,
+                   floor(e[i] / norm * 127.0 + 0.5)::BIGINT AS val
+            FROM sl
         """,
         "ann_sq8_topk": f"""
             WITH {_VEC_CTES},
@@ -3434,10 +3452,13 @@ def oracle_sql() -> dict[str, str]:
             WITH {_VEC_CTES},
             c0 AS (SELECT centroid_id, cvec FROM {km_values}),
             {_refine_iter(1, "c0")},
-            {_refine_iter(2, "c1")}
+            {_refine_iter(2, "c1")},
+            cl AS (SELECT centroid_id, cnt,
+                          unnest(range(1, len(cvec) + 1)) AS i, cvec
+                   FROM c2)
             SELECT centroid_id, cnt::BIGINT AS n_members,
-                   cvec AS centroid
-            FROM c2
+                   (i - 1)::BIGINT AS dim, cvec[i] AS val
+            FROM cl
         """,
         "ann_ivf_kmeans_assign": f"""
             WITH {_VEC_CTES},
@@ -3559,8 +3580,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_encode": f"""
             WITH {_VEC_CTES},
             {_pq_code_ctes("nrm")}
-            SELECT vec_id, list(code ORDER BY j) AS codes
-            FROM codes GROUP BY vec_id
+            SELECT vec_id, j::BIGINT AS dim, code::BIGINT AS val
+            FROM codes
         """,
         "ann_pq_adc_topk": f"""
             WITH {_VEC_CTES},
@@ -3680,12 +3701,18 @@ def oracle_sql() -> dict[str, str]:
             WITH ve AS (
                 SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS e
                 FROM embeddings
-                WHERE embedding IS NOT NULL AND len(embedding) = 64)
-            SELECT vec_id,
-                   [{", ".join(
-                       f"round(list_inner_product(e, {sl}) * 0.25, 6)"
-                       for sl in _JL_SIGNS)}] AS projected
-            FROM ve
+                WHERE embedding IS NOT NULL AND len(embedding) = 64),
+            p AS (
+                SELECT vec_id,
+                       [{", ".join(
+                           f"round(list_inner_product(e, {sl}) * 0.25, 6)"
+                           for sl in _JL_SIGNS)}] AS proj
+                FROM ve),
+            pl AS (SELECT vec_id, unnest(range(1, len(proj) + 1)) AS i,
+                          proj
+                   FROM p)
+            SELECT vec_id, (i - 1)::BIGINT AS dim, proj[i] AS val
+            FROM pl
         """,
         # EWMA over the trailing 24 observed buckets: list() over the
         # ordered frame -> list_reduce replays Spark's aggregate() fold

@@ -26,19 +26,24 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 
 def canon_frame(df: pd.DataFrame) -> pd.DataFrame:
+    # Driver parity: the harness's _canon sorts the RAW columns before
+    # any value canonicalization, so a column of Python lists / numpy
+    # arrays raises `TypeError: unhashable type` there. Sorting raw
+    # first makes that failure reproduce locally (r3: the old
+    # stringify-then-sort order masked it and centroid_by_label failed
+    # only on the driver). Queries round floats in-plan to 6dp, so the
+    # raw sort is stable across engines.
     df = df[sorted(df.columns)].copy()
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     for c in df.columns:
         s = df[c]
-        if s.dtype == object:
-            df[c] = s.map(
-                lambda v: v.tolist() if isinstance(v, np.ndarray) else v).astype(str)
-        elif np.issubdtype(s.dtype, np.floating):
+        if np.issubdtype(s.dtype, np.floating):
             df[c] = s.round(6).map(lambda v: "nan" if pd.isna(v) else f"{v:.6f}")
         elif np.issubdtype(s.dtype, np.integer):
             df[c] = s.astype("int64").astype(str)
         else:
             df[c] = s.astype(str)
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df.reset_index(drop=True)
 
 
 def value_hash(df: pd.DataFrame) -> str:

@@ -47,6 +47,7 @@ from pdf_parser_spark.corpus import packing as PK  # noqa: E402
 from pdf_parser_spark.corpus import scrub as SC  # noqa: E402
 from pdf_parser_spark.corpus import similarity as S  # noqa: E402
 from pdf_parser_spark.corpus import textstats as TS  # noqa: E402
+from pdf_parser_spark.corpus import transforms as TR  # noqa: E402
 from pdf_parser_spark.generator import sf_from_dir, transcripts_path  # noqa: E402
 from pdf_parser_spark.goldens import ensure_goldens, golden_dir  # noqa: E402
 from pdf_parser_spark.operators import convstats as CS  # noqa: E402
@@ -281,7 +282,7 @@ _ZORDER_SQL = _zvalue_sql("zx", "zy", bits=8)
 # (a real deployment fits these driver-side over a labeled sample)
 QMODEL_W = [round(((i * 37) % 21 - 10) / 10, 2) for i in range(64)]
 _QMODEL_SQL = ", ".join(repr(float(w)) for w in QMODEL_W)
-_JL_SIGNS = S.jl_signs_sql(in_dims=64, out_dims=16)
+_JL_SIGNS = TR.jl_signs_sql(in_dims=64, out_dims=16)
 # The synthetic embeddings have no true near-duplicates (max pairwise
 # cosine ~0.51 at sf0.01), so the demo threshold sits below that; a real
 # dedup run would use ~0.95.
@@ -1460,11 +1461,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ewma_hourly"] = q_ewma_hourly
 
     def q_jl_project(spark, sf_dir):
-        return _longify(_vec_long(S.jl_project(
+        # demoted from the ann_* retrieval family: JL's measured top-10
+        # recall on this fixture is 0.125–0.295 (BASELINE.md), so it
+        # lives in corpus.transforms as a geometry transform, not an
+        # ANN path — the gate verifies the transform's arithmetic only
+        return _longify(_vec_long(TR.jl_project(
             _tbl(spark, sf_dir, "embeddings"), in_dims=64, out_dims=16),
             "projected"))
 
-    q["ann_jl_project"] = q_jl_project
+    q["jl_project_transform"] = q_jl_project
 
     def q_hist_quantiles_by(spark, sf_dir):
         from pdf_parser_spark.plans import stats as ST
@@ -3694,10 +3699,10 @@ def oracle_sql() -> dict[str, str]:
                                      * ((hi - lo) / 64) END, 6) AS est
             FROM j WHERE rn = 1
         """,
-        # JL projection: the SAME ±1 sign literals (S.jl_signs_sql, one
+        # JL projection: the SAME ±1 sign literals (TR.jl_signs_sql, one
         # code path) per output dim; float32 inputs widened to DOUBLE on
         # both sides; scale 1/sqrt(16) = 0.25 exact.
-        "ann_jl_project": f"""
+        "jl_project_transform": f"""
             WITH ve AS (
                 SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS e
                 FROM embeddings

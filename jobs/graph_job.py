@@ -5,7 +5,7 @@ for the `corpus.links` family:
     spark-submit --py-files engine.zip jobs/graph_job.py \\
         --input  /path/to/transcripts_ds \\
         --output /path/to/graph_report \\
-        [--iters 2] [--hits-iters 1] [--top 20]
+        [--max-iters 20] [--tol 1e-6] [--hits-iters 5] [--top 20]
 
 Writes:
     output/edges/      (conv_id -> href edge relation, with anchors)
@@ -16,6 +16,14 @@ crawl-prioritization / quality-prior report a 100 TB corpus build runs
 after ingest. The edge relation is written BEFORE iterating (the same
 materialize-once rule `pagerank` enforces internally): at cluster scale
 the edge table is a product, not a temporary.
+
+PageRank runs to CONVERGENCE by default (`pagerank_converged`: early
+stop when the per-iteration L1 delta drops below --tol, capped at
+--max-iters), and the report carries the full delta sequence as the
+convergence evidence. The library's fixed-`iters` `pagerank`/`hits`
+defaults (2/1) are gate-shaped — sized so an unrolled SQL twin can
+replay them hash-for-hash — not production settings; this CLI is the
+production surface.
 """
 
 from __future__ import annotations
@@ -32,8 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="link-graph centrality job")
     p.add_argument("--input", required=True, help="transcripts table/path")
     p.add_argument("--output", required=True, help="report root")
-    p.add_argument("--iters", type=int, default=2)
-    p.add_argument("--hits-iters", type=int, default=1)
+    p.add_argument("--max-iters", type=int, default=20,
+                   help="PageRank iteration cap (early-stops at --tol)")
+    p.add_argument("--tol", type=float, default=1e-6,
+                   help="stop when the per-iteration L1 rank delta "
+                        "falls below this")
+    p.add_argument("--hits-iters", type=int, default=5)
     p.add_argument("--top", type=int, default=20)
     p.add_argument("--tool", default="html/v1",
                    help="tool value marking HTML turns")
@@ -53,7 +65,8 @@ def main(argv=None) -> int:
     edges = read_table(spark, os.path.join(args.output, "edges")) \
         .select(F.col("conv_id").alias("src"), F.col("href").alias("dst"))
 
-    pr = LK.pagerank(edges, iters=args.iters)
+    pr, deltas = LK.pagerank_converged(
+        edges, max_iters=args.max_iters, tol=args.tol)
     write_table(pr, os.path.join(args.output, "pagerank"))
     hh = LK.hits(edges, iters=args.hits_iters)
     write_table(hh, os.path.join(args.output, "hits"))
@@ -63,6 +76,10 @@ def main(argv=None) -> int:
     print(json.dumps({
         "edges": edges.count(),
         "nodes": pr.count(),
+        "pagerank_iters": len(deltas),
+        "pagerank_l1_deltas": deltas,
+        "pagerank_converged": bool(deltas and deltas[-1] < args.tol),
+        "hits_iters": args.hits_iters,
         "top_pagerank": [[t.node, t.r] for t in top[:5]],
     }))
     return 0

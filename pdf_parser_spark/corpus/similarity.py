@@ -1000,56 +1000,3 @@ def centroid_by_label(df: DataFrame, key_col: str = "label",
                  .cast("long").alias("n_vecs"),
                  F.expr("transform(sort_array(collect_list(struct(dim, m))), "
                         "s -> round(s.m, 6))").alias("centroid")))
-
-
-def jl_project(df: DataFrame, in_dims: int = 64, out_dims: int = 16,
-               id_col: str = "vec_id", vec_col: str = "embedding",
-               salt: str = "jl") -> DataFrame:
-    """Johnson-Lindenstrauss random projection: compress embeddings to
-    ``out_dims`` with a deterministic ±1 sign matrix scaled 1/√k
-    (Achlioptas 2003 — the database-friendly JL variant: no Gaussian
-    sampling, just signs), preserving pairwise distances within
-    ~O(√(log n / k)). The third member of the compression matrix next
-    to PQ (8 B/vec) and SQ8 (1 B/dim): JL keeps a FLOAT geometry the
-    whole similarity stack consumes unchanged (LSH/IVF/k-means all run
-    on the projected table as-is), trading dimensionality rather than
-    precision.
-
-    The sign matrix derives from md5 of ``salt:d:j`` at PLAN BUILD time
-    (the kmeans literal-codebook pattern): out_dims zip_with/aggregate
-    folds over in_dims literal signs — pure codegen, no UDF, no
-    shuffle, and the identical literals embed in the SQL twin so the
-    projection value-hashes cross-engine (6dp). Vectors with the wrong
-    width are excluded (the PQ width contract)."""
-    import hashlib
-    import math
-
-    signs = [[1 if int(hashlib.md5(
-        f"{salt}:{d}:{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
-        for d in range(in_dims)] for j in range(out_dims)]
-    scale = 1.0 / math.sqrt(out_dims)
-    dims_exprs = []
-    for j in range(out_dims):
-        s_lit = ", ".join(f"{s}D" for s in signs[j])
-        dims_exprs.append(
-            f"round(aggregate(zip_with({vec_col}, array({s_lit}), "
-            f"(v, s) -> v * s), 0D, (a, x) -> a + x) * {scale!r}D, 6)")
-    return (df.filter(F.col(vec_col).isNotNull()
-                      & (F.size(F.col(vec_col)) == in_dims))
-            .select(F.col(id_col),
-                    F.expr("array(" + ", ".join(dims_exprs) + ")")
-                    .alias("projected")))
-
-
-def jl_signs_sql(in_dims: int = 64, out_dims: int = 16,
-                 salt: str = "jl") -> list:
-    """The identical sign matrix as SQL list literals (kept beside
-    `jl_project` so the twin cannot drift)."""
-    import hashlib
-
-    return [
-        "[" + ", ".join(
-            "1.0" if int(hashlib.md5(
-                f"{salt}:{d}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
-            else "-1.0" for d in range(in_dims)) + "]"
-        for j in range(out_dims)]

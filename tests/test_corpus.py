@@ -970,7 +970,7 @@ def test_jl_project_norm_preservation(spark):
     deterministic function (same rows twice)."""
     import numpy as np
 
-    from pdf_parser_spark.corpus.similarity import jl_project
+    from pdf_parser_spark.corpus.transforms import jl_project
 
     embs = spark.read.parquet(
         "/root/testdata/sf0.01/embeddings.parquet")

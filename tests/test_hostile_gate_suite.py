@@ -38,7 +38,7 @@ DOC_GATES = [
     "winnow_fingerprints",
 ]
 EMB_GATES = [
-    "ann_jl_project",
+    "jl_project_transform",
     "ann_sq8_encode", "ann_sq8_topk", "ann_ivf_sq8_topk",
     "ann_batch_topk", "ann_ivf_assign", "ann_ivf_topk",
     "ann_ivf_topk_probe2", "ann_lsh_buckets", "ann_lsh_topk",

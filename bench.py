@@ -224,10 +224,16 @@ def main() -> None:
     # Warm the JVM + python workers outside the timed region.
     extract_layouts(transcripts.limit(2000)).count()
 
-    # Best-of-N per query: the sandbox host shows intermittent steal
-    # (phantom load with no local processes), so a single sample can read
-    # 3x slow. Two samples bound the noise without inflating wall time much.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # Converge-then-stop sampling per query: the first run of each query
+    # SHAPE pays JIT/codegen + python-worker warm-up (measured: the same
+    # markdown query 4.9s -> 3.4s -> 2.7s -> 2.4s across consecutive
+    # runs), and the host shows intermittent steal, so a fixed best-of-2
+    # can report 2-3x the converged cost (r3: markdown_c001 read 8.7s on
+    # the driver vs 2.4s converged). Sample until the two FASTEST draws
+    # agree within 15% (max SPARK_GRAFT_BENCH_REPEATS, default 4) and
+    # report the best — stable queries stop at 2 samples, warming or
+    # steal-hit queries get the extra draws they need.
+    max_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
     timings: dict[str, float] = {}
     def _drop_persisted():
         # the iterative operators (pagerank/HITS/kmeans/near-dedup)
@@ -241,12 +247,16 @@ def main() -> None:
         spark.catalog.clearCache()
 
     for name, fn in benches.items():
-        best = float("inf")
-        for _ in range(repeats):
+        samples: list[float] = []
+        for _ in range(max(2, max_repeats)):
             t0 = time.monotonic()
             fn()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.monotonic() - t0)
+            if len(samples) >= 2:
+                s = sorted(samples)
+                if s[1] <= s[0] * 1.15:
+                    break
+        timings[name] = round(min(samples), 3)
         _drop_persisted()
 
     extract_sec = timings["extract_a003"]

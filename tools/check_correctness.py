@@ -6,11 +6,16 @@ then compares row count, column names, and an order-insensitive value
 hash (columns sorted by name, rows sorted, values canonicalized).
 
 Usage: python tools/check_correctness.py [sf_dir] [only_query ...]
+       JSON_OUT=path python tools/check_correctness.py [sf_dir]
+           additionally writes a driver-format per-gate verdict file
+           ({name: {rows_match, schema_match, hash_match, spark_rows,
+           oracle_rows, err}}).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -69,43 +74,64 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     n_pass = n_fail = 0
+    verdicts: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.monotonic()
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        verdicts[name] = rec
         try:
             got = fn(spark, sf_dir).toPandas()
+            rec["spark_rows"] = len(got)
         except Exception as exc:  # noqa: BLE001
+            rec["err"] = f"spark error: {exc}"
             print(f"FAIL  {name}: spark error: {exc}")
             n_fail += 1
             continue
         sql = oracles.get(name)
         if sql is None:
+            rec["err"] = "no oracle (rows-only gate)"
             print(f"weak  {name}: rows={len(got)} ({time.monotonic()-t0:.1f}s, no oracle)")
             continue
         try:
             want = con.sql(sql).df()
+            rec["oracle_rows"] = len(want)
         except Exception as exc:  # noqa: BLE001
+            rec["err"] = f"duckdb error: {str(exc)[:200]}"
             print(f"FAIL  {name}: duckdb error: {str(exc)[:200]}")
             n_fail += 1
             continue
         problems = []
-        if len(got) != len(want):
+        rec["rows_match"] = len(got) == len(want)
+        if not rec["rows_match"]:
             problems.append(f"rows {len(got)} != {len(want)}")
-        if sorted(got.columns) != sorted(want.columns):
+        rec["schema_match"] = sorted(got.columns) == sorted(want.columns)
+        if not rec["schema_match"]:
             problems.append(f"cols {sorted(got.columns)} != {sorted(want.columns)}")
-        elif value_hash(got) != value_hash(want):
-            problems.append("value-hash mismatch")
-            a, b = canon_frame(got), canon_frame(want)
-            if len(a) == len(b):
-                for c in a.columns:
-                    bad = (a[c] != b[c])
-                    if bad.any():
-                        i = int(np.argmax(bad.to_numpy()))
-                        problems.append(
-                            f"first diff col={c} row={i}: "
-                            f"spark={a[c].iloc[i]!r} duck={b[c].iloc[i]!r}")
-                        break
+        else:
+            try:
+                rec["hash_match"] = value_hash(got) == value_hash(want)
+            except TypeError as exc:
+                # the driver's canonicalizer dies the same way on
+                # unhashable (array) columns — record it as the error
+                rec["err"] = f"canonicalizer error: {exc}"
+                rec["hash_match"] = False
+            if not rec["hash_match"]:
+                problems.append(rec["err"] or "value-hash mismatch")
+                if rec["err"] is None:
+                    a, b = canon_frame(got), canon_frame(want)
+                    if len(a) == len(b):
+                        for c in a.columns:
+                            bad = (a[c] != b[c])
+                            if bad.any():
+                                i = int(np.argmax(bad.to_numpy()))
+                                problems.append(
+                                    f"first diff col={c} row={i}: "
+                                    f"spark={a[c].iloc[i]!r} duck={b[c].iloc[i]!r}")
+                                break
         dt = time.monotonic() - t0
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} ({dt:.1f}s)")
@@ -114,6 +140,10 @@ def main() -> int:
             print(f"pass  {name}: rows={len(got)} ({dt:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    out_path = os.environ.get("JSON_OUT")
+    if out_path:
+        with open(out_path, "w", encoding="utf-8") as f:
+            json.dump(verdicts, f, indent=1)
     return 1 if n_fail else 0
 
 

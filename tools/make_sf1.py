@@ -75,6 +75,37 @@ def main() -> None:
         n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
         print(f"wrote {dst}: {n} rows")
 
+    # Non-replica documents variant: the plain 10x replica keeps text
+    # byte-identical across reps, which inflates exact/near-dup PAIR
+    # counts quadratically (10 identical copies = 45 pairs each) — an
+    # artifact of the fixture, not a property of 10x data. For honest
+    # dedup scaling numbers, salt each replica's token SET: tokens whose
+    # md5 bucket falls below the rep index get a rep-specific suffix, so
+    # rep r differs from the original in ~r*10% of distinct tokens
+    # (SimHash/MinHash see genuinely distinct documents while length and
+    # vocabulary shape are preserved). rep 0 stays verbatim.
+    src_docs = os.path.join(src, "documents.parquet")
+    if os.path.exists(src_docs):
+        dst = os.path.join(out, "documents_nonrep.parquet")
+        con.sql(f"""
+            COPY (
+              SELECT doc_id + r.rep * 1000000 AS doc_id,
+                     CASE WHEN r.rep = 0 OR text IS NULL THEN text ELSE
+                       array_to_string(
+                         [CASE WHEN (('0x' || substr(md5(t), 1, 8))::UBIGINT
+                                     % 10) < r.rep
+                               THEN t || '_r' || r.rep ELSE t END
+                          FOR t IN string_split(text, ' ')], ' ')
+                     END AS text,
+                     * EXCLUDE (doc_id, text)
+              FROM '{src_docs}'
+              CROSS JOIN (SELECT unnest(range({REPS})) AS rep) r
+              ORDER BY r.rep
+            ) TO '{dst}' (FORMAT PARQUET)
+        """)
+        n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+        print(f"wrote {dst}: {n} rows (token-salted non-replica)")
+
 
 if __name__ == "__main__":
     main()

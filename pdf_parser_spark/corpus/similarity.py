@@ -550,10 +550,15 @@ def sq8_encode(df: DataFrame, id_col: str = "vec_id",
     repo's contracts exclude. Degenerate (null/empty/zero-norm) vectors
     are excluded per the module contract (`with_norm`)."""
     base = with_norm(df, vec_col)
+    # nullif: the InferFiltersFromGenerate hazard (see _ivf_parts) —
+    # a downstream posexplode of `codes` clones this expression into
+    # an inferred predicate evaluated before with_norm's norm>0
+    # filter, and a bare `/ norm` throws ANSI DIVIDE_BY_ZERO there
     return base.select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, v -> cast(floor("
-               "cast(v as double) / norm * 127.0 + 0.5) as int))")
+               "cast(v as double) / nullif(norm, cast(0.0 as double))"
+               " * 127.0 + 0.5) as int))")
         .alias("codes"))
 
 
@@ -569,8 +574,9 @@ def sq8_topk(df: DataFrame, query_id: int = 0, k: int = 10,
     while the float originals stay cold)."""
     base = with_norm(df, vec_col)
     q = (base.filter(F.col(id_col) == query_id)
-         .select(F.expr(f"transform({vec_col}, "
-                        "v -> cast(v as double) / norm)").alias("qvec")))
+         .select(F.expr(f"transform({vec_col}, v -> cast(v as double) "
+                        "/ nullif(norm, cast(0.0 as double)))")
+                 .alias("qvec")))
     scored = (sq8_encode(df, id_col, vec_col)
               .filter(F.col(id_col) != query_id)
               .crossJoin(F.broadcast(q))
@@ -699,8 +705,9 @@ def pq_encode_exact(df: DataFrame, codebooks: list,
                      vec_col)
     subs = (base
             .select(id_col,
-                    F.expr(f"transform({vec_col}, "
-                           "v -> cast(v as double) / norm)").alias("ue"))
+                    F.expr(f"transform({vec_col}, v -> cast(v as double)"
+                           " / nullif(norm, cast(0.0 as double)))")
+                    .alias("ue"))
             .select(id_col, F.posexplode(F.expr(
                 f"transform(sequence(0, {m - 1}), "
                 f"j -> slice(ue, j * {subdim} + 1, {subdim}))"))
@@ -739,8 +746,9 @@ def pq_adc_topk_exact(df: DataFrame, query_id: int = 0, k: int = 10,
          for j, b in enumerate(codebooks) for c, vec in enumerate(b)],
         "j int, code int, cvec array<double>")
     qsubs = (with_norm(df.filter(F.col(id_col) == query_id), vec_col)
-             .select(F.expr(f"transform({vec_col}, "
-                            "v -> cast(v as double) / norm)").alias("ue"))
+             .select(F.expr(f"transform({vec_col}, v -> cast(v as double)"
+                            " / nullif(norm, cast(0.0 as double)))")
+                     .alias("ue"))
              .select(F.posexplode(F.expr(
                  f"transform(sequence(0, {m - 1}), "
                  f"j -> slice(ue, j * {subdim} + 1, {subdim}))"))

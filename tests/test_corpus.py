@@ -915,6 +915,33 @@ def test_pagerank_properties(spark):
         == [("c1", 0, "/x", "one"), ("c1", 1, "/y", "two")]
 
 
+def test_pagerank_converged(spark):
+    """pagerank_converged: deltas shrink monotonically (after the first
+    step), a loose tol early-stops before max_iters, the converged
+    ranks agree with fixed-iters pagerank at the same depth, and mass
+    stays conserved."""
+    from pdf_parser_spark.corpus.links import pagerank, pagerank_converged
+
+    edges = spark.createDataFrame(
+        [("a", "d"), ("b", "d"), ("c", "d"), ("e", "a"), ("d", "e")],
+        "src string, dst string")
+    # deltas decay ~d=0.85 per iter from ~0.5, so tol=0.05 stops ~14
+    # iterations in — well inside the 30 cap (the early-stop assert)
+    ranks, deltas = pagerank_converged(edges, max_iters=30, tol=0.05)
+    assert 1 <= len(deltas) < 30                 # early stop fired
+    assert deltas[-1] < 0.05
+    # deltas decay (allow equality: 9dp rounding can plateau)
+    assert all(b <= a * 1.01 for a, b in zip(deltas[2:], deltas[3:]))
+    r = {row.node: row.r for row in ranks.collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+
+    # same graph, fixed pagerank run to the converged depth: identical
+    # 9dp state (pagerank_converged iterates the same _pagerank_iteration)
+    fixed = {row.node: row.r
+             for row in pagerank(edges, iters=len(deltas)).collect()}
+    assert fixed == r
+
+
 def test_hits_properties(spark):
     """HITS invariants: the most-cited target has the top authority,
     the node citing the best targets has the top hub score, both

@@ -998,6 +998,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_filter_keep"] = q_quality_keep
 
+    # in-engine rule distillation: class-centroid init + 2 exact GD
+    # steps over hashed-BoW + rule features; the twin re-derives the
+    # whole training loop relationally (no literals cross engines)
+    def q_probe_weights(spark, sf_dir):
+        return _longify(TS.quality_probe_weights_df(
+            _tbl(spark, sf_dir, "documents"), rule_feats=True))
+
+    q["quality_probe_weights"] = q_probe_weights
+
+    def q_probe_agreement(spark, sf_dir):
+        return _longify(TS.quality_probe_agreement(
+            _tbl(spark, sf_dir, "documents"), rule_feats=True))
+
+    q["quality_probe_agreement"] = q_probe_agreement
+
     def q_topk_terms(spark, sf_dir):
         return _longify(TS.topk_terms(_tbl(spark, sf_dir, "documents")))
 
@@ -1731,6 +1746,166 @@ def oracle_sql() -> dict[str, str]:
                        [round(x / sqrt(list_inner_product(r, r)), 6)
                         FOR x IN r] AS embedding
                 FROM braw)"""
+
+    # C4/Gopher rule feature chain -> feats(doc_id, n_tokens,
+    # stopword_ratio, top2_char_frac, dup3_frac); shared by the
+    # quality_filter_keep gate and the probe-trainer twins.
+    _QRULE_CTES = f"""c AS (
+                SELECT doc_id, {_CANON} AS t,
+                       length({_CANON}) AS nc,
+                       string_split({_CANON}, ' ') AS w
+                FROM documents),
+            qs AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       round(len(list_filter(string_split(lower(text), ' '),
+                                             x -> x IN ({_STOP_SQL})))::DOUBLE
+                             / greatest(len(string_split(text, ' ')), 1), 4)
+                           AS stopword_ratio
+                FROM documents),
+            e2 AS (
+                SELECT doc_id,
+                       unnest([w[i] || ' ' || w[i + 1]
+                               FOR i IN range(1, len(w))]) AS gram
+                FROM c WHERE len(w) >= 2),
+            c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM e2
+                   GROUP BY 1, 2),
+            t2 AS (
+                SELECT doc_id, gram, cnt,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY cnt DESC, gram DESC) AS rn
+                FROM c2),
+            e3 AS (
+                SELECT doc_id,
+                       unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                               FOR i IN range(1, len(w) - 1)]) AS gram
+                FROM c WHERE len(w) >= 3),
+            c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM e3
+                   GROUP BY 1, 2),
+            a3 AS (
+                SELECT doc_id, sum(cnt) AS n3,
+                       sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup
+                FROM c3 GROUP BY doc_id),
+            feats AS (
+                SELECT c.doc_id,
+                       qs.n_tokens, qs.stopword_ratio,
+                       round(coalesce(t2.cnt * length(t2.gram), 0)
+                             / greatest(c.nc, 1), 4) AS top2_char_frac,
+                       round(coalesce(a3.dup, 0)
+                             / greatest(coalesce(a3.n3, 0), 1), 4)
+                           AS dup3_frac
+                FROM c
+                JOIN qs ON qs.doc_id = c.doc_id
+                LEFT JOIN t2 ON t2.doc_id = c.doc_id AND t2.rn = 1
+                LEFT JOIN a3 ON a3.doc_id = c.doc_id)"""
+
+    _PROBE_ITERS = 2
+    _PROBE_LR = 0.5
+    _PROBE_SCALE = 16.0
+
+    def _probe_iter(i: int) -> str:
+        """One unrolled probe GD step over the long-form features `x`:
+        margin = exact 1e-9 integer-unit dot + bias units, fast-sigmoid
+        squash at 6dp, per-dim gradient unit sums, 6dp weight update —
+        textstats.train_quality_probe's arithmetic, relationally."""
+        return f"""
+            zu{i} AS (
+                SELECT x.doc_id, x.y,
+                       sum(CAST(floor(x.xv * w.w * 1e9 + 0.5) AS BIGINT))
+                           AS zu
+                FROM x JOIN w{i - 1} w USING (dim) GROUP BY 1, 2),
+            z{i} AS (
+                SELECT doc_id, y,
+                       floor((zu + (SELECT CAST(floor(b * 1e9 + 0.5)
+                                                AS BIGINT)
+                                    FROM b{i - 1}))
+                             / 1e9 * 1e6 + 0.5) / 1e6 AS z
+                FROM zu{i}),
+            p{i} AS (
+                SELECT doc_id, y,
+                       floor(0.5 * (1.0 + z / (1.0 + abs(z))) * 1e6 + 0.5)
+                           / 1e6 AS p
+                FROM z{i}),
+            g{i} AS (
+                SELECT x.dim,
+                       sum(CAST(floor((p.p - x.y) * x.xv * 1e9 + 0.5)
+                                AS BIGINT)) AS gu
+                FROM x JOIN p{i} p USING (doc_id) GROUP BY 1),
+            gb{i} AS (
+                SELECT sum(CAST(floor((p - y) * 1e9 + 0.5) AS BIGINT))
+                           AS gu
+                FROM p{i}),
+            w{i} AS (
+                SELECT w.dim,
+                       floor((w.w - {_PROBE_LR!r} * (g.gu / 1e9) / n)
+                             * 1e6 + 0.5) / 1e6 AS w
+                FROM w{i - 1} w JOIN g{i} g USING (dim), nst),
+            b{i} AS (
+                SELECT floor((b.b - {_PROBE_LR!r} * (gu / 1e9) / n)
+                             * 1e6 + 0.5) / 1e6 AS b
+                FROM b{i - 1} b, gb{i}, nst)"""
+
+    _PROBE_TRAIN_CTES = (
+        f"""src AS (SELECT doc_id, {_CANON} AS txt FROM documents),
+            {_bow_ctes("src", "doc_id")},
+            {_QRULE_CTES},
+            qkeep AS (
+                SELECT doc_id FROM feats
+                WHERE n_tokens >= 10 AND stopword_ratio >= 0.0001
+                  AND top2_char_frac <= 0.20 AND dup3_frac <= 0.55),
+            pfe AS (
+                SELECT b.doc_id,
+                       list_concat(b.embedding,
+                           [floor(f.n_tokens / (f.n_tokens + 100.0)
+                                  * 1e6 + 0.5) / 1e6,
+                            f.stopword_ratio, f.top2_char_frac,
+                            f.dup3_frac]) AS e
+                FROM bemb b JOIN feats f USING (doc_id)),
+            lab AS (
+                SELECT p.doc_id, p.e,
+                       CASE WHEN k.doc_id IS NULL THEN 0.0 ELSE 1.0 END
+                           AS y
+                FROM pfe p LEFT JOIN qkeep k USING (doc_id)),
+            nst AS (SELECT count(*)::BIGINT AS n FROM lab),
+            xl AS (SELECT doc_id, y, unnest(range(1, len(e) + 1)) AS i, e
+                   FROM lab),
+            x AS (SELECT doc_id, y, (i - 1)::BIGINT AS dim, e[i] AS xv
+                  FROM xl),
+            cls AS (
+                SELECT y, dim,
+                       sum(CAST(floor(xv * 1e9 + 0.5) AS BIGINT)) AS su,
+                       count(*) AS cn
+                FROM x GROUP BY 1, 2),
+            cm1 AS (SELECT dim, floor(su / 1e9 / cn * 1e6 + 0.5) / 1e6
+                               AS m
+                    FROM cls WHERE y = 1.0),
+            cm0 AS (SELECT dim, floor(su / 1e9 / cn * 1e6 + 0.5) / 1e6
+                               AS m
+                    FROM cls WHERE y = 0.0),
+            ddom AS (SELECT DISTINCT dim FROM x),
+            c1n AS (SELECT count(*) AS k FROM cm1),
+            c0n AS (SELECT count(*) AS k FROM cm0),
+            w0 AS (SELECT d.dim,
+                          CASE WHEN c1n.k = 0 OR c0n.k = 0 THEN 0.0
+                               ELSE floor((m1.m - m0.m) * {_PROBE_SCALE!r}
+                                          * 1e6 + 0.5) / 1e6 END AS w
+                   FROM ddom d
+                   LEFT JOIN cm1 m1 USING (dim)
+                   LEFT JOIN cm0 m0 USING (dim), c1n, c0n),
+            mid AS (SELECT d.dim,
+                           floor((coalesce(m1.m, 0.0) + coalesce(m0.m, 0.0))
+                                 / 2.0 * 1e6 + 0.5) / 1e6 AS mv
+                    FROM ddom d
+                    LEFT JOIN cm1 m1 USING (dim)
+                    LEFT JOIN cm0 m0 USING (dim)),
+            b0 AS (SELECT CASE WHEN (SELECT k FROM c1n) = 0
+                                 OR (SELECT k FROM c0n) = 0 THEN 0.0
+                          ELSE floor(-(sum(CAST(floor(w0.w * mid.mv * 1e9
+                                                       + 0.5) AS BIGINT))
+                                        / 1e9) * 1e6 + 0.5) / 1e6 END AS b
+                   FROM w0 JOIN mid USING (dim)),"""
+        + ",".join(_probe_iter(i) for i in range(1, _PROBE_ITERS + 1)))
 
     _CHUNK_CTES = f"""
             ct AS (
@@ -2864,61 +3039,50 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN rem r USING (doc_id)
         """,
         "quality_filter_keep": f"""
-            WITH c AS (
-                SELECT doc_id, {_CANON} AS t,
-                       length({_CANON}) AS nc,
-                       string_split({_CANON}, ' ') AS w
-                FROM documents),
-            qs AS (
-                SELECT doc_id,
-                       len(string_split(text, ' ')) AS n_tokens,
-                       round(len(list_filter(string_split(lower(text), ' '),
-                                             x -> x IN ({_STOP_SQL})))::DOUBLE
-                             / greatest(len(string_split(text, ' ')), 1), 4)
-                           AS stopword_ratio
-                FROM documents),
-            e2 AS (
-                SELECT doc_id,
-                       unnest([w[i] || ' ' || w[i + 1]
-                               FOR i IN range(1, len(w))]) AS gram
-                FROM c WHERE len(w) >= 2),
-            c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM e2
-                   GROUP BY 1, 2),
-            t2 AS (
-                SELECT doc_id, gram, cnt,
-                       row_number() OVER (
-                           PARTITION BY doc_id
-                           ORDER BY cnt DESC, gram DESC) AS rn
-                FROM c2),
-            e3 AS (
-                SELECT doc_id,
-                       unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
-                               FOR i IN range(1, len(w) - 1)]) AS gram
-                FROM c WHERE len(w) >= 3),
-            c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM e3
-                   GROUP BY 1, 2),
-            a3 AS (
-                SELECT doc_id, sum(cnt) AS n3,
-                       sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup
-                FROM c3 GROUP BY doc_id),
-            feats AS (
-                SELECT c.doc_id,
-                       qs.n_tokens, qs.stopword_ratio,
-                       round(coalesce(t2.cnt * length(t2.gram), 0)
-                             / greatest(c.nc, 1), 4) AS top2_char_frac,
-                       round(coalesce(a3.dup, 0)
-                             / greatest(coalesce(a3.n3, 0), 1), 4)
-                           AS dup3_frac
-                FROM c
-                JOIN qs ON qs.doc_id = c.doc_id
-                LEFT JOIN t2 ON t2.doc_id = c.doc_id AND t2.rn = 1
-                LEFT JOIN a3 ON a3.doc_id = c.doc_id)
+            WITH {_QRULE_CTES}
             SELECT d.doc_id, d.lang, d.source, d.n_chars
             FROM documents d JOIN feats f ON f.doc_id = d.doc_id
             WHERE f.n_tokens >= 10
               AND f.stopword_ratio >= 0.0001
               AND f.top2_char_frac <= 0.20
               AND f.dup3_frac <= 0.55
+        """,
+        # Probe trainer twins: the ENTIRE training loop is relational —
+        # class-centroid init (w0/b0 from per-class integer-unit sums),
+        # then `iters` unrolled GD steps where each weight update joins
+        # the previous weight RELATION (no literals smuggled from the
+        # engine). Every float step quantizes to 1e-9/1e-6 units with
+        # floor(x*k + 0.5) round-half-up, mirroring textstats._r6 /
+        # _probe_z_units term for term.
+        "quality_probe_weights": f"""
+            WITH {_PROBE_TRAIN_CTES}
+            SELECT dim, w AS weight FROM w{_PROBE_ITERS}
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT) AS dim, b AS weight
+            FROM b{_PROBE_ITERS}
+        """,
+        "quality_probe_agreement": f"""
+            WITH {_PROBE_TRAIN_CTES},
+            zuf AS (
+                SELECT x.doc_id, x.y,
+                       sum(CAST(floor(x.xv * w.w * 1e9 + 0.5) AS BIGINT))
+                           AS zu
+                FROM x JOIN w{_PROBE_ITERS} w USING (dim)
+                GROUP BY 1, 2),
+            dec AS (
+                SELECT doc_id,
+                       CASE WHEN y = 1.0 THEN 1 ELSE 0 END AS yk,
+                       CASE WHEN zu + (SELECT CAST(floor(b * 1e9 + 0.5)
+                                                   AS BIGINT)
+                                       FROM b{_PROBE_ITERS}) > 0
+                            THEN 1 ELSE 0 END AS pk
+                FROM zuf)
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(yk)::BIGINT AS n_rule_keep,
+                   sum(pk)::BIGINT AS n_probe_keep,
+                   sum(CASE WHEN yk = pk THEN 1 ELSE 0 END)::BIGINT
+                       AS n_agree
+            FROM dec
         """,
         "topk_terms": """
             WITH toks AS (

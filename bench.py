@@ -212,6 +212,9 @@ def main() -> None:
             SK.distinct_kmv(events, "event_type", "user_id")),
         "dsir_weights": lambda: force_count(TS.dsir_weights(docs)),
         "hashed_bow": lambda: force_count(TS.hashed_bow_embeddings(docs)),
+        # distributed rule distillation: centroid init + 2 GD passes
+        "quality_probe_train": lambda: force_count(
+            TS.quality_probe_weights_df(docs, rule_feats=True)),
         "rag_chunk_topk": lambda: force_count(S.brute_topk(
             TS.hashed_bow_embeddings(
                 PK.chunk_documents(docs, size=32, overlap=8).select(

@@ -931,9 +931,10 @@ def linear_quality_score(df: DataFrame, weights: list, bias: float = 0.0,
     over the feature rollup: no join, no Python, no shuffle beyond
     the two bounded hashed-BoW aggregations.
 
-    Training is out of scope by design (a driver-side scikit/liblinear
-    fit over a labeled sample — thousands of rows — is not a
-    distributed problem); this operator is the 100 TB half. Engine
+    Driver-side fitting over a labeled SAMPLE is out of scope by design
+    (thousands of rows is not a distributed problem); full-corpus
+    WEAK-LABEL distillation is — see `train_quality_probe`, whose
+    (weights, bias) feed straight into this operator. Engine
     parity: the dot is the in-order fold DuckDB's list_inner_product
     replays, the sigmoid's exp is the one libm call, rounded 6dp.
     Output: (id, quality_score)."""
@@ -948,6 +949,246 @@ def linear_quality_score(df: DataFrame, weights: list, bias: float = 0.0,
         F.col(id_col),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
         .alias("quality_score"))
+
+
+def quality_rule_features(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """The quality RULE's own feature vector as a relation —
+    (id, n_tokens, stop_r, top2_cf, dup3_f), the same expressions and
+    4dp rounding `quality_filter_keep` thresholds (kept a separate
+    single-projection operator rather than a refactor of the filter so
+    the filter's plan-asserted zero-Exchange shape stays untouched).
+    This is the feature block `train_quality_probe(rule_feats=True)`
+    appends: BoW token-identity features alone cannot see document
+    LENGTH or REPETITION (L2 normalization erases both), which is
+    exactly the signal the C4/Gopher rule thresholds."""
+    tokens = F.split(F.col(text_col), " ")
+    n_tokens = F.size(tokens)
+    n_stop = _marker_count(text_col, STOPWORDS)
+    stop_r = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4)
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
+
+    @pandas_udf("struct<top2_chars:long, n3:long, dup3:long>")
+    def rep_ints_udf(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            _n2, top_cnt, top_gram, n3, dup3 = repetition_counts(t)
+            rows.append((top_cnt * len(top_gram), n3, dup3))
+        return pd.DataFrame(rows, columns=["top2_chars", "n3", "dup3"])
+
+    feats = (df
+             .withColumn("_nt", n_tokens.cast("long"))
+             .withColumn("_sr", stop_r)
+             .withColumn("_nc", F.length(canon))
+             .withColumn("_r", rep_ints_udf(canon)))
+    return feats.select(
+        F.col(id_col),
+        F.col("_nt").alias("n_tokens"),
+        F.col("_sr").alias("stop_r"),
+        F.round(F.col("_r.top2_chars") / F.greatest("_nc", F.lit(1)), 4)
+        .alias("top2_cf"),
+        F.round(F.col("_r.dup3") / F.greatest("_r.n3", F.lit(1)), 4)
+        .alias("dup3_f"))
+
+
+def _r6(x: float) -> float:
+    """Round-half-up to 6dp via pure arithmetic (floor(x*1e6 + 0.5)) —
+    the trainer's cross-engine rounding primitive: identical in Python,
+    Spark SQL, and any ANSI engine, with none of the half-even /
+    half-away forks of the builtin round()s."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _probe_z_units(w: list, bias: float, vec_col: str = "embedding") -> str:
+    """SQL expression for the probe margin in exact 1e-9 integer units:
+    each term x_j*w_j quantizes to floor(.*1e9 + 0.5) BEFORE summation,
+    so the fold is an order-independent bigint sum an independent
+    engine replays exactly (the pagerank/kmeans integer-unit
+    discipline applied to a dot product)."""
+    wlits = ", ".join(f"{float(v)!r}D" for v in w)
+    seed = f"cast(floor({float(bias)!r}D * 1e9 + 0.5) as bigint)"
+    return (f"aggregate(zip_with({vec_col}, array({wlits}), "
+            "(x, w) -> cast(floor(x * w * 1e9 + 0.5) as bigint)), "
+            f"{seed}, (a, u) -> a + u)")
+
+
+_RULE_FEATS_EXPR = (
+    "concat(embedding, array("
+    "floor(n_tokens / (n_tokens + 100.0) * 1e6 + 0.5) / 1e6, "
+    "stop_r, top2_cf, dup3_f))")
+
+
+def _probe_feature_frame(df: DataFrame, dims: int, rule_feats: bool,
+                         id_col: str, text_col: str) -> DataFrame:
+    """(id, embedding) feature relation for the probe: hashed BoW, plus
+    (when rule_feats) the 4 teacher-rule features appended — token count
+    through the pure-arithmetic saturating transform n/(n+100) (NOT a
+    log: libm would enter the cross-engine contract), the other three
+    already 4dp fractions in [0, 1]."""
+    feats = hashed_bow_embeddings(df, dims=dims, id_col=id_col,
+                                  text_col=text_col)
+    if not rule_feats:
+        return feats
+    rf = quality_rule_features(df, id_col=id_col, text_col=text_col)
+    return (feats.join(rf, id_col)
+            .select(id_col, F.expr(_RULE_FEATS_EXPR).alias("embedding")))
+
+
+def train_quality_probe(df: DataFrame, keep_df: DataFrame | None = None,
+                        iters: int = 2, lr: float = 0.5, dims: int = 64,
+                        rule_feats: bool = False, init_scale: float = 16.0,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> tuple:
+    """Distill a filter RULE into a trainable linear probe, entirely
+    in-engine: logistic-style gradient descent over hashed-BoW features
+    with weak labels from `quality_filter_keep` (or any caller-supplied
+    keep set) — the full-corpus counterpart to `linear_quality_score`,
+    whose docstring scopes driver-side fitting out precisely because a
+    labeled SAMPLE is not a distributed problem. Weak-label distillation
+    is: the label source is itself an in-engine rule, so the training
+    set is the whole corpus and each iteration is one partial-agg pass
+    (the fastText/CCNet "train a cheap classifier on rule labels, then
+    score everything" recipe, with the scoring half already in
+    `linear_quality_score`).
+
+    Distributed shape (the `kmeans_refine` protocol): model state lives
+    on the driver (dims+1 doubles), each iteration broadcasts it as
+    plan literals and aggregates dims+1 gradient sums — the exchange
+    carries GROUP SUMMARIES, never rows, so cost per iteration is one
+    corpus scan regardless of model quality. Features+labels
+    materialize once (localCheckpoint; swap for scratch storage at
+    cluster scale, the `near_dedup` rule).
+
+    Every arithmetic step is engine-exact so an unrolled relational SQL
+    twin value-hashes the weights with NO literals smuggled in:
+    gradients and margins quantize per-term to 1e-9 integer units
+    (floor(x*1e9+0.5), round-half-up — no round() forks) and sum as
+    integers (decimal(38,0) on the Spark side for 100 TB headroom; the
+    int→double conversions stay exact below 2^53 units ≈ 9e6 doc-units,
+    documented); the squash is the FAST sigmoid p = 0.5*(1 + z/(1+|z|))
+    — monotone, bounded, and pure arithmetic, so no libm exp() is on
+    the cross-engine contract. Weights round to 6dp per update.
+
+    With ``rule_feats`` the 4 teacher-rule features join the BoW block
+    (see `_probe_feature_frame`); without it the probe measured exactly
+    the keep base rate on the sf0.01 fixture (76% — L2-normalized token
+    identities carry no length/repetition signal; recorded as the
+    negative result that motivated the flag).
+
+    Returns ``(weights, bias, n_docs)``."""
+    feats = _probe_feature_frame(df, dims, rule_feats, id_col, text_col)
+    if keep_df is None:
+        keep_df = quality_filter_keep(df, text_col=text_col).select(id_col)
+    data = (feats.join(keep_df.select(id_col).withColumn("y", F.lit(1.0)),
+                       id_col, "left")
+            .select("embedding", F.coalesce("y", F.lit(0.0)).alias("y"))
+            .localCheckpoint())
+    n = data.count()
+    d_total = dims + (4 if rule_feats else 0)
+
+    # Class-centroid initialization (Rocchio/nearest-centroid): w0 =
+    # scale·(mean(x|keep) − mean(x|drop)), b0 = −w0·midpoint — ONE
+    # extra pass of exact integer-unit sums grouped by label. Plain GD
+    # from zeros spends its first dozens of iterations chasing the
+    # base rate (measured: agreement stuck at 76% = keep rate through
+    # 8 iterations); the centroid discriminant alone already reads 84%
+    # on the sf0.01 fixture and GD then refines the margin. The
+    # measured linear ceiling on these features is ~95% (3000 offline
+    # logistic iterations) — BASELINE.md records the operating points.
+    import math
+
+    crow = data.groupBy("y").agg(
+        F.count(F.lit(1)).alias("cn"),
+        *[F.sum(F.expr(
+            f"cast(floor(element_at(embedding, {j + 1}) * 1e9 "
+            "+ 0.5) as bigint)").cast("decimal(38,0)")).alias(f"s{j}")
+          for j in range(d_total)]).collect()
+    stats = {int(r.y): r for r in crow}
+    w = [0.0] * d_total
+    b = 0.0
+    if init_scale > 0 and 0 in stats and 1 in stats:
+        n1, n0 = int(stats[1].cn), int(stats[0].cn)
+        m1 = [_r6((int(stats[1][f"s{j}"]) / 1e9) / n1)
+              for j in range(d_total)]
+        m0 = [_r6((int(stats[0][f"s{j}"]) / 1e9) / n0)
+              for j in range(d_total)]
+        w = [_r6((m1[j] - m0[j]) * init_scale) for j in range(d_total)]
+        mid = [_r6((m1[j] + m0[j]) / 2.0) for j in range(d_total)]
+        b = _r6(-sum(math.floor(w[j] * mid[j] * 1e9 + 0.5)
+                     for j in range(d_total)) / 1e9)
+    for _ in range(iters):
+        zed = data.select(
+            F.expr(_probe_z_units(w, b)).alias("zu"), "y", "embedding")
+        probs = zed.select(
+            F.expr("floor(zu / 1e9 * 1e6 + 0.5) / 1e6").alias("z"),
+            "y", "embedding").select(
+            F.expr("floor(0.5 * (1.0D + z / (1.0D + abs(z))) * 1e6 + 0.5)"
+                   " / 1e6").alias("p"),
+            "y", "embedding")
+        aggs = [
+            F.sum(F.expr(
+                f"cast(floor((p - y) * element_at(embedding, {j + 1}) "
+                "* 1e9 + 0.5) as bigint)").cast("decimal(38,0)"))
+            .alias(f"g{j}")
+            for j in range(d_total)
+        ]
+        aggs.append(
+            F.sum(F.expr("cast(floor((p - y) * 1e9 + 0.5) as bigint)")
+                  .cast("decimal(38,0)")).alias("gb"))
+        row = probs.agg(*aggs).first()
+        w = [_r6(w[j] - lr * (int(row[f"g{j}"]) / 1e9) / n)
+             for j in range(d_total)]
+        b = _r6(b - lr * (int(row["gb"]) / 1e9) / n)
+    data.unpersist()
+    return w, b, n
+
+
+def quality_probe_weights_df(df: DataFrame, iters: int = 2, lr: float = 0.5,
+                             dims: int = 64, rule_feats: bool = False,
+                             init_scale: float = 16.0,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Gate surface for `train_quality_probe`: the trained model as a
+    (dim, weight) relation, bias at dim = -1 — a bounded driver-scalar
+    row count by construction."""
+    w, b, _ = train_quality_probe(df, iters=iters, lr=lr, dims=dims,
+                                  rule_feats=rule_feats,
+                                  init_scale=init_scale,
+                                  id_col=id_col, text_col=text_col)
+    rows = [(-1, b)] + [(j, w[j]) for j in range(len(w))]
+    return df.sparkSession.createDataFrame(rows, "dim long, weight double")
+
+
+def quality_probe_agreement(df: DataFrame, iters: int = 2, lr: float = 0.5,
+                            dims: int = 64, rule_feats: bool = False,
+                            init_scale: float = 16.0,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Train the probe, then score the SAME corpus and report how well
+    the distilled model reproduces its teacher rule: one row
+    (n_docs, n_rule_keep, n_probe_keep, n_agree). Probe-keep is margin
+    z > 0 (⟺ fast-sigmoid p > 0.5 — decided on the exact integer-unit
+    margin, so no rounded-probability boundary ambiguity). The
+    agreement rate is the number a pipeline owner reads before trusting
+    the probe as the cheap 100 TB pre-filter."""
+    feats = _probe_feature_frame(df, dims, rule_feats, id_col, text_col)
+    keep_df = quality_filter_keep(df, text_col=text_col).select(id_col)
+    w, b, _ = train_quality_probe(df, keep_df=keep_df, iters=iters,
+                                  lr=lr, dims=dims, rule_feats=rule_feats,
+                                  init_scale=init_scale,
+                                  id_col=id_col, text_col=text_col)
+    scored = (feats.join(keep_df.withColumn("y", F.lit(1)), id_col, "left")
+              .select(F.coalesce("y", F.lit(0)).alias("y"),
+                      (F.expr(_probe_z_units(w, b)) > 0)
+                      .cast("int").alias("pk")))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_rule_keep"),
+        F.sum("pk").cast("long").alias("n_probe_keep"),
+        F.sum((F.col("y") == F.col("pk")).cast("int"))
+        .cast("long").alias("n_agree"))
 
 
 def pmi_cooccurrence(df: DataFrame, window: int = 2, min_count: int = 5,

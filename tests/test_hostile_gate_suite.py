@@ -32,6 +32,7 @@ DOC_GATES = [
     "footer_keyword_filter", "lang_id",
     "multimodal_decode_meta", "near_dedup_keep", "pack_sequences",
     "pii_scrub", "quality_by_source", "quality_filter_keep",
+    "quality_probe_weights", "quality_probe_agreement",
     "repetition_stats", "split_assign", "stratified_sample",
     "text_quality_scores", "token_count", "token_df_stats", "topk_terms",
     "unigram_surprisal", "whitespace_normalize", "winnow_containment",

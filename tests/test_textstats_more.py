@@ -232,3 +232,24 @@ def test_pmi_cooccurrence_brute_force(spark):
         assert got[k][0] == pairs[k] and abs(got[k][1] - v) < 1e-9, k
     order = sorted(exp, key=lambda k: (-exp[k], k))
     assert [got[k][2] for k in order] == list(range(1, len(order) + 1))
+
+
+def test_quality_probe_distillation(spark):
+    """train_quality_probe: deterministic (same corpus twice -> same
+    model), the agreement gate beats the predict-all-keep baseline on
+    the driver fixture, and the returned model applies through
+    linear_quality_score's raw-feature contract (weights sized
+    dims + 4 with rule_feats)."""
+    from pdf_parser_spark.corpus.textstats import (
+        quality_probe_agreement, train_quality_probe)
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    w1, b1, n1 = train_quality_probe(docs, iters=2, rule_feats=True)
+    w2, b2, n2 = train_quality_probe(docs, iters=2, rule_feats=True)
+    assert (w1, b1, n1) == (w2, b2, n2)
+    assert len(w1) == 68 and n1 == 500
+
+    r = quality_probe_agreement(docs, iters=2, rule_feats=True).first()
+    assert r.n_docs == 500
+    # predict-all-keep scores exactly n_rule_keep; the probe must beat it
+    assert r.n_agree > r.n_rule_keep

@@ -865,6 +865,43 @@ def main() -> None:
          "relations: cost scales with the BATCH, not the corpus."),
         compact(inc_plan)))
 
+    # probe trainer: one GD iteration's gradient pass over checkpointed
+    # features — reconstruct the trainer's internal frame shape
+    from pdf_parser_spark.corpus import textstats as TSP
+
+    probe_feats = TSP._probe_feature_frame(docs, 16, True, "doc_id", "text")
+    probe_keep = TSP.quality_filter_keep(docs).select("doc_id")
+    probe_data = (probe_feats
+                  .join(probe_keep.withColumn("y", F.lit(1.0)),
+                        "doc_id", "left")
+                  .select("embedding",
+                          F.coalesce("y", F.lit(0.0)).alias("y"))
+                  .localCheckpoint())
+    probe_grad = probe_data.select(
+        F.expr(TSP._probe_z_units([0.0] * 20, 0.0)).alias("zu"),
+        "y", "embedding").agg(*[
+        F.sum(F.expr(
+            f"cast(floor((zu / 1e9 - y) * element_at(embedding, {j + 1})"
+            " * 1e9 + 0.5) as bigint)").cast("decimal(38,0)"))
+        .alias(f"g{j}") for j in range(20)])
+    audit(
+        "Quality-probe GD iteration (gradient pass over checkpointed features)",
+        probe_grad,
+        requires=[r"HashAggregate.*Exchange.*HashAggregate",
+                  r"SinglePartition",
+                  r"Scan ExistingRDD"],
+        forbids=[r"Join", r"CartesianProduct",
+                 r"PythonUDF|BatchEvalPython|ArrowEval|MapInPandas"],
+        note=("One trainer iteration = one partial->final aggregate over "
+              "the ONCE-materialized feature frame (Scan ExistingRDD, "
+              "asserted): the margin fold and all dims+1 gradient sums are "
+              "codegen expressions (no Python, asserted), and the single "
+              "Exchange carries dims+1 integer summaries per map task — "
+              "model quality costs corpus PASSES, never corpus shuffles. "
+              "The label join and BoW aggregation happen once, before the "
+              "checkpoint, not per iteration."),
+    )
+
     with open("/root/repo/PLANS.md", "w", encoding="utf-8") as f:
         f.write(
             "# PLANS — physical-plan audit of the headline operators\n\n"

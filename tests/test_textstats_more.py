@@ -253,3 +253,25 @@ def test_quality_probe_distillation(spark):
     assert r.n_docs == 500
     # predict-all-keep scores exactly n_rule_keep; the probe must beat it
     assert r.n_agree > r.n_rule_keep
+
+
+def test_quality_rule_features_match_filter(spark):
+    """quality_rule_features deliberately duplicates the filter's
+    expressions (to leave the filter's plan-asserted shape untouched);
+    this pins them together: thresholding the feature frame must
+    reproduce quality_filter_keep's keep set exactly."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.corpus.textstats import (
+        quality_filter_keep, quality_rule_features)
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    via_feats = set(
+        r.doc_id for r in quality_rule_features(docs).filter(
+            (F.col("n_tokens") >= 10) & (F.col("stop_r") >= 0.0001)
+            & (F.col("top2_cf") <= 0.20) & (F.col("dup3_f") <= 0.55))
+        .select("doc_id").collect())
+    via_filter = set(
+        r.doc_id
+        for r in quality_filter_keep(docs).select("doc_id").collect())
+    assert via_feats == via_filter and len(via_filter) > 0

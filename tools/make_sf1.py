@@ -75,6 +75,20 @@ def main() -> None:
         n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
         print(f"wrote {dst}: {n} rows")
 
+    # Small dimensions copy verbatim: region/nation are fixed-size by
+    # definition; supplier keeps its original key range because the
+    # replicated lineitem only offsets l_orderkey, so l_suppkey joins
+    # stay aligned against the original supplier rows.
+    for table in ("region", "nation", "supplier", "part"):
+        src_path = os.path.join(src, f"{table}.parquet")
+        if not os.path.exists(src_path):
+            continue
+        dst = os.path.join(out, f"{table}.parquet")
+        con.sql(f"COPY (SELECT * FROM '{src_path}') TO '{dst}' "
+                "(FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+        print(f"wrote {dst}: {n} rows (verbatim dim)")
+
     # Non-replica documents variant: the plain 10x replica keeps text
     # byte-identical across reps, which inflates exact/near-dup PAIR
     # counts quadratically (10 identical copies = 45 pairs each) — an

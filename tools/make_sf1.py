@@ -120,6 +120,34 @@ def main() -> None:
         n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
         print(f"wrote {dst}: {n} rows (token-salted non-replica)")
 
+    # Non-replica embeddings variant: identical replica vectors give
+    # every SemDeDup cell 10 exact copies of each member (quadratic
+    # within-cell pairs, 23x wall at sf1 — a fixture artifact). Rotate
+    # each replica's dimensions by rep*7 positions: norms and the value
+    # distribution are preserved exactly, but cosine between a vector
+    # and its rotation is ~a random-pair cosine, so near-dup density is
+    # natural. rep 0 stays verbatim.
+    src_emb = os.path.join(src, "embeddings.parquet")
+    if os.path.exists(src_emb):
+        dst = os.path.join(out, "embeddings_nonrep.parquet")
+        con.sql(f"""
+            COPY (
+              SELECT vec_id + r.rep * 1000000 AS vec_id,
+                     CASE WHEN r.rep = 0 OR embedding IS NULL
+                          THEN embedding
+                          ELSE list_concat(
+                              embedding[(r.rep * 7) % len(embedding) + 1 :],
+                              embedding[: (r.rep * 7) % len(embedding)])
+                     END AS embedding,
+                     * EXCLUDE (vec_id, embedding)
+              FROM '{src_emb}'
+              CROSS JOIN (SELECT unnest(range({REPS})) AS rep) r
+              ORDER BY r.rep
+            ) TO '{dst}' (FORMAT PARQUET)
+        """)
+        n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+        print(f"wrote {dst}: {n} rows (dim-rotated non-replica)")
+
 
 if __name__ == "__main__":
     main()

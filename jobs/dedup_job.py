@@ -34,9 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Hamming radius (simhash method)")
     p.add_argument("--cosine-threshold", type=float, default=0.95,
                    help="cosine threshold (semdedup method)")
-    p.add_argument("--cells", type=int, default=16,
-                   help="k-means cell count (semdedup method; scale with "
-                        "corpus size to bound cell occupancy)")
+    p.add_argument("--cells", default="auto",
+                   help="k-means cell count (semdedup method), or 'auto' "
+                        "to scale cells with the corpus (~300 vectors/"
+                        "cell) — fixed cells at 10x data mean 100x "
+                        "within-cell pair work (measured, BASELINE.md)")
     p.add_argument("--vec-col", default="embedding",
                    help="embedding column (semdedup method)")
     p.add_argument("--id-col", default="doc_id")
@@ -63,10 +65,13 @@ def main(argv=None) -> int:
         # cells (corpus/similarity.py); input is an embeddings table
         from pdf_parser_spark.corpus import similarity as S
 
-        cb = S.kmeans_codebook(docs, n_centroids=args.cells,
+        cells = (S.auto_centroids(docs) if args.cells == "auto"
+                 else int(args.cells))
+        stats["cells"] = cells
+        cb = S.kmeans_codebook(docs, n_centroids=cells,
                                id_col=args.id_col, vec_col=args.vec_col)
         kept = S.semdedup_keep(docs, threshold=args.cosine_threshold,
-                               n_centroids=args.cells, codebook=cb,
+                               n_centroids=cells, codebook=cb,
                                id_col=args.id_col, vec_col=args.vec_col)
     elif args.method == "exact":
         keep = D.exact_dedup(docs, id_col=args.id_col, text_col=args.text_col)

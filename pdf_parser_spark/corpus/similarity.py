@@ -918,8 +918,24 @@ def _pair_scores(join_df: DataFrame, threshold: float, id_col: str,
     )
 
 
+def auto_centroids(df: DataFrame, per_cell: int = 300,
+                   floor: int = 16, cap: int = 4096) -> int:
+    """Cell count scaled with the corpus — the measured SemDeDup scale
+    knob: with FIXED cells, 10× vectors mean 10× members per cell and
+    100× within-cell cosine pairs (sf1 measured 63.8 s at the
+    sf0.1-default 16 cells vs 16.3 s at 64 — BASELINE.md round-4).
+    Cells ∝ N keeps expected members-per-cell (and so pair work per
+    vector) constant; ~300/cell is the measured sweet spot on this
+    fixture (finer costs more in the literal-codebook assignment than
+    it saves in pairs). One cheap count() — at 100 TB, feed the
+    catalog row count instead."""
+    n = df.count()
+    return max(floor, min(cap, -(-n // per_cell)))
+
+
 def semdedup_pairs(df: DataFrame, threshold: float = 0.3,
-                   n_centroids: int = 16, codebook: list | None = None,
+                   n_centroids: int | str = 16,
+                   codebook: list | None = None,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    bucket_cap: int = 4096) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
@@ -939,7 +955,13 @@ def semdedup_pairs(df: DataFrame, threshold: float = 0.3,
     guarantee, as ``cosine_dup_pairs``. Pass
     ``codebook=kmeans_codebook(df)`` for the production sampled-k-means
     cells (that path is what the oracle gate checks, via the sparkless
-    codebook reproduction in tools/annoracle.py)."""
+    codebook reproduction in tools/annoracle.py), and
+    ``n_centroids="auto"`` to scale the cell count with the corpus
+    (`auto_centroids` — the knob that keeps within-cell pair work
+    linear in N; ignored when an explicit codebook is given, since the
+    codebook fixes the cells)."""
+    if n_centroids == "auto":
+        n_centroids = 16 if codebook is not None else auto_centroids(df)
     base, _cents, assign = _ivf_parts(df, n_centroids, id_col, vec_col,
                                       codebook=codebook)
     keyed = (base.select(id_col, vec_col, "norm")
@@ -957,7 +979,8 @@ def semdedup_pairs(df: DataFrame, threshold: float = 0.3,
 
 
 def semdedup_keep(df: DataFrame, threshold: float = 0.3,
-                  n_centroids: int = 16, codebook: list | None = None,
+                  n_centroids: int | str = 16,
+                  codebook: list | None = None,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   bucket_cap: int = 4096) -> DataFrame:
     """SemDeDup keep set: drop every vector that has SOME lower-id

@@ -1019,3 +1019,22 @@ def test_jl_project_norm_preservation(spark):
     again = {r.vec_id: list(r.projected)
              for r in jl_project(embs, 64, 16).collect()}
     assert again == {k: list(v) for k, v in proj.items()}
+
+
+def test_semdedup_auto_centroids(spark):
+    """auto cell count scales with the corpus (~300/cell, floor 16) and
+    the 'auto' knob produces a valid keep set whose size sits between
+    the coarse-cell and no-dedup extremes."""
+    from pdf_parser_spark.corpus.similarity import (
+        auto_centroids, semdedup_keep)
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = embs.count()
+    k = auto_centroids(embs)
+    assert k == max(16, -(-n // 300))
+
+    kept_auto = semdedup_keep(embs, threshold=0.3,
+                              n_centroids="auto").count()
+    kept_16 = semdedup_keep(embs, threshold=0.3, n_centroids=16).count()
+    # finer cells can only shrink each cell's dedup radius -> keep >=
+    assert kept_16 <= kept_auto <= n

@@ -45,7 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=1e-6,
                    help="stop when the per-iteration L1 rank delta "
                         "falls below this")
-    p.add_argument("--hits-iters", type=int, default=5)
+    p.add_argument("--hits-iters", type=int, default=20,
+                   help="HITS iteration cap (early-stops at --tol)")
     p.add_argument("--top", type=int, default=20)
     p.add_argument("--tool", default="html/v1",
                    help="tool value marking HTML turns")
@@ -68,7 +69,8 @@ def main(argv=None) -> int:
     pr, deltas = LK.pagerank_converged(
         edges, max_iters=args.max_iters, tol=args.tol)
     write_table(pr, os.path.join(args.output, "pagerank"))
-    hh = LK.hits(edges, iters=args.hits_iters)
+    hh, hits_deltas = LK.hits_converged(
+        edges, max_iters=args.hits_iters, tol=args.tol)
     write_table(hh, os.path.join(args.output, "hits"))
 
     top = (pr.orderBy(F.col("r").desc(), F.col("node").asc())
@@ -79,7 +81,9 @@ def main(argv=None) -> int:
         "pagerank_iters": len(deltas),
         "pagerank_l1_deltas": deltas,
         "pagerank_converged": bool(deltas and deltas[-1] < args.tol),
-        "hits_iters": args.hits_iters,
+        "hits_iters": len(hits_deltas),
+        "hits_l1_deltas": hits_deltas,
+        "hits_converged": bool(hits_deltas and hits_deltas[-1] < args.tol),
         "top_pagerank": [[t.node, t.r] for t in top[:5]],
     }))
     return 0

@@ -208,3 +208,63 @@ def hits(edges: DataFrame, iters: int = 1,
         h = _step(a, "auth", dst_col, src_col, "hub")
     return (h.join(a, "node")
             .select("node", "hub", "auth"))
+
+
+def hits_converged(edges: DataFrame, max_iters: int = 20,
+                   tol: float = 1e-6, src_col: str = "src",
+                   dst_col: str = "dst") -> tuple:
+    """`hits` with per-iteration convergence reporting and early stop —
+    the `pagerank_converged` protocol applied to the bipartite scores:
+    returns ``(scores, deltas)`` where ``deltas[i]`` is the L1 distance
+    of the HUB vector after full iteration i+1 (hub moves second, so
+    its delta bounds the authority delta one half-step earlier),
+    summed as exact 1e-9 integer units over the 9dp-rounded state.
+    Same one-shuffle half-steps as the fixed-iters `hits`, which stays
+    the gate/oracle surface; the only deliberate difference is the
+    L1-normalized start (hub = 1/N, so the delta sequence is on the
+    normalized scale from iteration 1), which follows the same
+    trajectory up to 9dp rounding of intermediate sums."""
+    edges = edges.localCheckpoint()
+    nodes = (edges.select(F.col(src_col).alias("node"))
+             .union(edges.select(F.col(dst_col).alias("node")))
+             .distinct().localCheckpoint())
+
+    def _normalize(scores: DataFrame, col: str) -> DataFrame:
+        units = (scores.agg(F.sum(F.round(F.col(col) * 1e9)
+                                  .cast("long")).alias("u"))
+                 .first()["u"]) or 0
+        s = float(units) / 1e9
+        if s == 0.0:
+            return scores
+        return scores.select("node",
+                             F.round(F.col(col) / s, 9).alias(col))
+
+    def _step(scores: DataFrame, score_col: str, key_in: str,
+              key_out: str, out_col: str) -> DataFrame:
+        raw = (edges.join(scores, edges[key_in] == F.col("node"))
+               .groupBy(F.col(key_out).alias("n2"))
+               .agg(F.sum(score_col).alias("raw")))
+        nine = (nodes.join(raw, nodes["node"] == F.col("n2"), "left")
+                .select("node",
+                        F.round(F.coalesce(F.col("raw"), F.lit(0.0)), 9)
+                        .alias(out_col)))
+        return _normalize(nine, out_col).localCheckpoint()
+
+    h = nodes.select("node", F.lit(1.0).alias("hub"))
+    h = _normalize(h, "hub").localCheckpoint()
+    a = None
+    deltas: list[float] = []
+    for _ in range(max_iters):
+        a = _step(h, "hub", src_col, dst_col, "auth")
+        nxt = _step(a, "auth", dst_col, src_col, "hub")
+        units = (nxt.join(h.withColumnRenamed("hub", "h_prev"), "node")
+                 .agg(F.sum(F.abs(F.round(F.col("hub") * 1e9)
+                                  - F.round(F.col("h_prev") * 1e9))
+                            .cast("long")).alias("u"))
+                 .first()["u"]) or 0
+        delta = float(units) / 1e9
+        deltas.append(delta)
+        h = nxt
+        if delta < tol:
+            break
+    return h.join(a, "node").select("node", "hub", "auth"), deltas

@@ -1038,3 +1038,23 @@ def test_semdedup_auto_centroids(spark):
     kept_16 = semdedup_keep(embs, threshold=0.3, n_centroids=16).count()
     # finer cells can only shrink each cell's dedup radius -> keep >=
     assert kept_16 <= kept_auto <= n
+
+
+def test_hits_converged(spark):
+    """hits_converged: early stop fires with a loose tol, deltas decay,
+    and the score invariants (L1-normalized hubs/auths, right argmaxes)
+    hold at the converged point."""
+    from pdf_parser_spark.corpus.links import hits_converged
+
+    edges = spark.createDataFrame(
+        [("h1", "t1"), ("h1", "t2"), ("h2", "t1"), ("h3", "t3")],
+        "src string, dst string")
+    scores, deltas = hits_converged(edges, max_iters=20, tol=0.01)
+    assert 1 <= len(deltas) < 20 and deltas[-1] < 0.01
+    r = {row.node: (row.hub, row.auth) for row in scores.collect()}
+    hubs = {k: v[0] for k, v in r.items()}
+    auths = {k: v[1] for k, v in r.items()}
+    assert abs(sum(hubs.values()) - 1.0) < 1e-6
+    assert abs(sum(auths.values()) - 1.0) < 1e-6
+    assert max(auths, key=auths.get) == "t1"
+    assert max(hubs, key=hubs.get) == "h1"

@@ -92,8 +92,12 @@ def main() -> None:
         "kmeans_refine": lambda: force_count(
             S.kmeans_refine_df(embs, iters=2)),
         "centroid_by_label": lambda: force_count(S.centroid_by_label(embs)),
+        # production config: cells scale with the corpus (auto == 16 at
+        # sf0.1, so sf0.1 numbers stay comparable across rounds; at sf1
+        # the fixed-16 form pays 100x within-cell pairs — BASELINE.md)
         "semdedup_keep": lambda: force_count(S.semdedup_keep(
-            embs, threshold=0.3, codebook=S.kmeans_codebook(embs))),
+            embs, threshold=0.3, codebook=S.kmeans_codebook(
+                embs, n_centroids=S.auto_centroids(embs)))),
         "ann_batch_topk": lambda: force_count(S.batch_topk(
             embs, embs.filter(F.col("vec_id") < 20), k=10)),
         # new in round 2 (no round-1 comparator in BASELINE.md)

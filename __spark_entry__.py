@@ -781,6 +781,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unigram_surprisal"] = q_unigram_surprisal
 
+    def q_bigram_surprisal(spark, sf_dir):
+        # bigram_size=64 sits far below the corpus's distinct bigram
+        # count and vocab_size=16 below its vocabulary, so the stupid-
+        # backoff path AND the model-cap tie-break are both exercised
+        return _longify(TS.bigram_surprisal(
+            _tbl(spark, sf_dir, "documents"), vocab_size=16,
+            bigram_size=64))
+
+    q["bigram_surprisal"] = q_bigram_surprisal
+
     def q_curriculum_bins(spark, sf_dir):
         return _longify(TS.curriculum_bins(
             _tbl(spark, sf_dir, "documents"), n_bins=4, vocab_size=16))
@@ -2800,6 +2810,45 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_turns,
                    (max(es) - min(es))::BIGINT AS span_s
             FROM s GROUP BY 1, 2
+        """,
+        # bigram stupid backoff: in-model pair = log2(c1) - log2(c12),
+        # backoff pair = log2(T) - log2(cnt2 floored 1) - log2(0.4);
+        # model caps deterministic via (count DESC, gram ASC) limits.
+        "bigram_surprisal": f"""
+            WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS w
+                       FROM documents),
+            toks AS (SELECT doc_id, unnest(w) AS tok FROM c),
+            tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+            tot AS (SELECT sum(cnt)::DOUBLE AS total FROM tf),
+            vocab AS (SELECT tok, cnt FROM tf
+                      ORDER BY cnt DESC, tok ASC LIMIT 16),
+            pp AS (SELECT doc_id,
+                          unnest([{{'w1': w[i], 'w2': w[i + 1]}}
+                                  FOR i IN range(1, len(w))]) AS p
+                   FROM c WHERE len(w) >= 2),
+            pr AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pp),
+            bf AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY 1, 2),
+            btop AS (SELECT w1, w2, c12 FROM bf
+                     ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 64),
+            bm AS (SELECT b.w1, b.w2, b.c12, t.cnt AS c1
+                   FROM btop b JOIN tf t ON t.tok = b.w1),
+            sc AS (SELECT pr.doc_id,
+                          CASE WHEN bm.c12 IS NOT NULL
+                               THEN log2(bm.c1::DOUBLE)
+                                    - log2(bm.c12::DOUBLE)
+                               ELSE log2((SELECT total FROM tot))
+                                    - log2(coalesce(v.cnt, 1)::DOUBLE)
+                                    - log2(0.4)
+                          END AS bits,
+                          CASE WHEN bm.c12 IS NULL THEN 1.0 ELSE 0.0 END
+                              AS bo
+                   FROM pr
+                   LEFT JOIN bm ON bm.w1 = pr.w1 AND bm.w2 = pr.w2
+                   LEFT JOIN vocab v ON v.tok = pr.w2)
+            SELECT doc_id, count(*)::BIGINT AS n_pairs,
+                   round(avg(bo), 4) AS backoff_frac,
+                   round(avg(bits), 4) AS mean_bits
+            FROM sc GROUP BY doc_id
         """,
         "unigram_surprisal": f"""
             WITH {_SURPRISAL_CTES}

@@ -198,6 +198,8 @@ def main() -> None:
             docs, size=32, overlap=8)),
         "unigram_surprisal": lambda: force_count(
             TS.unigram_surprisal(docs)),
+        "bigram_surprisal": lambda: force_count(
+            TS.bigram_surprisal(docs)),
         "curriculum_bins": lambda: force_count(
             TS.curriculum_bins(docs)),
         "pii_scrub": lambda: SC.pii_scrub(docs)

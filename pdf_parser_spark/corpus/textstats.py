@@ -631,6 +631,77 @@ def unigram_surprisal(df: DataFrame, vocab_size: int = 65536,
                  F.round(F.avg(bits), 4).alias("mean_bits")))
 
 
+def bigram_surprisal(df: DataFrame, vocab_size: int = 65536,
+                     bigram_size: int = 262144, alpha: float = 0.4,
+                     text_col: str = "text") -> DataFrame:
+    """Language-model quality proxy one order up from
+    `unigram_surprisal`: per document, the mean conditional surprisal
+    in bits of each token GIVEN ITS PREDECESSOR under the corpus's own
+    capped bigram model with stupid backoff (Brants et al. 2007 —
+    the web-scale LM recipe: no discounting, just
+    S(w2|w1) = c12/c1 if the bigram is in the model else
+    α·p_uni(w2)). Word-order scrambles that unigram statistics cannot
+    see (high bigram surprisal, normal unigram surprisal) are exactly
+    what this catches; ``backoff_frac`` doubles as an
+    out-of-distribution signal.
+
+    Model: the top-``bigram_size`` bigrams by count (ties by gram text,
+    deterministic) carrying c12 and the FULL unigram count c1 of their
+    left token; backoff uses the top-``vocab_size`` unigram vocabulary
+    (OOV count floored to 1), identical to `unigram_surprisal`'s. An
+    in-model pair costs log2(c1) − log2(c12) bits; a backoff pair costs
+    log2(T) − log2(cnt₂) − log2(α). Output per doc (≥2 tokens):
+    ``n_pairs``, ``backoff_frac`` (4dp), ``mean_bits`` (4dp).
+
+    Scale shape: both model passes are map-side-combined frequency
+    aggregations with TakeOrdered caps, so the model is bounded at
+    vocab_size + bigram_size rows regardless of corpus size; scoring is
+    two broadcast joins (bigram model, vocabulary) over the exploded
+    pair stream plus one per-doc rollup — the same
+    corpus-never-shuffles-wider-than-its-tokens discipline as the
+    unigram form."""
+    warr = F.split(F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), WS + "+", " ")), " ")
+    base = df.select("doc_id", warr.alias("w")).filter(F.size("w") >= 2)
+    pairs = base.select(
+        "doc_id",
+        F.explode(F.expr(
+            "zip_with(slice(w, 1, size(w) - 1), "
+            "slice(w, 2, size(w) - 1), "
+            "(a, b) -> struct(a AS w1, b AS w2))")).alias("p")) \
+        .select("doc_id", "p.w1", "p.w2")
+
+    toks = df.select(F.explode(warr).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tf.agg(F.sum("cnt")).first()[0]
+    vocab = (tf.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+             .limit(vocab_size))
+    btop = (pairs.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .orderBy(F.col("c12").desc(), F.col("w1").asc(),
+                     F.col("w2").asc())
+            .limit(bigram_size))
+    bmodel = btop.join(tf.select(F.col("tok").alias("w1"),
+                                 F.col("cnt").alias("c1")), "w1")
+
+    bits = F.when(
+        F.col("c12").isNotNull(),
+        F.log2(F.col("c1").cast("double"))
+        - F.log2(F.col("c12").cast("double"))).otherwise(
+        F.log2(F.lit(float(total)))
+        - F.log2(F.coalesce(F.col("cnt"), F.lit(1)).cast("double"))
+        - F.log2(F.lit(float(alpha))))
+    return (pairs
+            .join(F.broadcast(bmodel), ["w1", "w2"], "left")
+            .join(F.broadcast(vocab.select(F.col("tok").alias("w2"),
+                                           "cnt")), "w2", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.avg(F.when(F.col("c12").isNull(), 1.0)
+                               .otherwise(0.0)), 4).alias("backoff_frac"),
+                 F.round(F.avg(bits), 4).alias("mean_bits")))
+
+
 def curriculum_bins(df: DataFrame, n_bins: int = 4,
                     vocab_size: int = 65536,
                     text_col: str = "text") -> DataFrame:

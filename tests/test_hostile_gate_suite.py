@@ -35,7 +35,8 @@ DOC_GATES = [
     "quality_probe_weights", "quality_probe_agreement",
     "repetition_stats", "split_assign", "stratified_sample",
     "text_quality_scores", "token_count", "token_df_stats", "topk_terms",
-    "unigram_surprisal", "whitespace_normalize", "winnow_containment",
+    "unigram_surprisal", "bigram_surprisal",
+    "whitespace_normalize", "winnow_containment",
     "winnow_fingerprints",
 ]
 EMB_GATES = [

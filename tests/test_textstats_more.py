@@ -275,3 +275,56 @@ def test_quality_rule_features_match_filter(spark):
         r.doc_id
         for r in quality_filter_keep(docs).select("doc_id").collect())
     assert via_feats == via_filter and len(via_filter) > 0
+
+
+def test_bigram_surprisal_matches_python(spark):
+    """bigram_surprisal vs an independent pure-Python twin on a tiny
+    corpus where the bigram cap and backoff both bite: word-order
+    scramble of a common sentence must score higher mean_bits than the
+    sentence itself (the signal unigram surprisal cannot see)."""
+    import math
+    from collections import Counter
+
+    from pdf_parser_spark.corpus.textstats import bigram_surprisal
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+    rows.append((100, "dog the over quick lazy brown the jumps fox"))  # scramble
+    rows.append((101, "zebra"))          # single token: no pairs
+    rows.append((102, None))             # null text
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r.doc_id: r for r in bigram_surprisal(
+        df, vocab_size=4, bigram_size=6, alpha=0.4).collect()}
+    assert set(got) == {*range(8), 100}  # no-pair and null docs absent
+
+    # python twin
+    texts = {i: " ".join(t.lower().split()) for i, t in rows if t}
+    toks = [w for t in texts.values() for w in t.split(" ")]
+    tf = Counter(toks)
+    total = len(toks)
+    vocab = dict(sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:4])
+    pairs = Counter()
+    for t in texts.values():
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            pairs[(a, b)] += 1
+    btop = dict(sorted(pairs.items(),
+                       key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:6])
+    for doc_id, t in texts.items():
+        w = t.split(" ")
+        if len(w) < 2:
+            continue
+        bits, bo = [], 0
+        for a, b in zip(w, w[1:]):
+            if (a, b) in btop:
+                bits.append(math.log2(tf[a]) - math.log2(btop[(a, b)]))
+            else:
+                bo += 1
+                bits.append(math.log2(total)
+                            - math.log2(vocab.get(b, 1))
+                            - math.log2(0.4))
+        r = got[doc_id]
+        assert r.n_pairs == len(bits)
+        assert r.backoff_frac == round(bo / len(bits), 4)
+        assert abs(r.mean_bits - sum(bits) / len(bits)) < 1e-3, doc_id
+    assert got[100].mean_bits > got[0].mean_bits  # scramble scores higher

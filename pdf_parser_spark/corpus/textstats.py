@@ -1062,6 +1062,73 @@ def quality_rule_features(df: DataFrame, id_col: str = "doc_id",
         .alias("dup3_f"))
 
 
+QUALITY_CODEGEN_COLS = ("len_sq", "stop_r", "mwl_sq",
+                        "uniq1_r", "uniq2_r", "uniq3_r")
+
+
+def quality_codegen_features(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """The probe's DEPLOYABLE feature block: six per-document quality
+    signals with NO Python anywhere — every expression is a built-in
+    JVM projection, so a 100 TB scoring pass is scan → map, no pandas
+    UDF (the rule features' `top2_cf`/`dup3_f` pay one; these are the
+    codegen stand-ins for the same signals):
+
+      len_sq   n/(n+100) saturating length (the `_RULE_FEATS_EXPR`
+               transform — pure arithmetic, no libm)
+      stop_r   stopword ratio, identical to the teacher rule's
+      mwl_sq   mean word length through m/(m+10) — separates prose
+               from code/URL soup where token counts alone cannot
+      uniq1_r  distinct-token fraction
+      uniq2_r  distinct word-2-gram fraction — the codegen proxy for
+               the rule's top-2-gram char fraction (a dominating
+               2-gram collapses distinctness)
+      uniq3_r  distinct word-3-gram fraction — the proxy for dup3_f
+               (dup3_f ≈ 1 − uniq3_r exactly when every duplicate
+               gram repeats once)
+
+    Gram features read the canonical text (the `repetition_counts`
+    convention); token count and stop ratio read the raw split (the
+    `quality_filter_keep` convention) so the teacher and the proxy
+    see the same inputs. All fractions round 4dp, squashes 6dp via
+    floor(x*k + 0.5) — the engine-exact contract. Output:
+    (id, len_sq, stop_r, mwl_sq, uniq1_r, uniq2_r, uniq3_r)."""
+    tokens = F.split(F.col(text_col), " ")
+    n_tokens = F.size(tokens)
+    n_stop = _marker_count(text_col, STOPWORDS)
+    stop_r = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4)
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
+    base = df.select(
+        F.col(id_col), n_tokens.alias("_nt"), stop_r.alias("stop_r"),
+        F.length(canon).alias("_nc"), F.split(canon, " ").alias("_w"))
+    staged = base.select(
+        id_col, "_nt", "stop_r", "_w",
+        ((F.col("_nc") - (F.size("_w") - F.lit(1))) / F.size("_w"))
+        .alias("_mwl"))
+    uniq2 = (
+        "CASE WHEN size(_w) >= 2 THEN round(size(array_distinct("
+        "transform(sequence(1, size(_w) - 1), "
+        "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))))"
+        " / cast(size(_w) - 1 AS double), 4) ELSE 1.0D END")
+    uniq3 = (
+        "CASE WHEN size(_w) >= 3 THEN round(size(array_distinct("
+        "transform(sequence(1, size(_w) - 2), "
+        "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1), "
+        "' ', element_at(_w, i + 2)))))"
+        " / cast(size(_w) - 2 AS double), 4) ELSE 1.0D END")
+    return staged.select(
+        F.col(id_col),
+        F.expr("floor(_nt / (_nt + 100.0) * 1e6 + 0.5) / 1e6")
+        .alias("len_sq"),
+        F.col("stop_r"),
+        F.expr("floor(_mwl / (_mwl + 10.0) * 1e6 + 0.5) / 1e6")
+        .alias("mwl_sq"),
+        F.round(F.expr("size(array_distinct(_w))")
+                / F.expr("cast(size(_w) AS double)"), 4).alias("uniq1_r"),
+        F.expr(uniq2).alias("uniq2_r"),
+        F.expr(uniq3).alias("uniq3_r"))
+
+
 def _r6(x: float) -> float:
     """Round-half-up to 6dp via pure arithmetic (floor(x*1e6 + 0.5)) —
     the trainer's cross-engine rounding primitive: identical in Python,
@@ -1091,15 +1158,36 @@ _RULE_FEATS_EXPR = (
     "stop_r, top2_cf, dup3_f))")
 
 
+_CODEGEN_FEATS_EXPR = (
+    "concat(embedding, array(len_sq, stop_r, mwl_sq, "
+    "uniq1_r, uniq2_r, uniq3_r))")
+
+
+def probe_extra_dims(rule_feats: bool, codegen_feats: bool = False) -> int:
+    """Feature dims appended to the BoW block for a probe config."""
+    return (4 if rule_feats else 0) + (6 if codegen_feats else 0)
+
+
 def _probe_feature_frame(df: DataFrame, dims: int, rule_feats: bool,
-                         id_col: str, text_col: str) -> DataFrame:
+                         id_col: str, text_col: str,
+                         codegen_feats: bool = False) -> DataFrame:
     """(id, embedding) feature relation for the probe: hashed BoW, plus
     (when rule_feats) the 4 teacher-rule features appended — token count
     through the pure-arithmetic saturating transform n/(n+100) (NOT a
     log: libm would enter the cross-engine contract), the other three
-    already 4dp fractions in [0, 1]."""
+    already 4dp fractions in [0, 1] — or (when codegen_feats) the 6
+    UDF-free `quality_codegen_features`, the block the deployable head
+    trains and scores on."""
+    if rule_feats and codegen_feats:
+        raise ValueError("rule_feats and codegen_feats are exclusive "
+                         "feature blocks")
     feats = hashed_bow_embeddings(df, dims=dims, id_col=id_col,
                                   text_col=text_col)
+    if codegen_feats:
+        cf = quality_codegen_features(df, id_col=id_col, text_col=text_col)
+        return (feats.join(cf, id_col)
+                .select(id_col,
+                        F.expr(_CODEGEN_FEATS_EXPR).alias("embedding")))
     if not rule_feats:
         return feats
     rf = quality_rule_features(df, id_col=id_col, text_col=text_col)
@@ -1111,7 +1199,8 @@ def train_quality_probe(df: DataFrame, keep_df: DataFrame | None = None,
                         iters: int = 2, lr: float = 0.5, dims: int = 64,
                         rule_feats: bool = False, init_scale: float = 16.0,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> tuple:
+                        text_col: str = "text",
+                        codegen_feats: bool = False) -> tuple:
     """Distill a filter RULE into a trainable linear probe, entirely
     in-engine: logistic-style gradient descent over hashed-BoW features
     with weak labels from `quality_filter_keep` (or any caller-supplied
@@ -1148,8 +1237,18 @@ def train_quality_probe(df: DataFrame, keep_df: DataFrame | None = None,
     identities carry no length/repetition signal; recorded as the
     negative result that motivated the flag).
 
+    With ``codegen_feats`` the 6 UDF-free `quality_codegen_features`
+    join the BoW block instead — the DEPLOYABLE head: scoring pays no
+    pandas UDF anywhere (measured 0.842 agreement at iters=4 on the
+    sf0.01 fixture vs 0.858 for the rule-feats teacher head at
+    iters=2 and 0.76 = the keep base rate for BoW alone; BASELINE.md
+    records the ladder — each head has its own measured-best
+    iteration count, which `jobs/probe_job.py` pins as the
+    per-head default).
+
     Returns ``(weights, bias, n_docs)``."""
-    feats = _probe_feature_frame(df, dims, rule_feats, id_col, text_col)
+    feats = _probe_feature_frame(df, dims, rule_feats, id_col, text_col,
+                                 codegen_feats)
     if keep_df is None:
         keep_df = quality_filter_keep(df, text_col=text_col).select(id_col)
     data = (feats.join(keep_df.select(id_col).withColumn("y", F.lit(1.0)),
@@ -1157,7 +1256,7 @@ def train_quality_probe(df: DataFrame, keep_df: DataFrame | None = None,
             .select("embedding", F.coalesce("y", F.lit(0.0)).alias("y"))
             .localCheckpoint())
     n = data.count()
-    d_total = dims + (4 if rule_feats else 0)
+    d_total = dims + probe_extra_dims(rule_feats, codegen_feats)
 
     # Class-centroid initialization (Rocchio/nearest-centroid): w0 =
     # scale·(mean(x|keep) − mean(x|drop)), b0 = −w0·midpoint — ONE
@@ -1220,39 +1319,69 @@ def quality_probe_weights_df(df: DataFrame, iters: int = 2, lr: float = 0.5,
                              dims: int = 64, rule_feats: bool = False,
                              init_scale: float = 16.0,
                              id_col: str = "doc_id",
-                             text_col: str = "text") -> DataFrame:
+                             text_col: str = "text",
+                             codegen_feats: bool = False) -> DataFrame:
     """Gate surface for `train_quality_probe`: the trained model as a
     (dim, weight) relation, bias at dim = -1 — a bounded driver-scalar
     row count by construction."""
     w, b, _ = train_quality_probe(df, iters=iters, lr=lr, dims=dims,
                                   rule_feats=rule_feats,
                                   init_scale=init_scale,
-                                  id_col=id_col, text_col=text_col)
+                                  id_col=id_col, text_col=text_col,
+                                  codegen_feats=codegen_feats)
     rows = [(-1, b)] + [(j, w[j]) for j in range(len(w))]
     return df.sparkSession.createDataFrame(rows, "dim long, weight double")
 
 
-def quality_probe_agreement(df: DataFrame, iters: int = 2, lr: float = 0.5,
-                            dims: int = 64, rule_feats: bool = False,
-                            init_scale: float = 16.0,
-                            id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
-    """Train the probe, then score the SAME corpus and report how well
-    the distilled model reproduces its teacher rule: one row
-    (n_docs, n_rule_keep, n_probe_keep, n_agree). Probe-keep is margin
-    z > 0 (⟺ fast-sigmoid p > 0.5 — decided on the exact integer-unit
-    margin, so no rounded-probability boundary ambiguity). The
-    agreement rate is the number a pipeline owner reads before trusting
-    the probe as the cheap 100 TB pre-filter."""
-    feats = _probe_feature_frame(df, dims, rule_feats, id_col, text_col)
+def quality_probe_scores(df: DataFrame, weights: list, bias: float,
+                         dims: int = 64, rule_feats: bool = False,
+                         codegen_feats: bool = False,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Score a corpus with an ALREADY-TRAINED probe over the SAME
+    feature frame it was trained on — the publish step `jobs/probe_job`
+    runs, split out so the scores a CLI writes are provably the model
+    whose agreement it reports (the round-4 defect: the job scored with
+    a truncated weight block while printing the full model's number).
+
+    The margin is the exact 1e-9 integer-unit dot (`_probe_z_units`),
+    the probability is the trainer's fast sigmoid at 6dp, and
+    ``probe_keep`` decides on the raw integer margin (z > 0) — the
+    identical arithmetic `quality_probe_agreement_for` counts, so a
+    reader thresholding the published scores reproduces the printed
+    agreement bit-for-bit. Output: (id, quality_score, probe_keep)."""
+    feats = _probe_feature_frame(df, dims, rule_feats, id_col, text_col,
+                                 codegen_feats)
+    return (feats
+            .select(F.col(id_col),
+                    F.expr(_probe_z_units(weights, bias)).alias("_zu"))
+            .select(F.col(id_col),
+                    F.expr("floor(_zu / 1e9 * 1e6 + 0.5) / 1e6")
+                    .alias("_z"), "_zu")
+            .select(
+                F.col(id_col),
+                F.expr("floor(0.5 * (1.0D + _z / (1.0D + abs(_z))) "
+                       "* 1e6 + 0.5) / 1e6").alias("quality_score"),
+                (F.col("_zu") > 0).cast("int").alias("probe_keep")))
+
+
+def quality_probe_agreement_for(df: DataFrame, weights: list, bias: float,
+                                dims: int = 64, rule_feats: bool = False,
+                                codegen_feats: bool = False,
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """Agreement report for an ALREADY-TRAINED probe (w, b) against the
+    teacher rule on ``df`` — the scoring half of
+    `quality_probe_agreement`, reusable so a CLI that just trained
+    never pays the training passes twice to grade itself. One row:
+    (n_docs, n_rule_keep, n_probe_keep, n_agree); probe-keep is the
+    exact integer-unit margin z > 0."""
+    feats = _probe_feature_frame(df, dims, rule_feats, id_col, text_col,
+                                 codegen_feats)
     keep_df = quality_filter_keep(df, text_col=text_col).select(id_col)
-    w, b, _ = train_quality_probe(df, keep_df=keep_df, iters=iters,
-                                  lr=lr, dims=dims, rule_feats=rule_feats,
-                                  init_scale=init_scale,
-                                  id_col=id_col, text_col=text_col)
     scored = (feats.join(keep_df.withColumn("y", F.lit(1)), id_col, "left")
               .select(F.coalesce("y", F.lit(0)).alias("y"),
-                      (F.expr(_probe_z_units(w, b)) > 0)
+                      (F.expr(_probe_z_units(weights, bias)) > 0)
                       .cast("int").alias("pk")))
     return scored.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1260,6 +1389,30 @@ def quality_probe_agreement(df: DataFrame, iters: int = 2, lr: float = 0.5,
         F.sum("pk").cast("long").alias("n_probe_keep"),
         F.sum((F.col("y") == F.col("pk")).cast("int"))
         .cast("long").alias("n_agree"))
+
+
+def quality_probe_agreement(df: DataFrame, iters: int = 2, lr: float = 0.5,
+                            dims: int = 64, rule_feats: bool = False,
+                            init_scale: float = 16.0,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            codegen_feats: bool = False) -> DataFrame:
+    """Train the probe, then score the SAME corpus and report how well
+    the distilled model reproduces its teacher rule: one row
+    (n_docs, n_rule_keep, n_probe_keep, n_agree). Probe-keep is margin
+    z > 0 (⟺ fast-sigmoid p > 0.5 — decided on the exact integer-unit
+    margin, so no rounded-probability boundary ambiguity). The
+    agreement rate is the number a pipeline owner reads before trusting
+    the probe as the cheap 100 TB pre-filter."""
+    keep_df = quality_filter_keep(df, text_col=text_col).select(id_col)
+    w, b, _ = train_quality_probe(df, keep_df=keep_df, iters=iters,
+                                  lr=lr, dims=dims, rule_feats=rule_feats,
+                                  init_scale=init_scale,
+                                  id_col=id_col, text_col=text_col,
+                                  codegen_feats=codegen_feats)
+    return quality_probe_agreement_for(
+        df, w, b, dims=dims, rule_feats=rule_feats,
+        codegen_feats=codegen_feats, id_col=id_col, text_col=text_col)
 
 
 def pmi_cooccurrence(df: DataFrame, window: int = 2, min_count: int = 5,

@@ -914,21 +914,48 @@ def test_graph_job_cli(spark, tmp_path):
     assert abs(sum(r.auth for r in hh) - 1.0) < 1e-5
 
 
-def test_probe_job_cli(spark, tmp_path):
-    """probe_job: weights + scores relations written, agreement summary
-    sane (beats predict-all-keep), bias row present at dim = -1."""
+def test_probe_job_cli(spark, tmp_path, capsys):
+    """probe_job: weights + scores relations written, and — the round-4
+    defect pin — the PUBLISHED scores' thresholded keep-set reproduces
+    the PRINTED agreement exactly (same model, same feature frame)."""
+    import json as _json
     import sys as _sys
 
     _sys.path.insert(0, "/root/repo/jobs")
     from probe_job import main as job_main
 
+    from pdf_parser_spark.corpus.textstats import quality_filter_keep
     from pdf_parser_spark.io import read_table
 
     out = str(tmp_path / "probe")
     assert job_main(["--input", "/root/testdata/sf0.01/documents.parquet",
-                     "--output", out, "--iters", "2"]) == 0
-    wts = {r.dim: r.weight for r in read_table(spark, out + "/weights").collect()}
-    assert -1 in wts and len(wts) == 69
+                     "--output", out]) == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["head"] == "codegen" and report["iters"] == 4
+    wts = {r.dim: r.weight
+           for r in read_table(spark, out + "/weights").collect()}
+    assert -1 in wts and len(wts) == 71  # 64 BoW + 6 codegen + bias
     scores = read_table(spark, out + "/scores")
-    assert scores.count() == 500
-    assert set(scores.columns) == {"doc_id", "quality_score"}
+    assert scores.count() == 500 == report["n_docs"]
+    assert set(scores.columns) == {"doc_id", "quality_score", "probe_keep"}
+    # re-derive the report card from the published artifact alone
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rule = quality_filter_keep(docs).select("doc_id")
+    joined = (scores.join(rule.withColumn("rk", F.lit(1)), "doc_id", "left")
+              .select("probe_keep", F.coalesce("rk", F.lit(0)).alias("rk")))
+    agg = joined.agg(
+        F.sum("probe_keep").alias("pk"),
+        F.sum("rk").alias("rk"),
+        F.sum((F.col("probe_keep") == F.col("rk")).cast("int"))
+        .alias("agree")).first()
+    assert agg.pk == report["n_probe_keep"]
+    assert agg.rk == report["n_rule_keep"]
+    assert agg.agree == report["n_agree"]
+    # probe_keep is consistent with the published probability: z > 0
+    # iff fast-sigmoid p > 0.5 (p == 0.5 only at exactly z == 0)
+    assert scores.filter(
+        ((F.col("quality_score") > 0.5) & (F.col("probe_keep") == 0))
+        | ((F.col("quality_score") < 0.5) & (F.col("probe_keep") == 1))
+    ).count() == 0
+    # and the distilled head carries real signal above the keep base rate
+    assert report["agreement"] > 0.8

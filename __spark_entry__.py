@@ -1023,6 +1023,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_probe_agreement"] = q_probe_agreement
 
+    # the deployable codegen head: the UDF-free feature block itself,
+    # and the full train→publish path (train with codegen feats at the
+    # measured-best 4 iters, then score the corpus with that exact
+    # model — the relation jobs/probe_job.py writes as scores/)
+    def q_codegen_features(spark, sf_dir):
+        return _longify(TS.quality_codegen_features(
+            _tbl(spark, sf_dir, "documents")))
+
+    q["quality_codegen_features"] = q_codegen_features
+
+    def q_probe_scores_cg(spark, sf_dir):
+        docs = _tbl(spark, sf_dir, "documents")
+        w, b, _ = TS.train_quality_probe(docs, iters=4, codegen_feats=True)
+        return _longify(TS.quality_probe_scores(docs, w, b,
+                                                codegen_feats=True))
+
+    q["quality_probe_scores"] = q_probe_scores_cg
+
     def q_topk_terms(spark, sf_dir):
         return _longify(TS.topk_terms(_tbl(spark, sf_dir, "documents")))
 
@@ -1460,6 +1478,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_hits"] = q_link_hits
 
+    # Converged-variant gates (round-4 verdict #4): the production
+    # early-stop paths pinned against the fixed-iteration relational
+    # twins — tol=0.0 makes the loop run exactly max_iters iterations,
+    # so pagerank_converged(max_iters=2) must hash-match the unrolled
+    # 2-iteration oracle, and the delta sequence itself becomes a
+    # scalar relation the oracle re-derives in exact 1e-9 units.
+    def q_link_pagerank_converged(spark, sf_dir):
+        from pdf_parser_spark.corpus import links as LK
+        tr = _transcripts(spark, sf_dir).filter(F.col("tool") == "html/v1")
+        edges = LK.extract_links(tr).select(
+            F.col("conv_id").alias("src"), F.col("href").alias("dst"))
+        ranks, _ = LK.pagerank_converged(edges, max_iters=2, tol=0.0)
+        return _longify(ranks)
+
+    q["link_pagerank_converged"] = q_link_pagerank_converged
+
+    def q_link_pagerank_deltas(spark, sf_dir):
+        from pdf_parser_spark.corpus import links as LK
+        tr = _transcripts(spark, sf_dir).filter(F.col("tool") == "html/v1")
+        edges = LK.extract_links(tr).select(
+            F.col("conv_id").alias("src"), F.col("href").alias("dst"))
+        _, deltas = LK.pagerank_converged(edges, max_iters=2, tol=0.0)
+        return spark.createDataFrame(
+            [(i + 1, d) for i, d in enumerate(deltas)],
+            "iter long, delta double")
+
+    q["link_pagerank_deltas"] = q_link_pagerank_deltas
+
+    def q_link_hits_converged(spark, sf_dir):
+        from pdf_parser_spark.corpus import links as LK
+        tr = _transcripts(spark, sf_dir).filter(F.col("tool") == "html/v1")
+        edges = LK.extract_links(tr).select(
+            F.col("conv_id").alias("src"), F.col("href").alias("dst"))
+        scores, _ = LK.hits_converged(edges, max_iters=1, tol=0.0)
+        return _longify(scores)
+
+    q["link_hits_converged"] = q_link_hits_converged
+
+    # Domain-level curation (round-4 verdict #5): canonicalize → eTLD+1
+    # → one partial-agg profile; blocklist as a zero-shuffle codegen
+    # exists() over the href array.
+    def q_domain_stats(spark, sf_dir):
+        from pdf_parser_spark.corpus import links as LK
+        tr = _transcripts(spark, sf_dir).filter(F.col("tool") == "html/v1")
+        return _longify(LK.domain_stats(tr))
+
+    q["domain_stats"] = q_domain_stats
+
+    def q_url_canonicalize(spark, sf_dir):
+        from pdf_parser_spark.corpus import links as LK
+        tr = _transcripts(spark, sf_dir).filter(F.col("tool") == "html/v1")
+        links = LK.extract_links(tr).filter(
+            F.col("href").rlike(LK.ABS_HTTP_RE))
+        canon = LK.url_canonicalize(F.col("href"))
+        return _longify(links.select(
+            "conv_id", "turn_idx", "link_idx", "href",
+            canon.alias("url_canon"),
+            LK.registrable_domain(LK.url_host(canon)).alias("domain")))
+
+    q["url_canonicalize"] = q_url_canonicalize
+
+    def q_blocklist_filter(spark, sf_dir):
+        from pdf_parser_spark.corpus import links as LK
+        tr = _transcripts(spark, sf_dir).filter(F.col("tool") == "html/v1")
+        kept = LK.blocklist_filter(tr, blocked=["ads.io", "example.co.uk"])
+        return _longify(kept.select("conv_id", "turn_idx"))
+
+    q["blocklist_filter"] = q_blocklist_filter
+
     def q_pmi_cooc(spark, sf_dir):
         return _longify(TS.pmi_cooccurrence(
             _tbl(spark, sf_dir, "documents"),
@@ -1832,7 +1919,7 @@ def oracle_sql() -> dict[str, str]:
                                     FROM b{i - 1}))
                              / 1e9 * 1e6 + 0.5) / 1e6 AS z
                 FROM zu{i}),
-            p{i} AS (
+            p{i} AS MATERIALIZED (
                 SELECT doc_id, y,
                        floor(0.5 * (1.0 + z / (1.0 + abs(z))) * 1e6 + 0.5)
                            / 1e6 AS p
@@ -1846,41 +1933,99 @@ def oracle_sql() -> dict[str, str]:
                 SELECT sum(CAST(floor((p - y) * 1e9 + 0.5) AS BIGINT))
                            AS gu
                 FROM p{i}),
-            w{i} AS (
+            w{i} AS MATERIALIZED (
                 SELECT w.dim,
                        floor((w.w - {_PROBE_LR!r} * (g.gu / 1e9) / n)
                              * 1e6 + 0.5) / 1e6 AS w
                 FROM w{i - 1} w JOIN g{i} g USING (dim), nst),
-            b{i} AS (
+            b{i} AS MATERIALIZED (
                 SELECT floor((b.b - {_PROBE_LR!r} * (gu / 1e9) / n)
                              * 1e6 + 0.5) / 1e6 AS b
                 FROM b{i - 1} b, gb{i}, nst)"""
 
-    _PROBE_TRAIN_CTES = (
-        f"""src AS (SELECT doc_id, {_CANON} AS txt FROM documents),
-            {_bow_ctes("src", "doc_id")},
-            {_QRULE_CTES},
-            qkeep AS (
-                SELECT doc_id FROM feats
-                WHERE n_tokens >= 10 AND stopword_ratio >= 0.0001
-                  AND top2_char_frac <= 0.20 AND dup3_frac <= 0.55),
-            pfe AS (
+    # The probe's UDF-free codegen feature block — mirrors
+    # `textstats.quality_codegen_features` term for term: raw-split
+    # token count + stop ratio (the rule's conventions), canonical-text
+    # word grams, saturating squashes at 6dp, fractions at 4dp.
+    _CG_CTES = f"""cgw AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS nt,
+                       round(len(list_filter(string_split(lower(text), ' '),
+                                             x -> x IN ({_STOP_SQL})))::DOUBLE
+                             / greatest(len(string_split(text, ' ')), 1), 4)
+                           AS stop_r,
+                       length({_CANON}) AS nc,
+                       string_split({_CANON}, ' ') AS w
+                FROM documents),
+            cgm AS (
+                SELECT doc_id, nt, stop_r, w,
+                       (nc - (len(w) - 1)) / len(w) AS mwl
+                FROM cgw),
+            cgf AS (
+                SELECT doc_id,
+                       floor(nt / (nt + 100.0) * 1e6 + 0.5) / 1e6 AS len_sq,
+                       stop_r,
+                       floor(mwl / (mwl + 10.0) * 1e6 + 0.5) / 1e6
+                           AS mwl_sq,
+                       round(len(list_distinct(w)) / len(w)::DOUBLE, 4)
+                           AS uniq1_r,
+                       CASE WHEN len(w) >= 2 THEN
+                            round(len(list_distinct(
+                                [w[i] || ' ' || w[i + 1]
+                                 FOR i IN range(1, len(w))]))
+                                  / (len(w) - 1)::DOUBLE, 4)
+                       ELSE 1.0 END AS uniq2_r,
+                       CASE WHEN len(w) >= 3 THEN
+                            round(len(list_distinct(
+                                [w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                                 FOR i IN range(1, len(w) - 1)]))
+                                  / (len(w) - 2)::DOUBLE, 4)
+                       ELSE 1.0 END AS uniq3_r
+                FROM cgm)"""
+
+    _PFE_RULE = """pfe AS (
                 SELECT b.doc_id,
                        list_concat(b.embedding,
                            [floor(f.n_tokens / (f.n_tokens + 100.0)
                                   * 1e6 + 0.5) / 1e6,
                             f.stopword_ratio, f.top2_char_frac,
                             f.dup3_frac]) AS e
-                FROM bemb b JOIN feats f USING (doc_id)),
-            lab AS (
+                FROM bemb b JOIN feats f USING (doc_id))"""
+
+    _PFE_CG = """pfe AS (
+                SELECT b.doc_id,
+                       list_concat(b.embedding,
+                           [g.len_sq, g.stop_r, g.mwl_sq,
+                            g.uniq1_r, g.uniq2_r, g.uniq3_r]) AS e
+                FROM bemb b JOIN cgf g USING (doc_id))"""
+
+    def _probe_train_sql(iters: int, head: str) -> str:
+        """Full relational training twin for `train_quality_probe`
+        (class-centroid init + `iters` unrolled GD steps), with the
+        feature block selected by ``head`` — 'rule' appends the 4
+        teacher-rule features, 'codegen' the 6 UDF-free ones. Weak
+        labels always come from the teacher rule (qkeep)."""
+        extra = f"{_CG_CTES},\n            " if head == "codegen" else ""
+        pfe = _PFE_CG if head == "codegen" else _PFE_RULE
+        return (
+            f"""src AS (SELECT doc_id, {_CANON} AS txt FROM documents),
+            {_bow_ctes("src", "doc_id")},
+            {_QRULE_CTES},
+            qkeep AS (
+                SELECT doc_id FROM feats
+                WHERE n_tokens >= 10 AND stopword_ratio >= 0.0001
+                  AND top2_char_frac <= 0.20 AND dup3_frac <= 0.55),
+            {extra}{pfe},
+            lab AS MATERIALIZED (
                 SELECT p.doc_id, p.e,
                        CASE WHEN k.doc_id IS NULL THEN 0.0 ELSE 1.0 END
                            AS y
                 FROM pfe p LEFT JOIN qkeep k USING (doc_id)),
-            nst AS (SELECT count(*)::BIGINT AS n FROM lab),
+            nst AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM lab),
             xl AS (SELECT doc_id, y, unnest(range(1, len(e) + 1)) AS i, e
                    FROM lab),
-            x AS (SELECT doc_id, y, (i - 1)::BIGINT AS dim, e[i] AS xv
+            x AS MATERIALIZED (
+                SELECT doc_id, y, (i - 1)::BIGINT AS dim, e[i] AS xv
                   FROM xl),
             cls AS (
                 SELECT y, dim,
@@ -1896,7 +2041,7 @@ def oracle_sql() -> dict[str, str]:
             ddom AS (SELECT DISTINCT dim FROM x),
             c1n AS (SELECT count(*) AS k FROM cm1),
             c0n AS (SELECT count(*) AS k FROM cm0),
-            w0 AS (SELECT d.dim,
+            w0 AS MATERIALIZED (SELECT d.dim,
                           CASE WHEN c1n.k = 0 OR c0n.k = 0 THEN 0.0
                                ELSE floor((m1.m - m0.m) * {_PROBE_SCALE!r}
                                           * 1e6 + 0.5) / 1e6 END AS w
@@ -1909,13 +2054,17 @@ def oracle_sql() -> dict[str, str]:
                     FROM ddom d
                     LEFT JOIN cm1 m1 USING (dim)
                     LEFT JOIN cm0 m0 USING (dim)),
-            b0 AS (SELECT CASE WHEN (SELECT k FROM c1n) = 0
+            b0 AS MATERIALIZED (SELECT CASE WHEN (SELECT k FROM c1n) = 0
                                  OR (SELECT k FROM c0n) = 0 THEN 0.0
                           ELSE floor(-(sum(CAST(floor(w0.w * mid.mv * 1e9
                                                        + 0.5) AS BIGINT))
                                         / 1e9) * 1e6 + 0.5) / 1e6 END AS b
                    FROM w0 JOIN mid USING (dim)),"""
-        + ",".join(_probe_iter(i) for i in range(1, _PROBE_ITERS + 1)))
+            + ",".join(_probe_iter(i) for i in range(1, iters + 1)))
+
+    _PROBE_TRAIN_CTES = _probe_train_sql(_PROBE_ITERS, "rule")
+    _PROBE_CG_ITERS = 4
+    _PROBE_CG_TRAIN_CTES = _probe_train_sql(_PROBE_CG_ITERS, "codegen")
 
     _CHUNK_CTES = f"""
             ct AS (
@@ -3132,6 +3281,38 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN yk = pk THEN 1 ELSE 0 END)::BIGINT
                        AS n_agree
             FROM dec
+        """,
+        "quality_codegen_features": f"""
+            WITH {_CG_CTES}
+            SELECT doc_id, len_sq, stop_r, mwl_sq,
+                   uniq1_r, uniq2_r, uniq3_r
+            FROM cgf
+        """,
+        # train→publish twin for the codegen head: the 4-iteration
+        # relational training loop, then per-doc exact integer-unit
+        # margin → fast sigmoid at 6dp — the scores/ relation
+        # jobs/probe_job.py publishes, re-derived end to end.
+        "quality_probe_scores": f"""
+            WITH {_PROBE_CG_TRAIN_CTES},
+            szu AS (
+                SELECT x.doc_id,
+                       sum(CAST(floor(x.xv * w.w * 1e9 + 0.5) AS BIGINT))
+                           AS zu
+                FROM x JOIN w{_PROBE_CG_ITERS} w USING (dim)
+                GROUP BY 1),
+            stot AS (
+                SELECT doc_id,
+                       zu + (SELECT CAST(floor(b * 1e9 + 0.5) AS BIGINT)
+                             FROM b{_PROBE_CG_ITERS}) AS zt
+                FROM szu),
+            sz AS (SELECT doc_id,
+                          floor(zt / 1e9 * 1e6 + 0.5) / 1e6 AS z, zt
+                   FROM stot)
+            SELECT doc_id,
+                   floor(0.5 * (1.0 + z / (1.0 + abs(z))) * 1e6 + 0.5)
+                       / 1e6 AS quality_score,
+                   CASE WHEN zt > 0 THEN 1 ELSE 0 END AS probe_keep
+            FROM sz
         """,
         "topk_terms": """
             WITH toks AS (
@@ -4555,4 +4736,241 @@ def oracle_sql() -> dict[str, str]:
     # produce the unsalted operator's output — aliasing (not copying)
     # the SQL makes that invariant structural
     oracles["conv_windows_salted"] = oracles["conv_context_windows"]
+
+    # same idea for the converged graph path: pagerank_converged with
+    # tol=0 and max_iters=2 is DEFINED to be pagerank(iters=2), so the
+    # converged gate reuses the unrolled 2-iteration oracle verbatim
+    oracles["link_pagerank_converged"] = oracles["link_pagerank"]
+
+    _PR_EDGE_CTES = f"""e AS (
+                SELECT conv_id AS src,
+                       unnest(regexp_extract_all(text,
+                           '<a href="([^"]*)">([^<]*)</a>', 1)) AS dst
+                FROM read_parquet(
+                    '{transcripts_path(ORACLE_SF)}/*.parquet')
+                WHERE tool = 'html/v1'),
+            nd AS (SELECT src AS node FROM e
+                   UNION SELECT dst FROM e),
+            cnt AS (SELECT count(*)::BIGINT AS n FROM nd),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+                    FROM e GROUP BY 1),
+            r0 AS (SELECT node,
+                          round(1.0 / (SELECT n FROM cnt), 9) AS r
+                   FROM nd),
+            d1 AS (SELECT coalesce(sum(CAST(round(r * 1e9) AS BIGINT)),
+                                   0) AS u
+                   FROM r0 LEFT JOIN deg USING (node)
+                   WHERE outdeg IS NULL),
+            c1 AS (SELECT e.dst AS node, sum(r0.r / deg.outdeg) AS s
+                   FROM e JOIN r0 ON r0.node = e.src
+                          JOIN deg ON deg.node = e.src
+                   GROUP BY 1),
+            r1 AS (SELECT nd.node,
+                          round((((1.0 - 0.85) / (SELECT n FROM cnt))
+                                 + (0.85 * (((SELECT u FROM d1)::DOUBLE
+                                             / 1e9)
+                                            / (SELECT n FROM cnt))))
+                                + 0.85 * coalesce(c1.s, 0.0), 9) AS r
+                   FROM nd LEFT JOIN c1 ON c1.node = nd.node),
+            d2 AS (SELECT coalesce(sum(CAST(round(r * 1e9) AS BIGINT)),
+                                   0) AS u
+                   FROM r1 LEFT JOIN deg USING (node)
+                   WHERE outdeg IS NULL),
+            c2 AS (SELECT e.dst AS node, sum(r1.r / deg.outdeg) AS s
+                   FROM e JOIN r1 ON r1.node = e.src
+                          JOIN deg ON deg.node = e.src
+                   GROUP BY 1),
+            r2 AS (SELECT nd.node,
+                          round((((1.0 - 0.85) / (SELECT n FROM cnt))
+                                 + (0.85 * (((SELECT u FROM d2)::DOUBLE
+                                             / 1e9)
+                                            / (SELECT n FROM cnt))))
+                                + 0.85 * coalesce(c2.s, 0.0), 9) AS r
+                   FROM nd LEFT JOIN c2 ON c2.node = nd.node)"""
+
+    # the delta sequence re-derived relationally: per iteration the L1
+    # distance of the 9dp rank state in exact 1e-9 integer units — the
+    # same scalar the engine's convergence loop computes per round
+    oracles["link_pagerank_deltas"] = f"""
+            WITH {_PR_EDGE_CTES}
+            SELECT 1::BIGINT AS iter,
+                   sum(abs(CAST(round(a.r * 1e9) AS BIGINT)
+                           - CAST(round(b.r * 1e9) AS BIGINT)))::DOUBLE
+                       / 1e9 AS delta
+            FROM r1 a JOIN r0 b USING (node)
+            UNION ALL
+            SELECT 2::BIGINT,
+                   sum(abs(CAST(round(a.r * 1e9) AS BIGINT)
+                           - CAST(round(b.r * 1e9) AS BIGINT)))::DOUBLE
+                       / 1e9
+            FROM r2 a JOIN r1 b USING (node)
+        """
+
+    # hits_converged's one deliberate difference from fixed-iters hits
+    # is the L1-normalized start (hub0 = 1/N): one iteration unrolled
+    # with that start, each half-step rounded 9dp then normalized by an
+    # exact integer-unit sum
+    oracles["link_hits_converged"] = f"""
+            WITH e AS (
+                SELECT conv_id AS src,
+                       unnest(regexp_extract_all(text,
+                           '<a href="([^"]*)">([^<]*)</a>', 1)) AS dst
+                FROM read_parquet(
+                    '{transcripts_path(ORACLE_SF)}/*.parquet')
+                WHERE tool = 'html/v1'),
+            nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            cnt AS (SELECT count(*)::BIGINT AS n FROM nd),
+            h0 AS (SELECT node,
+                          round(1.0 / (SELECT n FROM cnt), 9) AS hub
+                   FROM nd),
+            ar AS (SELECT e.dst AS node, sum(h0.hub) AS raw
+                   FROM e JOIN h0 ON h0.node = e.src GROUP BY 1),
+            a9 AS (SELECT nd.node, round(coalesce(ar.raw, 0.0), 9)
+                          AS auth
+                   FROM nd LEFT JOIN ar USING (node)),
+            ua AS (SELECT sum(CAST(round(auth * 1e9) AS BIGINT)) AS u
+                   FROM a9),
+            a1 AS (SELECT node,
+                          round(auth / ((SELECT u FROM ua)::DOUBLE
+                                        / 1e9), 9) AS auth
+                   FROM a9),
+            hr AS (SELECT e.src AS node, sum(a1.auth) AS raw
+                   FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+            h9 AS (SELECT nd.node, round(coalesce(hr.raw, 0.0), 9)
+                          AS hub
+                   FROM nd LEFT JOIN hr USING (node)),
+            uh AS (SELECT sum(CAST(round(hub * 1e9) AS BIGINT)) AS u
+                   FROM h9),
+            h1 AS (SELECT node,
+                          round(hub / ((SELECT u FROM uh)::DOUBLE
+                                       / 1e9), 9) AS hub
+                   FROM h9)
+            SELECT h1.node, h1.hub, a1.auth
+            FROM h1 JOIN a1 USING (node)
+        """
+
+    # URL canonicalization / registrable-domain chain, shared by the
+    # three domain-curation oracles. Mirrors links.url_canonicalize
+    # step for step; DuckDB needs the explicit 'g' flag where Spark's
+    # regexp_replace is always global, and '\\1' where Spark says '$1'.
+    def _url_ctes(rel: str) -> str:
+        return f"""cu AS (
+                SELECT *,
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(href, '#.*$', ''),
+                               '[?&]utm_[^&]*', '', 'g'),
+                           '^([^?]*)&', '\\1?') AS u
+                FROM {rel}),
+            hp AS (
+                SELECT *,
+                       coalesce(regexp_extract(u,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1),
+                           '') AS head
+                FROM cu),
+            h2 AS (
+                SELECT *,
+                       regexp_replace(
+                           regexp_replace(lower(head),
+                               '^(http://[^:/]+):80$', '\\1'),
+                           '^(https://[^:/]+):443$', '\\1') AS headc,
+                       coalesce(regexp_extract(
+                           substr(u, length(head) + 1),
+                           '^([^?]*)', 1), '') AS pth,
+                       coalesce(regexp_extract(
+                           substr(u, length(head) + 1),
+                           '([?].*)$', 1), '') AS qs
+                FROM hp),
+            canon AS (
+                SELECT *,
+                       headc || (CASE WHEN pth = '' THEN '/'
+                                      ELSE regexp_replace(pth,
+                                               '(.)/+$', '\\1')
+                                 END) || qs AS url_canon
+                FROM h2),
+            dom AS (
+                SELECT *,
+                       string_split(coalesce(regexp_extract(url_canon,
+                           '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), ''),
+                           '.') AS lb,
+                       coalesce(regexp_extract(url_canon,
+                           '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '')
+                           AS host
+                FROM canon),
+            rdd AS (
+                SELECT *,
+                       CASE WHEN len(lb) >= 3
+                                 AND lb[-2] IN ('co', 'com', 'net',
+                                                'org', 'gov', 'ac',
+                                                'edu')
+                            THEN lb[-3] || '.' || lb[-2] || '.'
+                                 || lb[-1]
+                            WHEN len(lb) >= 2
+                            THEN lb[-2] || '.' || lb[-1]
+                            ELSE host END AS domain
+                FROM dom)"""
+
+    _ABS_LINKS = f"""h AS (
+                SELECT conv_id, turn_idx,
+                       len(string_split(text, ' ')) AS nt,
+                       regexp_extract_all(text,
+                           '<a href="([^"]*)">([^<]*)</a>', 1) AS hs,
+                       regexp_extract_all(text,
+                           '<a href="([^"]*)">([^<]*)</a>', 2) AS ans
+                FROM read_parquet(
+                    '{transcripts_path(ORACLE_SF)}/*.parquet')
+                WHERE tool = 'html/v1'),
+            lx AS (
+                SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+                       CAST(floor(nt / (nt + 100.0) * 1e6 + 0.5)
+                            AS BIGINT) AS lsu,
+                       unnest([i FOR i IN range(0, len(hs))])::BIGINT
+                           AS link_idx,
+                       unnest(hs) AS href, unnest(ans) AS anchor
+                FROM h),
+            la AS (SELECT * FROM lx
+                   WHERE regexp_matches(href, '(?i)^https?://'))"""
+
+    oracles["url_canonicalize"] = f"""
+            WITH {_ABS_LINKS},
+            {_url_ctes("la")}
+            SELECT conv_id, turn_idx, link_idx, href, url_canon, domain
+            FROM rdd
+        """
+
+    oracles["domain_stats"] = f"""
+            WITH {_ABS_LINKS},
+            {_url_ctes("la")},
+            agg AS (
+                SELECT domain,
+                       count(*)::BIGINT AS n_links,
+                       count(DISTINCT url_canon)::BIGINT AS n_urls,
+                       count(DISTINCT conv_id)::BIGINT AS n_src_convs,
+                       sum(len(string_split(anchor, ' ')))::BIGINT
+                           AS sum_a_tok,
+                       sum(lsu)::BIGINT AS sum_lsu
+                FROM rdd GROUP BY 1)
+            SELECT domain, n_links, n_urls, n_src_convs,
+                   floor((1.0 - n_urls::DOUBLE / n_links) * 1e4 + 0.5)
+                       / 1e4 AS dup_link_rate,
+                   floor(sum_a_tok::DOUBLE / n_links * 1e4 + 0.5) / 1e4
+                       AS avg_anchor_tokens,
+                   floor(sum_lsu::DOUBLE / n_links + 0.5) / 1e6
+                       AS avg_src_len_sq
+            FROM agg
+        """
+
+    oracles["blocklist_filter"] = f"""
+            WITH {_ABS_LINKS},
+            {_url_ctes("la")},
+            bad AS (SELECT DISTINCT conv_id, turn_idx FROM rdd
+                    WHERE domain IN ('ads.io', 'example.co.uk'))
+            SELECT t.conv_id, t.turn_idx::BIGINT AS turn_idx
+            FROM read_parquet(
+                '{transcripts_path(ORACLE_SF)}/*.parquet') t
+            LEFT JOIN bad b
+              ON b.conv_id = t.conv_id
+             AND b.turn_idx = t.turn_idx::BIGINT
+            WHERE t.tool = 'html/v1' AND b.conv_id IS NULL
+        """
     return oracles

@@ -2,10 +2,17 @@
 post-filter, pre-tokenization stages of a training-data pipeline, in
 the order production pipelines run them:
 
+    0. domain blocklist    (optional --blocklist: drop docs linking to
+                            blocked registrable domains — zero-shuffle
+                            codegen exists() over the href array)
     1. PII scrub           (redact emails/IPs/phones to typed tokens)
-    2. decontamination     (drop docs sharing 13-grams with the eval set)
-    3. split assignment    (deterministic train/val/test banding)
-    4. sequence packing    (concat-then-chunk layout for the dataloader)
+    2. quality probe gate  (optional --quality-probe: train the linear
+                            probe on the scrubbed corpus, keep docs the
+                            probe scores positive, publish the scores +
+                            agreement report beside the output)
+    3. decontamination     (drop docs sharing 13-grams with the eval set)
+    4. split assignment    (deterministic train/val/test banding)
+    5. sequence packing    (concat-then-chunk layout for the dataloader)
 
     spark-submit --py-files engine.zip jobs/curation_job.py \\
         --input  /path/to/documents_ds \\
@@ -25,6 +32,7 @@ merged contaminated token spans (the masking alternative to dropping).
 from __future__ import annotations
 
 import argparse
+import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -47,6 +55,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--mask-report", default=None,
                    help="also write merged contaminated token spans here")
+    p.add_argument("--blocklist", default=None,
+                   help="comma-separated registrable domains; docs with "
+                        "an absolute link into one are dropped before "
+                        "anything else runs (zero-shuffle codegen filter)")
+    p.add_argument("--quality-probe", choices=("codegen", "rule"),
+                   default=None,
+                   help="train the quality probe on the scrubbed corpus "
+                        "and keep only docs it scores positive; writes "
+                        "scores + the agreement report beside the output")
+    p.add_argument("--probe-iters", type=int, default=None,
+                   help="probe GD passes (default: the head's "
+                        "measured-best point, codegen 4 / rule 2)")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     return p
@@ -75,9 +95,60 @@ def main(argv=None) -> int:
     ev = read_table(spark, args.eval)
     n_in = docs.count()
 
+    n_blocked = 0
+    if args.blocklist:
+        from pdf_parser_spark.corpus import links as LK
+
+        blocked = [d.strip() for d in args.blocklist.split(",") if d.strip()]
+        docs = LK.blocklist_filter(docs, blocked=blocked,
+                                   text_col=args.text_col)
+        n_blocked = n_in - docs.count()
+
     scrubbed = SC.pii_scrub(docs, text_col=args.text_col)
     n_pii = scrubbed.filter(
         (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0).count()
+
+    probe_report = None
+    if args.quality_probe:
+        from pdf_parser_spark.corpus import textstats as TS
+
+        head = args.quality_probe
+        iters = (args.probe_iters if args.probe_iters is not None
+                 else {"codegen": 4, "rule": 2}[head])
+        # train ONCE on the scrubbed corpus; the agreement report, the
+        # published scores, and the keep filter all derive from this
+        # single (w, b) — the probe_job publishing contract
+        w, b, _n = TS.train_quality_probe(
+            scrubbed, iters=iters, rule_feats=(head == "rule"),
+            codegen_feats=(head == "codegen"),
+            id_col=args.id_col, text_col=args.text_col)
+        agree = TS.quality_probe_agreement_for(
+            scrubbed, w, b, rule_feats=(head == "rule"),
+            codegen_feats=(head == "codegen"),
+            id_col=args.id_col, text_col=args.text_col).first()
+        scores = TS.quality_probe_scores(
+            scrubbed, w, b, rule_feats=(head == "rule"),
+            codegen_feats=(head == "codegen"),
+            id_col=args.id_col, text_col=args.text_col)
+        write_table(scores, os.path.join(args.output + "_probe", "scores"))
+        scores_m = read_table(
+            spark, os.path.join(args.output + "_probe", "scores"))
+        keep_ids = scores_m.filter(F.col("probe_keep") == 1) \
+            .select(args.id_col)
+        scrubbed = scrubbed.join(keep_ids, args.id_col, "left_semi")
+        probe_report = {
+            "head": head, "iters": iters,
+            "n_rule_keep": agree.n_rule_keep,
+            "n_probe_keep": agree.n_probe_keep,
+            "agreement": round(agree.n_agree / max(agree.n_docs, 1), 4),
+        }
+        write_table(
+            spark.createDataFrame(
+                [(head, iters, agree.n_docs, agree.n_rule_keep,
+                  agree.n_probe_keep, agree.n_agree)],
+                "head string, iters long, n_docs long, n_rule_keep long, "
+                "n_probe_keep long, n_agree long"),
+            os.path.join(args.output + "_probe", "report"))
 
     if args.mask_report:
         # ONE gram pass serves both outputs: a doc is contaminated iff
@@ -135,9 +206,11 @@ def main(argv=None) -> int:
     path = jvm.org.apache.hadoop.fs.Path(scratch)
     path.getFileSystem(jsc).delete(path, True)
 
-    print(f"curation funnel: in={n_in} pii_docs={n_pii} "
-          f"kept={n_out} dropped_contaminated={n_in - n_out} "
-          f"splits={by_split}")
+    probe_txt = (f" probe={probe_report}" if probe_report else "")
+    print(f"curation funnel: in={n_in} blocked={n_blocked} "
+          f"pii_docs={n_pii} kept={n_out} "
+          f"dropped={n_in - n_blocked - n_out}"
+          f"{probe_txt} splits={by_split}")
     return 0
 
 

@@ -41,6 +41,165 @@ def extract_links(df: DataFrame, id_cols: tuple = ("conv_id", "turn_idx"),
                     F.col("col.a").alias("anchor")))
 
 
+# Case-insensitive absolute-http(s) test — (?i) is the one inline flag
+# Java regex and RE2/DuckDB agree on, so the twin can reuse the pattern.
+ABS_HTTP_RE = "(?i)^https?://"
+
+# The generic second-level labels under which the registrable domain is
+# one label deeper (news.example.CO.UK -> example.co.uk). A deliberately
+# small embedded subset of the Mozilla Public Suffix List — the real
+# list is data, not code, and plugs in as a longer tuple at call time.
+GENERIC_SLD = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+
+def url_canonicalize(url) -> "F.Column":
+    """Canonical URL form as ONE whole-stage-codegen expression chain —
+    the C4/RefinedWeb-style normalization every crawl dedup/frontier
+    keys on, with each step a cross-engine-safe regexp (no lookbehind,
+    no lazy quantifiers — RE2-compatible so the DuckDB twin replays it):
+
+      1. strip the fragment (`#...`)
+      2. drop `utm_*` tracking params wherever they sit, then repair a
+         query that lost its leading `?`
+      3. lowercase scheme://host[:port] (authority only — paths stay
+         case-sensitive)
+      4. strip the scheme's default port (:80 http, :443 https)
+      5. collapse trailing slashes on a non-root path; empty path -> /
+
+    Accepts a column or column name; returns the canonical-url column.
+    """
+    u = F.regexp_replace(url, "#.*$", "")
+    u = F.regexp_replace(u, "[?&]utm_[^&]*", "")
+    u = F.regexp_replace(u, "^([^?]*)&", "$1?")
+    head = F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    tail = u.substr(F.length(head) + F.lit(1), F.length(u))
+    head = F.lower(head)
+    head = F.regexp_replace(head, "^(http://[^:/]+):80$", "$1")
+    head = F.regexp_replace(head, "^(https://[^:/]+):443$", "$1")
+    path = F.regexp_extract(tail, "^([^?]*)", 1)
+    query = F.regexp_extract(tail, "([?].*)$", 1)
+    path = F.when(path == "", F.lit("/")) \
+        .otherwise(F.regexp_replace(path, "(.)/+$", "$1"))
+    return F.concat(head, path, query)
+
+
+def url_host(url) -> "F.Column":
+    """Hostname of an (already canonicalized, lowercase-scheme) URL —
+    one regexp_extract, port and userinfo-free authority assumed."""
+    return F.regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+
+def registrable_domain(host) -> "F.Column":
+    """eTLD+1 grouping key: the last two host labels, or three when the
+    second-to-last is a generic SLD from `GENERIC_SLD` (so
+    blog.example.co.uk -> example.co.uk but news.example.com ->
+    example.com). Pure array codegen — split + element_at + CASE."""
+    labels = F.split(host, "[.]")
+    n = F.size(labels)
+    three = F.concat_ws(".", F.element_at(labels, -3),
+                        F.element_at(labels, -2), F.element_at(labels, -1))
+    two = F.concat_ws(".", F.element_at(labels, -2),
+                      F.element_at(labels, -1))
+    return (F.when((n >= 3) & F.element_at(labels, -2).isin(*GENERIC_SLD),
+                   three)
+            .when(n >= 2, two)
+            .otherwise(host))
+
+
+def domain_stats(df: DataFrame, id_cols: tuple = ("conv_id", "turn_idx"),
+                 text_col: str = "text") -> DataFrame:
+    """Per-registrable-domain curation profile of the OUTBOUND link
+    graph — the C4/RefinedWeb move: before a crawl frontier or a
+    domain blocklist exists, profile where the corpus points.
+
+    One scan + ONE partial-agg shuffle: the href/anchor arrays and a
+    per-turn source-quality scalar (the probe's length squash,
+    nt/(nt+100) at 6dp) come out of the same codegen projection, the
+    zip is position-exploded, relative links are dropped (no base URL
+    to resolve against), and everything aggregates by
+    `registrable_domain(url_canonicalize(href))`. The two countDistinct
+    columns ride the same shuffle via Spark's Expand. Averages follow
+    the repo's exact-integer-unit discipline (sums of 1e6/1-unit ints,
+    floor(x+0.5) at the end) so the DuckDB twin is hash-exact.
+
+    Output: (domain, n_links, n_urls, n_src_convs, dup_link_rate,
+    avg_anchor_tokens, avg_src_len_sq)."""
+    conv_col = id_cols[0]
+    hrefs = F.expr(f"regexp_extract_all({text_col}, '{LINK_RE}', 1)")
+    anchors = F.expr(f"regexp_extract_all({text_col}, '{LINK_RE}', 2)")
+    nt = F.size(F.split(F.col(text_col), " "))
+    len_sq = F.floor(nt / (nt + F.lit(100.0)) * 1e6 + F.lit(0.5)) \
+        .cast("long")
+    links = (df.select(F.col(conv_col).alias("src_conv"),
+                       len_sq.alias("src_len_sq_u"),
+                       F.posexplode(F.arrays_zip(hrefs.alias("h"),
+                                                 anchors.alias("a"))))
+             .select("src_conv", "src_len_sq_u",
+                     F.col("col.h").alias("href"),
+                     F.col("col.a").alias("anchor"))
+             .filter(F.col("href").rlike(ABS_HTTP_RE)))
+    canon = url_canonicalize(F.col("href"))
+    rows = links.select(
+        "src_conv", "src_len_sq_u",
+        canon.alias("url"),
+        registrable_domain(url_host(canon)).alias("domain"),
+        F.size(F.split(F.col("anchor"), " ")).cast("long").alias("a_tok"))
+    agg = rows.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("url").alias("n_urls"),
+        F.countDistinct("src_conv").alias("n_src_convs"),
+        F.sum("a_tok").alias("sum_a_tok"),
+        F.sum("src_len_sq_u").alias("sum_len_sq_u"))
+    return agg.select(
+        "domain", "n_links", "n_urls", "n_src_convs",
+        (F.floor((1.0 - F.col("n_urls") / F.col("n_links")) * 1e4
+                 + F.lit(0.5)) / 1e4).alias("dup_link_rate"),
+        (F.floor(F.col("sum_a_tok") / F.col("n_links") * 1e4
+                 + F.lit(0.5)) / 1e4).alias("avg_anchor_tokens"),
+        (F.floor(F.col("sum_len_sq_u") / F.col("n_links") + F.lit(0.5))
+         / 1e6).alias("avg_src_len_sq"))
+
+
+def blocklist_filter(df: DataFrame, blocked=None,
+                     blocked_df: DataFrame | None = None,
+                     id_cols: tuple = ("conv_id", "turn_idx"),
+                     text_col: str = "text") -> DataFrame:
+    """Drop turns that link to a blocked registrable domain.
+
+    Two shapes, both corpus-shuffle-free:
+
+    - ``blocked`` (an in-memory domain list — the common case; real
+      blocklists are ~1e4 entries, trivially driver-sized): ZERO
+      shuffle and zero join — one codegen `exists()` over the href
+      array evaluating canonicalize→host→domain→IN per element, fused
+      into the scan. The 100 TB corpus pays one projection.
+    - ``blocked_df`` (a (domain) relation too big or too dynamic to
+      inline): extract+canonicalize hit turns, broadcast the blocklist
+      into the semi-join, then left_anti back on the id — the corpus
+      side never shuffles; only the (id, domain) link slice moves.
+
+    Turns without links (or with only relative links) always pass."""
+    if (blocked is None) == (blocked_df is None):
+        raise ValueError("pass exactly one of blocked / blocked_df")
+    if blocked is not None:
+        hrefs = F.expr(f"regexp_extract_all({text_col}, '{LINK_RE}', 1)")
+        hit = F.exists(
+            hrefs,
+            lambda h: h.rlike(ABS_HTTP_RE)
+            & registrable_domain(url_host(url_canonicalize(h)))
+            .isin(*blocked))
+        return df.filter(~hit)
+    links = extract_links(df, id_cols=id_cols, text_col=text_col) \
+        .filter(F.col("href").rlike(ABS_HTTP_RE))
+    canon = url_canonicalize(F.col("href"))
+    hits = (links.select(*id_cols,
+                         registrable_domain(url_host(canon))
+                         .alias("domain"))
+            .join(F.broadcast(blocked_df), "domain")
+            .select(*id_cols).distinct())
+    return df.join(hits, list(id_cols), "left_anti")
+
+
 def pagerank(edges: DataFrame, iters: int = 2, d: float = 0.85,
              src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """PageRank with uniform teleport and dangling-mass redistribution:
@@ -104,6 +263,8 @@ def pagerank_converged(edges: DataFrame, max_iters: int = 20,
     sequence is the evidence the ranking is stable, and each delta
     costs one extra bounded-size join over state already checkpointed
     that round."""
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     edges = edges.localCheckpoint()
     nodes = (edges.select(F.col(src_col).alias("node"))
              .union(edges.select(F.col(dst_col).alias("node")))
@@ -224,6 +385,8 @@ def hits_converged(edges: DataFrame, max_iters: int = 20,
     L1-normalized start (hub = 1/N, so the delta sequence is on the
     normalized scale from iteration 1), which follows the same
     trajectory up to 9dp rounding of intermediate sums."""
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     edges = edges.localCheckpoint()
     nodes = (edges.select(F.col(src_col).alias("node"))
              .union(edges.select(F.col(dst_col).alias("node")))

@@ -196,6 +196,35 @@ def make_page_payload(conv_id: str, turn_idx: int, archetype: str) -> str:
     return render_page(w, ph, span_lines, lines=lines, rects=rects)
 
 
+# External-link host pool for the nav's absolute URLs: mixed case,
+# www/no-www, a generic-SLD (co.uk) entry, and an ad-tracker domain —
+# the mess `links.url_canonicalize` / `registrable_domain` exist for.
+_EXT_HOSTS = (
+    "Example.COM", "news.example.com", "blog.example.co.uk",
+    "CDN.Example.net", "www.sample.org", "docs.sample.org",
+    "Tracker.Ads.io", "mirror.sample.org",
+)
+
+
+def _ext_url(conv_id: str, turn_idx: int, j: int) -> str:
+    """One deterministic, deliberately messy absolute URL: case-mixed
+    scheme/host, sometimes an explicit default (or non-default) port,
+    trailing slashes, utm_* tracking params in every position, and
+    fragments — each axis keyed off an independent hash byte."""
+    k = _h(conv_id, turn_idx, "ext", j)
+    host = _EXT_HOSTS[k % len(_EXT_HOSTS)]
+    scheme = ("http", "https", "HTTPS", "Http")[(k >> 3) % 4]
+    default_port = ":80" if scheme.lower() == "http" else ":443"
+    port = ("", default_port, "", ":8080")[(k >> 5) % 4]
+    path = f"/p/{k % 97}"
+    trail = "/" if (k >> 7) % 3 == 0 else ""
+    q = ("", f"?id={k % 11}", f"?utm_source=feed&id={k % 11}",
+         f"?id={k % 11}&utm_campaign=x",
+         f"?utm_medium=nav&utm_term=t{k % 7}")[(k >> 9) % 5]
+    frag = ("", f"#sec{k % 5}")[(k >> 11) % 2]
+    return f"{scheme}://{host}{port}{path}{trail}{q}{frag}"
+
+
 def make_html_payload(conv_id: str, turn_idx: int) -> str:
     """Deterministic boilerplate-heavy DOM (FIXTURES.md section 2)."""
     def para(tag_idx, n):
@@ -204,6 +233,13 @@ def make_html_payload(conv_id: str, turn_idx: int) -> str:
     h = _h(conv_id, turn_idx, "html")
     nav_links = "".join(
         f'<a href="/s{i}">{_VOCAB[(h + i) % len(_VOCAB)]}</a> ' for i in range(5)
+    )
+    # Absolute external links live in the nav too: boilerplate to the
+    # extractor (stripped with the rest of the nav), edges with real
+    # domains to the link-graph/domain-curation operators.
+    nav_links += "".join(
+        f'<a href="{_ext_url(conv_id, turn_idx, j)}">'
+        f"{_VOCAB[(h + 5 + j) % len(_VOCAB)]}</a> " for j in range(3)
     )
     deep_open = "<div>" * 12
     deep_close = "</div>" * 12

@@ -120,8 +120,9 @@ def _oracle_blocks(text) -> list:
 def ensure_goldens(sf: float) -> str:
     """Generate (once) every golden table for a scale factor; returns dir."""
     gdir = golden_dir(sf)
-    # v6: a000 P8 stub types; v7: layout_errors golden (S8 error JSON)
-    stamp = os.path.join(gdir, "_COMPLETE_v7")
+    # v6: a000 P8 stub types; v7: layout_errors golden (S8 error JSON);
+    # v8: external absolute links in the HTML nav (fixture change only)
+    stamp = os.path.join(gdir, "_COMPLETE_v8")
     if os.path.exists(stamp):
         return gdir
     os.makedirs(gdir, exist_ok=True)

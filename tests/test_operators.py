@@ -959,3 +959,60 @@ def test_probe_job_cli(spark, tmp_path, capsys):
     ).count() == 0
     # and the distilled head carries real signal above the keep base rate
     assert report["agreement"] > 0.8
+
+
+def test_curation_job_cli_blocklist_and_probe(spark, tmp_path):
+    """The two optional curation stages end to end: --blocklist drops
+    the doc linking to a blocked registrable domain before anything
+    else runs, --quality-probe trains on the scrubbed corpus, publishes
+    scores + agreement sidecars, and the curated output is exactly the
+    probe-positive, uncontaminated remainder."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    from curation_job import main as job_main
+
+    from pdf_parser_spark.io import read_table, write_table
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the dog naps under the old oak tree for a while longer")
+    doc_rows = [(i, f"{good} variant {i} " + " ".join(
+        f"w{i}_{j}" for j in range(10))) for i in range(8)]
+    doc_rows += [
+        (8, f'see <a href="https://Tracker.Ads.io:80/t">buy</a> {good}'),
+        (9, " ".join(f"leak{i}" for i in range(13)) + f" {good}"),
+        (10, "tiny"),  # rule-dropped: < 10 tokens
+    ]
+    ev_rows = [(100, " ".join(f"leak{i}" for i in range(13)))]
+    src = str(tmp_path / "docs_bp_in")
+    evp = str(tmp_path / "eval_bp_in")
+    write_table(spark.createDataFrame(doc_rows, "doc_id long, text string"),
+                src)
+    write_table(spark.createDataFrame(ev_rows, "doc_id long, text string"),
+                evp)
+
+    out = str(tmp_path / "curated_bp")
+    assert job_main(["--input", src, "--eval", evp, "--output", out,
+                     "--blocklist", "ads.io,blocked.example",
+                     "--quality-probe", "codegen", "--probe-iters", "2",
+                     "--budget", "16", "--buckets", "2"]) == 0
+
+    got = sorted(r.doc_id for r in read_table(spark, out).collect())
+    scores = {r.doc_id: r for r in
+              read_table(spark, out + "_probe/scores").collect()}
+    report = read_table(spark, out + "_probe/report").first()
+
+    assert 8 not in got                      # blocklisted
+    assert 9 not in got                      # contaminated
+    assert 8 not in scores                   # blocked BEFORE the probe
+    # curated = probe-positive minus contaminated; scores cover the
+    # whole scrubbed corpus including probe-dropped docs
+    probe_pos = {d for d, r in scores.items() if r.probe_keep == 1}
+    assert set(got) == probe_pos - {9}
+    assert report.head == "codegen" and report.iters == 2
+    assert report.n_docs == len(scores)
+    assert report.n_probe_keep == len(probe_pos)
+    assert 0 <= report.n_agree <= report.n_docs
+    # published scores reproduce the report's keep count exactly
+    assert sum(r.probe_keep for r in scores.values()) \
+        == report.n_probe_keep

@@ -902,6 +902,78 @@ def main() -> None:
               "checkpoint, not per iteration."),
     )
 
+    from pdf_parser_spark.corpus import links as LK
+    from pdf_parser_spark.corpus import textstats as TQS
+
+    html_tr = tr.filter(F.col("tool") == "html/v1")
+    audit(
+        "Domain-level link profile (one scan, one partial-agg shuffle)",
+        LK.domain_stats(html_tr),
+        requires=[r"Expand", r"Generate", r"hashpartitioning\(domain",
+                  r"PushedFilters: \[IsNotNull\(tool\), EqualTo\(tool"],
+        forbids=[r"PythonUDF|BatchEvalPython|ArrowEval|MapInPandas",
+                 r"SortMergeJoin|BroadcastHashJoin"],
+        note=("The C4/RefinedWeb domain-curation profile: href/anchor "
+              "extraction, URL canonicalization, and eTLD+1 derivation are "
+              "ALL codegen expressions in the scan's projection (regexp "
+              "chain + split/element_at — no DOM parse, no Python, "
+              "asserted), the zip is one Generate, the tool predicate is "
+              "pushed to the parquet scan (asserted), and the rollup is "
+              "Spark's two-phase distinct-aggregate: Expand + a partial "
+              "agg BEFORE each Exchange, so what shuffles is the distinct "
+              "(domain, url)/(domain, conv) combinations and then "
+              "domain-grain rows — never raw links. No join anywhere: a "
+              "100 TB crawl pays one scan plus a shuffle bounded by "
+              "distinct URLs, not by link count."),
+    )
+
+    audit(
+        "Blocklist filter, literal path (zero shuffle, zero join)",
+        LK.blocklist_filter(html_tr, blocked=["ads.io", "example.co.uk"]),
+        requires=[r"Scan parquet", r"Filter", r"exists"],
+        forbids=[r"Exchange", r"Join",
+                 r"PythonUDF|BatchEvalPython|ArrowEval|MapInPandas"],
+        note=("The common blocklist shape (a driver-sized domain list): "
+              "ONE codegen exists() over the href array evaluating "
+              "canonicalize -> host -> registrable-domain -> IN per "
+              "element, fused into the scan as a plain Filter. No "
+              "Exchange, no Join, no Python (all asserted) — the corpus "
+              "pays a projection, which is the only acceptable cost for a "
+              "pre-filter that runs before everything else at 100 TB."),
+    )
+
+    audit(
+        "Codegen probe features (the deployable head's feature block)",
+        TQS.quality_codegen_features(docs),
+        requires=[r"Scan parquet", r"Project"],
+        forbids=[r"Exchange", r"Join",
+                 r"PythonUDF|BatchEvalPython|ArrowEval|MapInPandas"],
+        note=("The six UDF-free quality features (saturating length and "
+              "mean-word-length squashes, stop ratio, distinct 1/2/3-gram "
+              "fractions) compile to ONE whole-stage-codegen projection — "
+              "zero Exchange, zero Python (asserted). This is what makes "
+              "the codegen head the cheap 100 TB pre-filter: unlike the "
+              "teacher-rule features (top2_cf/dup3_f pay a pandas UDF), "
+              "scoring never leaves the JVM."),
+    )
+
+    _cg_dims = 64 + TQS.probe_extra_dims(False, True)
+    audit(
+        "Probe scoring pass (publish step, UDF-free end to end)",
+        TQS.quality_probe_scores(
+            docs, [0.01] * _cg_dims, 0.1, codegen_feats=True),
+        requires=[r"aggregate\(zip_with", r"Scan parquet"],
+        forbids=[r"PythonUDF|BatchEvalPython|ArrowEval|MapInPandas",
+                 r"SortMergeJoin|CartesianProduct"],
+        note=("The relation jobs/probe_job.py publishes as scores/: hashed "
+              "BoW rollup + codegen features -> literal-weights "
+              "integer-unit dot (aggregate(zip_with(...)) — asserted) -> "
+              "fast sigmoid, with NO Python operator anywhere in the "
+              "apply path (asserted) and the feature join broadcast. One "
+              "token rollup per corpus pass is the entire shuffle cost of "
+              "deploying the trained filter."),
+    )
+
     with open("/root/repo/PLANS.md", "w", encoding="utf-8") as f:
         f.write(
             "# PLANS — physical-plan audit of the headline operators\n\n"

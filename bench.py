@@ -221,6 +221,19 @@ def main() -> None:
         # distributed rule distillation: centroid init + 2 GD passes
         "quality_probe_train": lambda: force_count(
             TS.quality_probe_weights_df(docs, rule_feats=True)),
+        # new in round 5: domain-level curation + the deployable
+        # codegen-head scoring pass (the 100 TB apply path — training
+        # cost is covered by quality_probe_train above)
+        "domain_stats": lambda: force_count(LK.domain_stats(
+            transcripts.filter(F.col("tool") == "html/v1"))),
+        "blocklist_filter": lambda: force_count(LK.blocklist_filter(
+            transcripts.filter(F.col("tool") == "html/v1"),
+            blocked=["ads.io", "example.co.uk"])),
+        "probe_codegen_score": lambda: force_count(
+            TS.quality_probe_scores(
+                docs, [round(((i * 53) % 19 - 9) / 90, 3)
+                       for i in range(70)], bias=-0.05,
+                codegen_feats=True)),
         "rag_chunk_topk": lambda: force_count(S.brute_topk(
             TS.hashed_bow_embeddings(
                 PK.chunk_documents(docs, size=32, overlap=8).select(

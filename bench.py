@@ -57,8 +57,23 @@ def main() -> None:
     n_cores = int(cpus) if str(cpus).isdigit() else 32
     transcripts = ensure_min_partitions(spark.read.parquet(tpath), n_cores * 2)
     n_turns = transcripts.count()
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # Prefer the non-replica fixtures when the sf dir carries them
+    # (data/sf1 only): the plain 10x offset-replica keeps text/vectors
+    # byte-identical across reps, which inflates near-dup PAIR counts
+    # quadratically — a fixture artifact, not a property of 10x data
+    # (BASELINE.md "Round-4 sf1 re-measures"). The `fixture` field in
+    # the output JSON records which variant each row was measured on.
+    fixture = {}
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(os.path.join(sf_dir, "documents_nonrep.parquet")):
+        docs_path = os.path.join(sf_dir, "documents_nonrep.parquet")
+        fixture["documents"] = "nonrep (token-salted replicas)"
+    embs_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(os.path.join(sf_dir, "embeddings_nonrep.parquet")):
+        embs_path = os.path.join(sf_dir, "embeddings_nonrep.parquet")
+        fixture["embeddings"] = "nonrep (dim-rotated replicas)"
+    docs = spark.read.parquet(docs_path)
+    embs = spark.read.parquet(embs_path)
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
 
@@ -292,6 +307,8 @@ def main() -> None:
         "cpus": int(cpus),
         "turns_per_sec": round(n_turns / extract_sec, 1),
     }
+    if fixture:
+        result["fixture"] = fixture
     print(json.dumps(result))
     spark.stop()
 

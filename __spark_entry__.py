@@ -1133,6 +1133,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["near_dedup_keep"] = q_near_dedup
 
+    def q_near_dedup_best(spark, sf_dir):
+        # quality-aware survivor: keep the longest (n_chars) member of
+        # each near-dup cluster instead of the min-id one (ties -> min id)
+        docs = _tbl(spark, sf_dir, "documents")
+        return _longify(
+            D.near_dedup_keep_best_docs(docs, "n_chars",
+                                        threshold=JACCARD_THRESHOLD)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+    q["near_dedup_keep_best"] = q_near_dedup_best
+
     def q_dedup_incremental(spark, sf_dir):
         docs = _tbl(spark, sf_dir, "documents")
         batch = docs.filter(F.col("doc_id") % 3 == 0)
@@ -3517,6 +3528,50 @@ def oracle_sql() -> dict[str, str]:
             losers AS (
                 SELECT src AS doc_id FROM reach
                 GROUP BY src HAVING min(dst) < src)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        # same candidate->Jaccard->component chain as near_dedup_keep,
+        # with the keeper rule swapped: survivor = argmax n_chars per
+        # component (ties -> min doc_id) instead of min doc_id
+        "near_dedup_keep_best": f"""
+            WITH RECURSIVE {_SHINGLE_CTES},
+            {_MINHASH_CTES},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT p.id_a, p.id_b, count(*) AS i
+                FROM mh_pairs p
+                JOIN sh a ON a.doc_id = p.id_a
+                JOIN sh b ON b.doc_id = p.id_b AND b.sh = a.sh
+                GROUP BY 1, 2),
+            jac AS (
+                SELECT p.id_a, p.id_b
+                FROM mh_pairs p
+                LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b
+                JOIN sizes sa ON sa.doc_id = p.id_a
+                JOIN sizes sb ON sb.doc_id = p.id_b
+                WHERE round(coalesce(i, 0)::DOUBLE
+                            / (sa.sz + sb.sz - coalesce(i, 0)), 4)
+                      >= {JACCARD_THRESHOLD}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM jac
+                UNION
+                SELECT id_b, id_a FROM jac),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            clusters AS (
+                SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                FROM reach GROUP BY src),
+            ranked AS (
+                SELECT c.doc_id,
+                       row_number() OVER (
+                           PARTITION BY c.cluster_id
+                           ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+                FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+            losers AS (SELECT doc_id FROM ranked WHERE rk > 1)
             SELECT d.doc_id, d.lang, d.source, d.n_chars
             FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)

@@ -316,6 +316,26 @@ def test_near_dedup_keep_docs_pipeline(docs):
     assert 1 not in kept_strict and 2 not in kept_strict
 
 
+def test_near_dedup_keep_best_docs(docs):
+    """Quality-aware survivor selection: the keeper of each dup cluster
+    is the argmax-score member (ties -> min id), not the min-id one."""
+    # score = doc_id makes the cluster {0,1,2}'s best member 2, not 0
+    scored = docs.withColumn("score", F.col("doc_id").cast("double"))
+    kept = sorted(r.doc_id for r in D.near_dedup_keep_best_docs(
+        scored, "score", threshold=0.5).collect())
+    assert 2 in kept and 0 not in kept and 1 not in kept
+    assert 4 in kept and 5 in kept  # singletons untouched
+    # equal scores -> deterministic min-id tie-break == the min-id rule
+    tied = docs.withColumn("score", F.lit(1.0))
+    kept_tied = sorted(r.doc_id for r in D.near_dedup_keep_best_docs(
+        tied, "score", threshold=0.5).collect())
+    kept_min = sorted(r.doc_id for r in D.near_dedup_keep_docs(
+        docs, threshold=0.5).collect())
+    assert kept_tied == kept_min
+    # survivor COUNT never depends on the keeper rule (one per cluster)
+    assert len(kept) == len(kept_min)
+
+
 def test_near_dedup_single_shingle_pass(docs, tmp_path):
     """The shared-shingle composition produces identical pairs to the
     per-stage form AND its plan contains ZERO shingle computations: both

@@ -174,6 +174,20 @@ def main() -> None:
         compact(near_plan)))
 
     audit(
+        "Quality-aware dup survivor (keep_best_from_pairs)",
+        D.keep_best_from_pairs(docs, near_dedup_df, "n_chars"),
+        requires=[r"row_number", r"LeftAnti"],
+        forbids=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        note=("The RefinedWeb-style keeper rule (argmax score per dup "
+              "cluster, ties -> min id). The row_number ranking window "
+              "partitions by cluster_id over the CLUSTER MEMBERS frame "
+              "only — O(duplicate docs), bounded by the same LSH "
+              "candidate generation that built the pairs — never over "
+              "the corpus; the corpus pays exactly what the min-id rule "
+              "pays, one AQE-sized left-anti join (asserted present)."),
+    )
+
+    audit(
         "Exact dedup (hash-groupBy)",
         D.exact_dedup(docs),
         requires=[r"HashAggregate.*Exchange.*HashAggregate"],

@@ -1188,6 +1188,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semdedup_keep"] = q_semdedup_keep
 
+    def q_semantic_decontam(spark, sf_dir):
+        # embedding-space eval-overlap: eval set = vec_id % 50 == 0,
+        # corpus = the rest; per-doc max cosine vs the eval set + the
+        # keep decision at a fixture-calibrated threshold (max observed
+        # cos on this fixture is 0.453, so 0.25 is strongly non-vacuous:
+        # 120 of 490 rows drop)
+        embs = _tbl(spark, sf_dir, "embeddings")
+        ev = embs.filter(F.col("vec_id") % 50 == 0)
+        corpus = embs.filter(F.col("vec_id") % 50 != 0)
+        return (S.semantic_contamination(corpus, ev)
+                .withColumn("keep",
+                            (F.col("max_eval_cos") < F.lit(0.25))
+                            .cast("int")))
+
+    q["semantic_decontam"] = q_semantic_decontam
+
     # --- corpus: similarity search ----------------------------------------
     def q_ann(spark, sf_dir):
         return _longify(S.brute_topk(_tbl(spark, sf_dir, "embeddings"), k=10))
@@ -3979,6 +3995,23 @@ def oracle_sql() -> dict[str, str]:
                              AS rn
                   FROM scored)
             SELECT query_id, vec_id, score FROM r WHERE rn <= 10
+        """,
+        # embedding-space decontamination: max cosine of each non-eval
+        # vector vs the eval subset (vec_id % 50 = 0), 4dp-rounded before
+        # the max so both engines reduce identical numbers
+        "semantic_decontam": f"""
+            WITH {_VEC_CTES},
+            ev AS (SELECT e AS qe, norm AS qn
+                   FROM nrm WHERE vec_id % 50 = 0)
+            SELECT n.vec_id,
+                   max(round(list_inner_product(n.e, ev.qe)
+                             / (n.norm * ev.qn), 4)) AS max_eval_cos,
+                   CASE WHEN max(round(list_inner_product(n.e, ev.qe)
+                                       / (n.norm * ev.qn), 4)) < 0.25
+                        THEN 1 ELSE 0 END AS keep
+            FROM nrm n, ev
+            WHERE n.vec_id % 50 <> 0
+            GROUP BY n.vec_id
         """,
         "semdedup_pairs": f"""
             WITH {_VEC_CTES},

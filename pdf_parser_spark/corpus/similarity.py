@@ -933,6 +933,53 @@ def auto_centroids(df: DataFrame, per_cell: int = 300,
     return max(floor, min(cap, -(-n // per_cell)))
 
 
+def semantic_contamination(df: DataFrame, eval_df: DataFrame,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Per-corpus-vector max cosine against a benchmark/eval embedding
+    set — the SEMANTIC decontamination signal (embedding-space
+    eval-overlap, the paraphrase-robust complement of the n-gram
+    `corpus/decontam.py` operators: a reworded eval question shares no
+    13-grams with its source but still lands next to it in embedding
+    space). Returns (id, max_eval_cos) for every scorable corpus row.
+
+    Scale shape: the eval set is benchmark-sized (thousands), so it
+    rides a broadcast; scoring is a broadcast nested-loop over the
+    corpus with the exact left-fold dot product (corpus vectors never
+    shuffle), and the max-reduce partial-aggregates map-side so the one
+    Exchange carries (id, scalar) pairs — never embeddings. Scores are
+    rounded to 4dp BEFORE the max so both engines reduce identical
+    numbers."""
+    ev = (with_norm(eval_df, vec_col)
+          .select(F.col(vec_col).alias("qvec"),
+                  F.col("norm").alias("qnorm")))
+    return (with_norm(df, vec_col)
+            .crossJoin(F.broadcast(ev))
+            .select(id_col,
+                    F.round(cosine(vec_col, "qvec", "norm", "qnorm"), 4)
+                    .alias("c"))
+            .groupBy(id_col)
+            .agg(F.max("c").alias("max_eval_cos")))
+
+
+def semantic_decontaminated_keep(df: DataFrame, eval_df: DataFrame,
+                                 threshold: float = 0.95,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> DataFrame:
+    """Drop corpus rows whose embedding sits within ``threshold`` cosine
+    of ANY eval vector; everything else (including rows with
+    null/empty/zero embeddings, which have no direction and therefore
+    cannot be semantically contaminated) survives. The corpus pays the
+    broadcast scoring pass plus one AQE-sized left-anti join on the
+    contaminated-id set — the same keep shape as
+    ``dedup.keep_from_pairs``."""
+    flagged = semantic_contamination(df, eval_df, id_col=id_col,
+                                     vec_col=vec_col)
+    contaminated = (flagged.filter(F.col("max_eval_cos") >= threshold)
+                    .select(id_col))
+    return df.join(contaminated, id_col, "left_anti")
+
+
 def semdedup_pairs(df: DataFrame, threshold: float = 0.3,
                    n_centroids: int | str = 16,
                    codebook: list | None = None,

@@ -762,6 +762,36 @@ def test_semdedup_keep_greedy_policy(spark):
     assert kept == {1, 4, 5}
 
 
+def test_semantic_decontamination(spark):
+    """Embedding-space eval-overlap: max-cosine scores are exact, the
+    keep rule drops only rows at/above threshold, and non-scorable
+    (null/zero) corpus rows survive — no direction, no contamination."""
+    from pdf_parser_spark.corpus import similarity as S
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    near = [math.cos(0.1), math.sin(0.1)]   # cos vs eval[0] ~ 0.995
+    mid = [math.cos(0.6), math.sin(0.6)]    # cos vs eval[0] ~ 0.825
+    corpus = spark.createDataFrame(
+        [(1, near), (2, mid), (3, [-1.0, -1.0]), (4, None), (5, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    scores = {r.vec_id: r.max_eval_cos
+              for r in S.semantic_contamination(corpus, ev).collect()}
+    assert scores[1] == round(math.cos(0.1), 4)
+    assert scores[2] == round(math.cos(0.6), 4)
+    # row 3 points away from both eval vectors but max picks the less
+    # negative of the two identical (-0.7071) cosines
+    assert scores[3] == -0.7071
+    assert set(scores) == {1, 2, 3}  # non-scorable rows get no score
+    kept = {r.vec_id for r in S.semantic_decontaminated_keep(
+        corpus, ev, threshold=0.95).collect()}
+    assert kept == {2, 3, 4, 5}
+    kept_strict = {r.vec_id for r in S.semantic_decontaminated_keep(
+        corpus, ev, threshold=0.8).collect()}
+    assert kept_strict == {3, 4, 5}
+
+
 def test_pq_adc_topk_zero_norm_query_ranks_nothing(spark):
     """An all-zero query vector has no direction: pq_adc_topk must return
     an empty frame (matching brute_topk/lsh_topk whose with_norm drops

@@ -188,6 +188,22 @@ def main() -> None:
     )
 
     audit(
+        "Semantic decontamination (broadcast eval scoring)",
+        S.semantic_contamination(
+            embs.filter(F.col("vec_id") % 50 != 0),
+            embs.filter(F.col("vec_id") % 50 == 0)),
+        requires=[r"BroadcastNestedLoopJoin",
+                  r"HashAggregate.*Exchange.*HashAggregate"],
+        forbids=[r"SortMergeJoin"],
+        note=("Embedding-space eval-overlap: the eval set rides a "
+              "broadcast nested-loop (corpus vectors never shuffle), and "
+              "the per-doc max-cosine reduce partial-aggregates map-side "
+              "— the one Exchange carries (id, scalar) pairs, never "
+              "embeddings. The paraphrase-robust complement of the "
+              "n-gram decontaminate operators."),
+    )
+
+    audit(
         "Exact dedup (hash-groupBy)",
         D.exact_dedup(docs),
         requires=[r"HashAggregate.*Exchange.*HashAggregate"],

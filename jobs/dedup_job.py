@@ -4,8 +4,9 @@ training-data pipeline (the corpus analog of jobs/extract_job.py):
     spark-submit --py-files engine.zip jobs/dedup_job.py \\
         --input  /path/to/documents_ds \\
         --output /path/to/kept_ds \\
-        [--method minhash|exact|simhash] [--threshold 0.5] \\
-        [--report-clusters]
+        [--method minhash|exact|simhash|semdedup|semdecontam] \\
+        [--threshold 0.5] [--keeper min_id|best --score-col quality] \\
+        [--eval-input /path/to/eval_embs] [--report-clusters]
 
 Runs the scale-shaped pipeline (candidates are always bucketed, never
 all-pairs; exact Jaccard only on candidates; connected components via
@@ -27,13 +28,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True, help="documents table/path")
     p.add_argument("--output", required=True, help="kept-documents output")
     p.add_argument("--method", default="minhash",
-                   choices=("minhash", "exact", "simhash", "semdedup"))
+                   choices=("minhash", "exact", "simhash", "semdedup",
+                            "semdecontam"))
     p.add_argument("--threshold", type=float, default=0.5,
                    help="Jaccard threshold (minhash method)")
     p.add_argument("--max-hamming", type=int, default=1,
                    help="Hamming radius (simhash method)")
     p.add_argument("--cosine-threshold", type=float, default=0.95,
-                   help="cosine threshold (semdedup method)")
+                   help="cosine threshold (semdedup/semdecontam methods)")
+    p.add_argument("--keeper", default="min_id", choices=("min_id", "best"),
+                   help="dup-cluster survivor rule for the pair methods "
+                        "(minhash/simhash): min_id, or 'best' = argmax of "
+                        "--score-col with min-id tie-break")
+    p.add_argument("--score-col", default=None,
+                   help="score column on the input table (--keeper best)")
+    p.add_argument("--eval-input", default=None,
+                   help="eval/benchmark embeddings table (semdecontam "
+                        "method): rows within --cosine-threshold of any "
+                        "eval vector are dropped")
     p.add_argument("--cells", default="auto",
                    help="k-means cell count (semdedup method), or 'auto' "
                         "to scale cells with the corpus (~300 vectors/"
@@ -58,9 +70,24 @@ def main(argv=None) -> int:
     docs = read_table(spark, args.input)
     n_in = docs.count()
 
+    if args.keeper == "best" and not args.score_col:
+        raise SystemExit("--keeper best requires --score-col")
+
     stats: dict = {}
     clusters = None
-    if args.method == "semdedup":
+    if args.method == "semdecontam":
+        # embedding-space eval-overlap removal: input + eval are
+        # embeddings tables; the eval set broadcasts, the corpus never
+        # shuffles (corpus/similarity.py:semantic_decontaminated_keep)
+        if not args.eval_input:
+            raise SystemExit("--method semdecontam requires --eval-input")
+        from pdf_parser_spark.corpus import similarity as S
+
+        eval_df = read_table(spark, args.eval_input)
+        kept = S.semantic_decontaminated_keep(
+            docs, eval_df, threshold=args.cosine_threshold,
+            id_col=args.id_col, vec_col=args.vec_col)
+    elif args.method == "semdedup":
         # embedding-space SemDeDup: greedy lowest-id keep inside k-means
         # cells (corpus/similarity.py); input is an embeddings table
         from pdf_parser_spark.corpus import similarity as S
@@ -91,8 +118,13 @@ def main(argv=None) -> int:
                 id_col=args.id_col, text_col=args.text_col)
         # one clustering run feeds BOTH the keep set and the report
         clusters = D.dup_clusters(pairs, stats=stats)
-        kept = D.keep_from_pairs(docs, pairs, id_col=args.id_col,
-                                 clusters=clusters)
+        if args.keeper == "best":
+            kept = D.keep_best_from_pairs(docs, pairs, args.score_col,
+                                          id_col=args.id_col,
+                                          clusters=clusters)
+        else:
+            kept = D.keep_from_pairs(docs, pairs, id_col=args.id_col,
+                                     clusters=clusters)
 
     write_table(kept, args.output)
     n_out = read_table(spark, args.output).count()

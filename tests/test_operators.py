@@ -398,6 +398,47 @@ def test_dedup_job_cli(spark, tmp_path):
                      "--method", "minhash", "--threshold", "0.5"]) == 0
     kept = sorted(r.doc_id for r in read_table(spark, out).collect())
     assert kept == [0, 2]
+    # --keeper best: the argmax-score member survives instead of min-id
+    out2 = str(tmp_path / "kept_best")
+    scored = str(tmp_path / "docs_scored")
+    write_table(spark.createDataFrame(
+        [r + (float(r[0]),) for r in rows],
+        "doc_id long, text string, quality double"), scored)
+    assert job_main(["--input", scored, "--output", out2,
+                     "--method", "minhash", "--threshold", "0.5",
+                     "--keeper", "best", "--score-col", "quality"]) == 0
+    kept_best = sorted(r.doc_id for r in read_table(spark, out2).collect())
+    assert kept_best == [1, 2]
+
+
+def test_dedup_job_cli_semdecontam(spark, tmp_path):
+    """dedup_job --method semdecontam: corpus vectors within the cosine
+    threshold of any eval vector are dropped; the rest survive."""
+    import math as _math
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    from dedup_job import main as job_main
+
+    from pdf_parser_spark.io import read_table, write_table
+
+    corpus = [
+        (0, [_math.cos(0.05), _math.sin(0.05)]),   # ~0.999 cos vs eval
+        (1, [0.0, 1.0]),
+    ]
+    src = str(tmp_path / "embs_in")
+    evp = str(tmp_path / "eval_embs")
+    write_table(spark.createDataFrame(
+        corpus, "vec_id long, embedding array<double>"), src)
+    write_table(spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"), evp)
+    out = str(tmp_path / "kept_vecs")
+    assert job_main(["--input", src, "--output", out,
+                     "--method", "semdecontam", "--id-col", "vec_id",
+                     "--eval-input", evp,
+                     "--cosine-threshold", "0.95"]) == 0
+    kept = sorted(r.vec_id for r in read_table(spark, out).collect())
+    assert kept == [1]
 
 
 def test_curation_job_cli(spark, tmp_path):

@@ -249,6 +249,16 @@ def main() -> None:
                 docs, [round(((i * 53) % 19 - 9) / 90, 3)
                        for i in range(70)], bias=-0.05,
                 codegen_feats=True)),
+        # late round 5: quality-argmax dup survivors + embedding-space
+        # eval decontamination (eval side = vec_id % 50, broadcast)
+        "near_dedup_keep_best": lambda: force_count(
+            D.near_dedup_keep_docs(docs, threshold=0.3,
+                                   score_col="n_chars")),
+        "semantic_decontam_keep": lambda: force_count(
+            S.semantic_decontaminated_keep(
+                embs.filter(F.col("vec_id") % 50 != 0),
+                embs.filter(F.col("vec_id") % 50 == 0),
+                threshold=0.25)),
         "rag_chunk_topk": lambda: force_count(S.brute_topk(
             TS.hashed_bow_embeddings(
                 PK.chunk_documents(docs, size=32, overlap=8).select(
